@@ -1,0 +1,206 @@
+"""Deterministic image corpus + pure-numpy codecs (FIXTURES.md §1).
+
+The sandbox ships no Pillow, so the lossless path is a minimal PNG
+codec written against the public PNG spec (signature + IHDR + IDAT
+(zlib, filter 0) + IEND) plus a ``raw`` passthrough format. A JPEG
+path is import-guarded for environments that have a codec; its rows
+carry the PSNR>=40dB tolerance from BASELINE.json's input_hint.
+
+Corresponds to the reference payload column ``ADS.HTML``
+(``/root/reference/src/main/scala/org/olx/parser/DownloadAds.scala:55``,
+``db/H2.scala:61``) generalized to an image+caption pair per
+BASELINE.json input_hint: (image_id, bytes, w, h, fmt, caption, phash).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+ADJECTIVES = [
+    "red", "blue", "vintage", "new", "large", "small", "classic",
+    "modern", "rare", "cheap", "premium", "compact",
+]
+NOUNS = [
+    "bicycle", "sofa", "laptop", "guitar", "jacket", "camera", "table",
+    "phone", "lamp", "bookshelf", "stroller", "monitor",
+]
+CITIES = [
+    "Kyiv", "Lviv", "Odesa", "Kharkiv", "Dnipro", "Vinnytsia",
+    "Poltava", "Uzhhorod",
+]
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an RGB8 PNG (filter 0)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    # filter byte 0 per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by :func:`png_encode` (RGB8, filter 0 only)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("only RGB8 supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    if raw[:, 0].any():
+        raise NotImplementedError("only filter 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "raw":
+        h, w, _ = arr.shape
+        return struct.pack(">HH", h, w) + arr.tobytes()
+    if fmt == "jpeg":  # pragma: no cover - no codec in sandbox
+        raise NotImplementedError("no JPEG codec available in this environment")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "raw":
+        h, w = struct.unpack(">HH", data[:4])
+        return np.frombuffer(data[4:], dtype=np.uint8).reshape(h, w, 3).copy()
+    if fmt == "jpeg":  # pragma: no cover
+        raise NotImplementedError("no JPEG codec available in this environment")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash (signed int64, as stored in the table).
+
+    Grayscale -> bilinear-ish resize to 32x32 -> 2D DCT-II -> top-left
+    8x8 coefficients (minus DC) compared against their median -> 64 bits.
+    """
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[np.ix_(ys, xs)]
+    m = _dct_matrix(32)
+    dct = m @ small @ m.T
+    block = dct[:8, :8].flatten()
+    block[0] = 0.0  # drop DC so flat images don't bias the median
+    med = np.median(block)
+    bits = (block > med).astype(np.uint64)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # wrap to signed int64 for LongType storage
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def make_image_array(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic per-image pixels: gradient + PRNG noise."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    noise = rng.integers(-24, 25, size=(h, w, 3), dtype=np.int32)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def make_image_corpus(
+    n: int = 100, seed: int = 42, n_hosts: int = 4
+) -> list[dict]:
+    """Rows for the ``images`` payload table (FIXTURES.md §1).
+
+    Returns a list of dicts with keys
+    (image_id, bytes, w, h, fmt, caption, phash) — the exact input_hint
+    schema. Deterministic for a given (n, seed, n_hosts).
+    """
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    sizes = [32, 64, 96]
+    fmts = ["raw", "png"]
+    rows = []
+    for i in range(n):
+        host_idx = i % n_hosts
+        w = int(rng.choice(sizes))
+        h = int(rng.choice(sizes))
+        fmt = fmts[int(rng.integers(0, len(fmts)))]
+        arr = make_image_array(rng, w, h)
+        caption = (
+            f"{ADJECTIVES[i % len(ADJECTIVES)]} "
+            f"{NOUNS[(i // len(ADJECTIVES)) % len(NOUNS)]} "
+            f"in {CITIES[i % len(CITIES)]} #{i}"
+        )
+        rows.append(
+            {
+                "image_id": f"img-{host_idx:03d}-{i:05d}",
+                "bytes": encode_image(arr, fmt),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": phash64(arr),
+            }
+        )
+    return rows
