@@ -67,6 +67,8 @@ class CrawlGraph:
     images: list[dict]
     seeds: list[dict]
     store: PageStore
+    image_seed: int = 43  # seed used for make_image_row regeneration
+    n_hosts: int = 4
 
     def images_by_id(self) -> dict[str, dict]:
         return {r["image_id"]: r for r in self.images}
@@ -205,4 +207,6 @@ def make_crawl_graph(
         images=images,
         seeds=seeds_list,
         store=store,
+        image_seed=seed + 1,
+        n_hosts=n_hosts,
     )

@@ -168,39 +168,44 @@ def make_image_array(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-def make_image_corpus(
-    n: int = 100, seed: int = 42, n_hosts: int = 4
-) -> list[dict]:
-    """Rows for the ``images`` payload table (FIXTURES.md §1).
+def image_caption(i: int) -> str:
+    return (
+        f"{ADJECTIVES[i % len(ADJECTIVES)]} "
+        f"{NOUNS[(i // len(ADJECTIVES)) % len(NOUNS)]} "
+        f"in {CITIES[i % len(CITIES)]} #{i}"
+    )
 
-    Returns a list of dicts with keys
-    (image_id, bytes, w, h, fmt, caption, phash) — the exact input_hint
-    schema. Deterministic for a given (n, seed, n_hosts).
-    """
-    rng = np.random.default_rng(np.random.PCG64(seed))
+
+def make_image_row(i: int, seed: int = 42, n_hosts: int = 4) -> dict:
+    """One row of the ``images`` payload table, derived from (seed, i)
+    ALONE — per-image determinism, so the fetch UDF can regenerate any
+    image's bytes from its id without broadcasting the corpus (at
+    bench/web scale the payload bytes never leave the executors)."""
+    rng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i])))
     sizes = [32, 64, 96]
     fmts = ["raw", "png"]
-    rows = []
-    for i in range(n):
-        host_idx = i % n_hosts
-        w = int(rng.choice(sizes))
-        h = int(rng.choice(sizes))
-        fmt = fmts[int(rng.integers(0, len(fmts)))]
-        arr = make_image_array(rng, w, h)
-        caption = (
-            f"{ADJECTIVES[i % len(ADJECTIVES)]} "
-            f"{NOUNS[(i // len(ADJECTIVES)) % len(NOUNS)]} "
-            f"in {CITIES[i % len(CITIES)]} #{i}"
-        )
-        rows.append(
-            {
-                "image_id": f"img-{host_idx:03d}-{i:05d}",
-                "bytes": encode_image(arr, fmt),
-                "w": w,
-                "h": h,
-                "fmt": fmt,
-                "caption": caption,
-                "phash": phash64(arr),
-            }
-        )
-    return rows
+    host_idx = i % n_hosts
+    w = int(rng.choice(sizes))
+    h = int(rng.choice(sizes))
+    fmt = fmts[int(rng.integers(0, len(fmts)))]
+    arr = make_image_array(rng, w, h)
+    return {
+        "image_id": f"img-{host_idx:03d}-{i:05d}",
+        "bytes": encode_image(arr, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": image_caption(i),
+        "phash": phash64(arr),
+    }
+
+
+def image_index_from_id(image_id: str) -> int:
+    """Inverse of the ``image_id`` format: ``img-{host:03d}-{i:05d}``."""
+    return int(image_id.rsplit("-", 1)[1])
+
+
+def make_image_corpus(n: int = 100, seed: int = 42, n_hosts: int = 4) -> list[dict]:
+    """Rows for the ``images`` payload table (FIXTURES.md §1), schema
+    (image_id, bytes, w, h, fmt, caption, phash) per input_hint."""
+    return [make_image_row(i, seed=seed, n_hosts=n_hosts) for i in range(n)]

@@ -1,0 +1,112 @@
+"""URL canonicalization + fingerprinting (SURVEY.md §2.1 rows 5-6).
+
+Two canonicalization modes:
+
+- ``reference``: the reference's exact quirk — each scraped href is
+  treated as a *path* and grafted onto the base URL's scheme+authority,
+  RETAINING the base's query string and fragment (http4s ``withPath``
+  semantics at ``/root/reference/src/main/scala/org/olx/parser/
+  DownloadLinks.scala:47-48``). Absolute hrefs would be mangled the
+  same way the reference mangles them (treated as a path).
+- ``modern``: a proper crawler normalization (north_star): RFC urljoin,
+  strip tracking params (utm_*, fbclid, gclid, ref), sort remaining
+  query params, drop fragments, lowercase scheme/host, strip default
+  ports and trailing ``index.html``.
+
+Both are vectorized pandas UDFs: the per-base prefix/suffix is computed
+once per distinct base (a crawl has few distinct bases per batch) and
+applied with pandas vectorized string concat — no per-row Python UDF.
+
+Fingerprints are Spark-native ``xxhash64`` (JVM, whole-stage codegen) —
+never computed in Python.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+TRACKING_PARAMS = {"fbclid", "gclid", "ref", "msclkid", "mc_eid", "igshid"}
+
+
+def graft_prefix_suffix(base_url: str) -> tuple[str, str]:
+    """Decompose a base URL into (scheme://authority, ?query#fragment)."""
+    u = urlsplit(base_url)
+    prefix = f"{u.scheme}://{u.netloc}"
+    suffix = ""
+    if u.query:
+        suffix += f"?{u.query}"
+    if u.fragment:
+        suffix += f"#{u.fragment}"
+    return prefix, suffix
+
+
+def canonicalize_reference_py(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    """Vectorized reference-exact graft: prefix + href + suffix."""
+    codes, uniques = pd.factorize(bases, use_na_sentinel=False)
+    pre = pd.Series([graft_prefix_suffix(b)[0] for b in uniques], dtype="object")
+    suf = pd.Series([graft_prefix_suffix(b)[1] for b in uniques], dtype="object")
+    return pre.iloc[codes].reset_index(drop=True) + hrefs.reset_index(
+        drop=True
+    ) + suf.iloc[codes].reset_index(drop=True)
+
+
+def _canonicalize_modern_one(href: str, base: str) -> str:
+    u = urlsplit(urljoin(base, href))
+    scheme = u.scheme.lower()
+    netloc = u.netloc.lower()
+    if (scheme, ":" in netloc) == ("http", True) and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    if (scheme, ":" in netloc) == ("https", True) and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    path = u.path or "/"
+    if path.endswith("/index.html"):
+        path = path[: -len("index.html")]
+    q = [
+        (k, v)
+        for k, v in parse_qsl(u.query, keep_blank_values=True)
+        if not (k in TRACKING_PARAMS or k.startswith("utm_"))
+    ]
+    q.sort()
+    return urlunsplit((scheme, netloc, path, urlencode(q), ""))
+
+
+def canonicalize_modern_py(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_canonicalize_modern_one(h, b) for h, b in zip(hrefs, bases)],
+        dtype="object",
+    )
+
+
+@pandas_udf(StringType())
+def canonicalize_reference(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    return canonicalize_reference_py(hrefs, bases)
+
+
+@pandas_udf(StringType())
+def canonicalize_modern(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    return canonicalize_modern_py(hrefs, bases)
+
+
+def url_fingerprint(col):
+    """64-bit URL fingerprint — Spark-native xxhash64 (seed 42), stays
+    inside whole-stage codegen; the frontier/seen tables key on this."""
+    return F.xxhash64(col)
+
+
+def host_of(col):
+    """Extract the authority from a URL, JVM-side."""
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def host_salt(host_col, url_col, buckets: int = 8):
+    """Salted host key for hot-host skew: ``host#s`` with s derived from
+    the URL fingerprint (SURVEY.md §4.2 item 4). Politeness accounting
+    always uses the unsalted host; salting only fans out fetch work."""
+    return F.concat_ws(
+        "#", host_col, F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("string")
+    )

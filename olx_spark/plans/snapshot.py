@@ -1,0 +1,97 @@
+"""Snapshot-versioned table store — Iceberg semantics over plain Parquet.
+
+The sandbox's PySpark 4.1.2 ships no Iceberg runtime jar (SURVEY.md §7
+risk d), so this implements the same *semantics* with the same layout
+philosophy: every crawl round commits a snapshot listing exactly the
+data files (per-round Parquet delta directories) that belong to each
+table, and the commit is a single atomic ``os.replace`` of the JSON
+manifest — readers either see the previous snapshot or the new one,
+never a partial round. A killed run resumes from the last committed
+manifest exactly (north_rule "resumable from checkpoint").
+
+On a real cluster this class is swapped for Iceberg
+``writeTo(...).append()`` + snapshot IDs; the engine only uses the four
+methods below, so the swap is local to this file.
+
+Layout::
+
+    root/
+      manifest.json                  <- atomic pointer (os.replace)
+      r00000/results/*.parquet       <- per-round delta dirs
+      r00000/fetch_log/*.parquet
+      r00001/...
+
+Manifest::
+
+    {"rounds": [0, 1, ...],          committed rounds, in order
+     "tables": {"results": ["r00000/results", ...], ...},
+     "state": {...driver state at last commit...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"rounds": [], "tables": {}, "state": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit_round(
+        self, round_no: int, tables: dict[str, DataFrame | None], state: dict
+    ) -> None:
+        """Write each table's round delta, then atomically publish the
+        manifest. Uncommitted delta dirs from a crashed run are
+        invisible (not in the manifest) and get cleaned lazily."""
+        manifest = self.read_manifest()
+        if round_no in manifest["rounds"]:
+            raise ValueError(f"round {round_no} already committed")
+        rdir = os.path.join(self.root, f"r{round_no:05d}")
+        if os.path.exists(rdir):  # leftovers from a crashed attempt
+            shutil.rmtree(rdir)
+        for name, df in tables.items():
+            if df is None:
+                continue
+            path = os.path.join(rdir, name)
+            df.write.mode("overwrite").parquet(path)
+            manifest["tables"].setdefault(name, []).append(
+                os.path.relpath(path, self.root)
+            )
+        manifest["rounds"].append(round_no)
+        manifest["state"] = state
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+
+    def read_table(self, name: str) -> DataFrame | None:
+        """Union of all committed round deltas for ``name``."""
+        manifest = self.read_manifest()
+        paths = [
+            os.path.join(self.root, rel) for rel in manifest["tables"].get(name, [])
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def last_state(self) -> dict:
+        return self.read_manifest()["state"]
+
+    def committed_rounds(self) -> list[int]:
+        return self.read_manifest()["rounds"]

@@ -47,6 +47,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # Broadcast threshold: small dims (robots rules, hosts) always
         # broadcast; frontier-sized tables never do.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
