@@ -1,38 +1,667 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+PySpark callable over the driver testdata; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. Column names + float rounding are aligned
+on both sides (the driver compares row-count + schema + order-
+insensitive value hash).
+
+Keys without an oracle entry (genuinely non-SQL ops) are checked
+rows-only by the driver and exactly in tests/: crawl-engine equality vs
+the reference simulator (tests/test_crawl_order.py), Bloom properties
+(tests/test_dedup.py), resume exactness (tests/test_resume.py),
+ANN recall (tests/test_similarity.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olx_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    simhash16,
+    token_count,
+)
+
+DEC = 4  # common float rounding for oracle comparison
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: frontier-style scheduling over the events stream — per-user
+# priority rank + politeness budget + inter-arrival gap (the engine's
+# core window pattern, SURVEY.md §2.2 "window functions")
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_politeness_budget(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# individual queries (each has an oracle_sql twin unless noted)
+
+def q_scan_filter(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000))
+        .select("c_custkey", "c_name", F.round("c_acctbal", DEC).alias("acctbal"))
+    )
+
+
+def q_filter_conj(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("event_id", "user_id", F.round("value", DEC).alias("value"))
+    )
+
+
+def q_explode_links(spark, sf):
+    # Links.ads flatten (SURVEY §2.1 row 8): posexplode of an array col
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+def q_string_fns(spark, sf):
+    # canonicalize-shaped string ops (split/slice/concat/regexp_extract)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", F.slice(F.split(F.col("text"), " "), 1, 3)).alias("slug"),
+        F.regexp_extract("source", r"(\d+)", 1).alias("src_num"),
+    )
+
+
+def q_ordered_limit(spark, sf):
+    # deterministic global top-k: rank-then-filter (SURVEY §4.2 item 1)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "o_orderkey", F.round("o_totalprice", DEC).alias("total"))
+    )
+
+
+def q_fetch_batch(spark, sf):
+    # mapInPandas batch passthrough + derived column (fetch-batch shape);
+    # proves Arrow batch boundary preserves values exactly
+    import pandas as pd
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+    def add_net(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["net_price"] = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+            yield pdf
+
+    out_schema = "l_orderkey long, l_linenumber int, l_extendedprice double, l_discount double, net_price double"
+    return li.mapInPandas(add_net, schema=out_schema).select(
+        "l_orderkey", "l_linenumber", F.round("net_price", DEC).alias("net_price")
+    )
+
+
+def q_parse_project(spark, sf):
+    # parse-layer shape: extract typed field from a serialized payload
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+    )
+
+
+def q_map_brief(spark, sf):
+    # brief-map build + reference flatten "k -> v" (H2.scala:60 shape)
+    e = _t(spark, sf, "events")
+    m = F.create_map(F.lit("k"), F.regexp_extract("props", r'"k": (\d+)', 1))
+    return e.select(
+        "event_id",
+        F.concat_ws(
+            "; ",
+            F.transform(
+                F.map_entries(m),
+                lambda kv: F.concat(kv["key"], F.lit(" -> "), kv["value"]),
+            ),
+        ).alias("brief_flat"),
+    )
+
+
+def q_fk_stamp_join(spark, sf):
+    # broadcast equi join (FK-stamp shape, SURVEY §2.1 row 13)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", F.round("o_totalprice", DEC).alias("total"))
+    )
+
+
+def q_politeness_budget(spark, sf):
+    # per-key rate limit: rank per user + inter-arrival gap via lag
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps can't cast straight to long in Spark 4; go through
+    # LTZ (session tz is pinned UTC, matching DuckDB's epoch())
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .withColumn("gap_s", ts_s - F.lag(ts_s).over(w))
+        .filter(F.col("rk") <= 5)
+        .select("user_id", "event_id", "rk", "gap_s")
+    )
+
+
+def q_dedup_first_seen(spark, sf):
+    # first-occurrence-wins dedup via window rn=1 (SURVEY §2.1 row 5)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("event_type").alias("first_type"))
+    )
+
+
+def q_unfold_rounds(spark, sf):
+    # the reference's unfold loop shape (SURVEY §2.1 row 3): driver-side
+    # rounds, one bounded batch per round, results unioned. 8 rounds over
+    # l_orderkey ranges; equivalent to a single grouped agg for the oracle.
+    li = _t(spark, sf, "lineitem")
+    hi = li.agg(F.max("l_orderkey")).first()[0] or 0
+    step = (int(hi) // 8) + 1
+    parts = []
+    for rnd in range(8):
+        lo, up = rnd * step, (rnd + 1) * step
+        parts.append(
+            li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < up))
+            .groupBy()
+            .agg(
+                F.lit(rnd).alias("round"),
+                F.coalesce(F.round(F.sum("l_quantity"), DEC), F.lit(0.0)).alias("qty"),
+                F.count("*").alias("n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("round", "qty", "n")
+
+
+def q_duration_parse(spark, sf):
+    # timestamp arithmetic (duration-parse shape, SURVEY §2.1 row 18)
+    e = _t(spark, sf, "events")
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    epoch0 = F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("timestamp_ltz").cast("long")
+    return e.select(
+        "event_id",
+        F.floor((ts_s - epoch0) / 3600).cast("bigint").alias("hours_since"),
+    )
+
+
+def q_metrics_agg(spark, sf):
+    # TPC-H Q1-shaped metrics aggregate (SURVEY §2.1 row 17)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), DEC).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), DEC).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_window_rank(spark, sf):
+    # per-host priority queue shape: top-3 per customer by total price
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", F.round("o_totalprice", DEC).alias("total"))
+    )
+
+
+def q_rollup_metrics(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), DEC).alias("qty"))
+    )
+
+
+def q_export_csv(spark, sf):
+    # csv sink round-trip (SURVEY §2.1 row 20)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="olx_csv_") + "/region"
+    r = _t(spark, sf, "region")
+    r.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.option("header", True).schema(r.schema).csv(out)
+
+
+# ---------------------------- training-data pipeline ops (documents) ------
+
+def q_token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    # exact dedup by content fingerprint: keep lowest doc_id per fp
+    d = _t(spark, sf, "documents").withColumn("fp", doc_fingerprint("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("keep_id"))
+    )
+
+
+def q_simhash16(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", simhash16("text").alias("sh16")
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    # exact n-gram Jaccard near-dup pairs (shingle explode + self-join)
+    from olx_spark.functions.text import word_shingles
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac_raw", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jac_raw") >= 0.2)  # filter BEFORE rounding (oracle parity)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+def q_embed_cosine_topk(spark, sf):
+    # brute-force cosine top-k (similarity-search baseline); double math
+    from olx_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, q, k=5).select(
+        "query_id", "cand_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+# ----------------------- rows-only keys (no SQL equivalent) ---------------
+
+def q_crawl_reference(spark, sf):
+    # flagship crawl: reference-exact engine over the fixture graph
+    # (equality vs the simulator asserted in tests/test_crawl_order.py)
+    from olx_spark.fixtures import make_crawl_graph
+    from olx_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    g = make_crawl_graph()
+    eng = CrawlEngine(spark, g, CrawlConfig(with_payload=False))
+    return eng.run(g.seeds).select(
+        "name", "seq", "round", "pos", "href", "title", "price", "brief_flat"
+    )
+
+
+def q_minhash_lsh(spark, sf):
+    # MinHash+LSH near-dup pairs (probabilistic candidate generation;
+    # exact-Jaccard verified >=0.5; planted-dup recall tested in
+    # tests/test_similarity.py)
+    from olx_spark.operators.similarity import minhash_near_dups
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return minhash_near_dups(d, "doc_id", "text", threshold=0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_near_dups(spark, sf):
+    from olx_spark.operators.similarity import simhash_near_dups
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_dups(d, "doc_id", "text", max_dist=10)
+
+
+def q_ann_lsh(spark, sf):
+    from olx_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, q, k=5, n_planes=4).select(
+        "query_id", "cand_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_image_features(spark, sf):
+    # multimodal plumbing: decode + features over binary image column
+    from olx_spark.fixtures.images import make_image_corpus
+    from olx_spark.operators.multimodal import image_features
+
+    rows = make_image_corpus(64, seed=7)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_features(df).select(
+        "image_id", "w", "h", "fmt",
+        F.round("mean_r", 4).alias("mean_r"), F.round("std_gray", 4).alias("std_gray"),
+        "phash", "decode_ok",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_scan_filter": q_scan_filter,
+        "q_filter_conj": q_filter_conj,
+        "q_explode_links": q_explode_links,
+        "q_string_fns": q_string_fns,
+        "q_ordered_limit": q_ordered_limit,
+        "q_fetch_batch": q_fetch_batch,
+        "q_parse_project": q_parse_project,
+        "q_map_brief": q_map_brief,
+        "q_fk_stamp_join": q_fk_stamp_join,
+        "q_politeness_budget": q_politeness_budget,
+        "q_dedup_first_seen": q_dedup_first_seen,
+        "q_unfold_rounds": q_unfold_rounds,
+        "q_duration_parse": q_duration_parse,
+        "q_metrics_agg": q_metrics_agg,
+        "q_window_rank": q_window_rank,
+        "q_rollup_metrics": q_rollup_metrics,
+        "q_export_csv": q_export_csv,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_simhash16": q_simhash16,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embed_cosine_topk": q_embed_cosine_topk,
+        # rows-only (no SQL equivalent; exact tests live in tests/)
+        "q_crawl_reference": q_crawl_reference,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_near_dups": q_simhash_near_dups,
+        "q_ann_lsh": q_ann_lsh,
+        "q_image_features": q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+def _sql_md5_60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def _sql_norm(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def _sql_token_count(expr: str) -> str:
+    return (
+        f"case when length(trim({expr})) = 0 then 0 "
+        f"else len(string_split_regex(trim({expr}), '\\s+')) end"
+    )
+
+
+def _sql_lang_id() -> str:
+    pad = f"(' ' || {_sql_norm('text')} || ' ')"
+
+    def score(lang):
+        terms = [
+            f"((length({pad}) - length(replace({pad}, '{m}', ''))) / {len(m)})::int"
+            for m in LANG_MARKERS[lang]
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    scores = {lang: score(lang) for lang in LANG_MARKERS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    # build reversed so the first-listed language wins ties
+    expr = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = (
+            f"case when {scores[lang]} = {best} and {best} > 0 "
+            f"then '{lang}' else {expr} end"
+        )
+    return expr
+
+
+def _sql_shingles(k: int = 3) -> str:
+    toks = f"string_split({_sql_norm('text')}, ' ')"
+    return (
+        f"case when len({toks}) < {k} then []::varchar[] else "
+        f"[array_to_string({toks}[i:i+{k - 1}], ' ') for i in range(1, len({toks}) - {k - 2})] end"
+    )
+
+
+def _sql_simhash16() -> str:
+    toks = f"string_split({_sql_norm('text')}, ' ')"
+    hashes = f"[{_sql_md5_60('t')} for t in {toks}]"
+    bits = []
+    for i in range(16):
+        vote = (
+            f"list_sum([case when (h >> {i}) & 1 = 1 then 1 else -1 end "
+            f"for h in {hashes}])"
+        )
+        bits.append(f"(case when {vote} >= 0 then {1 << i} else 0 end)")
+    return "(" + " + ".join(bits) + ")::bigint"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_scan_filter": """
+            select c_custkey, c_name, round(c_acctbal, 4) as acctbal
+            from customer
+            where c_mktsegment = 'BUILDING' and c_acctbal > 1000
+        """,
+        "q_filter_conj": """
+            select event_id, user_id, round(value, 4) as value
+            from events where event_type = 'error' and value > 100
+        """,
+        "q_explode_links": """
+            select vec_id, u.i::int - 1 as pos,
+                   round(embedding[u.i]::double, 6) as val
+            from embeddings cross join lateral
+                 (select unnest(range(1, len(embedding) + 1)) as i) u
+        """,
+        "q_string_fns": """
+            select doc_id,
+                   array_to_string(string_split(text, ' ')[1:3], '-') as slug,
+                   coalesce(regexp_extract(source, '(\\d+)', 1), '') as src_num
+            from documents
+        """,
+        "q_ordered_limit": """
+            select row_number() over (order by o_totalprice desc, o_orderkey) as rk,
+                   o_orderkey, round(o_totalprice, 4) as total
+            from orders
+            order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "q_fetch_batch": """
+            select l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1.0 - l_discount), 4) as net_price
+            from lineitem
+        """,
+        "q_parse_project": """
+            select event_id, regexp_extract(props, '"k": (\\d+)', 1)::int as k
+            from events
+        """,
+        "q_map_brief": """
+            select event_id,
+                   'k -> ' || coalesce(regexp_extract(props, '"k": (\\d+)', 1), '') as brief_flat
+            from events
+        """,
+        "q_fk_stamp_join": """
+            select o_orderkey, c_name, round(o_totalprice, 4) as total
+            from orders join customer on o_custkey = c_custkey
+            where c_mktsegment = 'AUTOMOBILE'
+        """,
+        "q_politeness_budget": """
+            select user_id, event_id, rk, gap_s from (
+                select user_id, event_id,
+                       row_number() over (partition by user_id order by ts, event_id) as rk,
+                       floor(epoch(ts))::bigint - lag(floor(epoch(ts))::bigint) over
+                           (partition by user_id order by ts, event_id) as gap_s
+                from events
+            ) where rk <= 5
+        """,
+        "q_dedup_first_seen": """
+            select user_id, event_id, first_type from (
+                select user_id, event_id, event_type as first_type,
+                       row_number() over (partition by user_id order by ts, event_id) as rn
+                from events
+            ) where rn = 1
+        """,
+        "q_unfold_rounds": """
+            with hi as (select max(l_orderkey) as h from lineitem),
+                 step as (select (h // 8) + 1 as s from hi)
+            select r.i::int as round,
+                   coalesce(round(sum(l.l_quantity), 4), 0.0) as qty,
+                   count(l.l_orderkey) as n
+            from range(0, 8) r(i)
+            left join lineitem l
+              on l.l_orderkey >= r.i * (select s from step)
+             and l.l_orderkey < (r.i + 1) * (select s from step)
+            group by r.i
+        """,
+        "q_duration_parse": """
+            select event_id,
+                   floor((floor(epoch(ts))::bigint - floor(epoch(timestamp '2024-01-01 00:00:00'))::bigint) / 3600)::bigint as hours_since
+            from events
+        """,
+        "q_metrics_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 4) as sum_price,
+                   round(avg(l_discount), 6) as avg_disc,
+                   count(*) as n
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "q_window_rank": """
+            select o_custkey, rk, o_orderkey, total from (
+                select o_custkey, o_orderkey, round(o_totalprice, 4) as total,
+                       row_number() over (partition by o_custkey
+                           order by o_totalprice desc, o_orderkey) as rk
+                from orders
+            ) where rk <= 3
+        """,
+        "q_rollup_metrics": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   round(sum(l_quantity), 4) as qty
+            from lineitem group by rollup(l_returnflag, l_linestatus)
+        """,
+        "q_export_csv": "select * from region",
+        "q_token_count": f"""
+            select doc_id, ({_sql_token_count('text')})::int as n_tokens
+            from documents
+        """,
+        "q_quality_score": f"""
+            select doc_id, round(
+                0.4 * least(1.0, ({_sql_token_count('text')}) / 100.0)
+              + 0.3 * (1.0 - case when length(text) = 0 then 0.0
+                    else (length(text) - length(translate(text, '.,!?;:', ''))) / length(text) end)
+              + 0.3 * least(1.0, case when ({_sql_token_count('text')}) = 0 then 0.0
+                    else length(trim(text)) / ({_sql_token_count('text')}) end / 8.0)
+            , 6) as quality
+            from documents
+        """,
+        "q_lang_id": f"select doc_id, {_sql_lang_id()} as lang_pred from documents",
+        "q_doc_fingerprint": f"""
+            select doc_id, {_sql_md5_60(_sql_norm('text'))} as fp from documents
+        """,
+        "q_dedup_exact": f"""
+            select fp, keep_id from (
+                select {_sql_md5_60(_sql_norm('text'))} as fp, doc_id as keep_id,
+                       row_number() over (partition by {_sql_md5_60(_sql_norm('text'))}
+                                          order by doc_id) as rn
+                from documents
+            ) where rn = 1
+        """,
+        "q_simhash16": f"select doc_id, {_sql_simhash16()} as sh16 from documents",
+        "q_ngram_jaccard": f"""
+            with d as (
+                select doc_id, list_distinct({_sql_shingles(3)}) as sh
+                from documents where doc_id < 300
+            ), dd as (
+                select doc_id, sh from d where len(sh) > 0
+            ), ex as (
+                select doc_id, unnest(sh) as s from dd
+            ), pairs as (
+                select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+                from ex a join ex b using (s)
+                where a.doc_id < b.doc_id
+                group by 1, 2
+            )
+            select doc_a, doc_b,
+                   round(inter / (na.n + nb.n - inter), 6) as jaccard
+            from pairs
+            join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
+            join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
+            where inter / (na.n + nb.n - inter) >= 0.2
+        """,
+        "q_embed_cosine_topk": """
+            with c as (select vec_id, [x::double for x in embedding] as v from embeddings),
+                 q as (select vec_id as query_id, v as qv from c where vec_id < 10),
+                 scored as (
+                    select q.query_id, c.vec_id as cand_id,
+                           list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+                           (sqrt(list_sum([x * x for x in qv])) *
+                            sqrt(list_sum([x * x for x in v]))) as cs
+                    from c cross join q
+                    where c.vec_id != q.query_id
+                 )
+            select query_id, cand_id, rank, round(cs, 6) as cos_sim from (
+                select query_id, cand_id, cs,
+                       row_number() over (partition by query_id
+                           order by cs desc, cand_id) as rank
+                from scored
+            ) where rank <= 5
+        """,
+    }

@@ -1,0 +1,127 @@
+"""Benchmark runner (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` on ``local[$SPARK_GRAFT_CPUS]``, plus the
+synthetic-crawl throughput. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "crawl_urls_per_sec": ..., "cpus": ...}
+
+Timing protocol (BASELINE.md): one warm-up execution, then 3 timed
+repetitions per query, median reported. Results sunk via the noop
+writer so collection cost is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from olx_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_metrics_agg",
+    "q_window_rank",
+    "q_fk_stamp_join",
+    "q_dedup_first_seen",
+    "q_ordered_limit",
+    "q_explode_links",
+    "q_fetch_batch",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_simhash16",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_embed_cosine_topk",
+    "q_ann_lsh",
+    "q_politeness_budget",
+]
+
+REPS = 3
+
+
+def _sink(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    _sink(fn(spark, sf_dir))  # warm-up (plans + code paths + page cache)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _sink(fn(spark, sf_dir))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def crawl_throughput(spark) -> dict:
+    """Scaled-mode crawl over the bench graph; URLs fetched per second
+    (listings + ads) — the frontier-throughput metric of BASELINE.md."""
+    from olx_spark.fixtures import make_crawl_graph
+    from olx_spark.plans.crawl import CrawlConfig
+    from olx_spark.plans.scaled import ScaledCrawlEngine
+
+    graph = make_crawl_graph(
+        n_hosts=8, pages_per_host=4, ads_per_page=(20, 40), hot_host_factor=4
+    )
+    cfg = CrawlConfig(
+        mode="scaled",
+        dedup_scope="global_bloom",
+        checkpoint_dir=tempfile.mkdtemp(prefix="olx_bench_crawl_"),
+        max_rounds=40,
+        with_payload=True,
+        bloom_shards=16,
+        bloom_bits_per_shard=1 << 18,
+        per_host_per_round=10_000,
+        round_budget_ms=10_000_000,  # politeness off the critical path
+    )
+    eng = ScaledCrawlEngine(spark, graph, cfg)
+    seeds = [dict(s, count=10_000) for s in graph.seeds]
+    t0 = time.perf_counter()
+    eng.run(seeds)
+    elapsed = time.perf_counter() - t0
+    n_ads = eng.fetch_log().count()
+    n_listings = sum(1 for _ in graph.listing_pages)
+    urls = n_ads + n_listings
+    return {
+        "crawl_urls": urls,
+        "crawl_sec": round(elapsed, 3),
+        "crawl_urls_per_sec": round(urls / elapsed, 2),
+        "crawl_rounds": len(eng.store.committed_rounds()),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("olx_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = entry_mod.queries()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        per_query[key] = round(time_query(queries[key], spark, sf_dir), 3)
+
+    crawl = crawl_throughput(spark)
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "headline_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": cpus,
+        **crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ Design constraints honored:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from urllib.parse import urlsplit
+from urllib.parse import parse_qs, urlsplit
 
 import numpy as np
 
@@ -38,25 +38,36 @@ BRIEF_KEYS = ["Condition", "Brand", "Year", "Delivery"]
 BRIEF_VALS = ["new", "used", "Bosch", "Giant", "2019", "2021", "yes", "no"]
 
 
+def listing_key(url: str) -> tuple[str, str, str]:
+    """Listing pages are addressed by (host, path, page-param): olx-style
+    pagination uses ``?page=N`` on a shared path, so the page number is
+    part of the server-side routing; other params (currency, grafted
+    junk) are ignored."""
+    u = urlsplit(url)
+    page = parse_qs(u.query).get("page", ["0"])[0]
+    return (u.netloc, u.path, page)
+
+
+def ad_key(url: str) -> tuple[str, str]:
+    """Ad pages are addressed by (host, path); the query string is
+    ignored (a real server ignores unknown params), so the reference's
+    grafted-query ad URLs resolve to the same page."""
+    u = urlsplit(url)
+    return (u.netloc, u.path)
+
+
 @dataclass
 class PageStore:
-    """URL -> page content. Lookup ignores the query string (a real
-    server ignores unknown params), so the reference's grafted-query
-    URLs resolve to the same page."""
+    """URL -> page content; see :func:`listing_key` / :func:`ad_key`."""
 
-    listing: dict[tuple[str, str], dict] = field(default_factory=dict)
+    listing: dict[tuple[str, str, str], dict] = field(default_factory=dict)
     ads: dict[tuple[str, str], dict] = field(default_factory=dict)
 
-    @staticmethod
-    def _key(url: str) -> tuple[str, str]:
-        u = urlsplit(url)
-        return (u.netloc, u.path)
-
     def get_listing(self, url: str) -> dict | None:
-        return self.listing.get(self._key(url))
+        return self.listing.get(listing_key(url))
 
     def get_ad(self, url: str) -> dict | None:
-        return self.ads.get(self._key(url))
+        return self.ads.get(ad_key(url))
 
 
 @dataclass
@@ -163,8 +174,11 @@ def make_crawl_graph(
             # borrow an ad from an earlier page of the same host
             hrefs.append(per_host_paths[hi][int(rng.integers(0, len(per_host_paths[hi])))])
         npages = pages_per_host * (hot_host_factor if hosts[hi]["hot"] else 1)
+        # the forward link must address the REAL next page (its own
+        # topic path), like the reference's pagination-forward anchor
+        next_topic = TOPICS[(p + 1) % len(TOPICS)]
         next_page = (
-            f"https://{host}/list/{topic}/?page={p + 1}&currency=UAH"
+            f"https://{host}/list/{next_topic}/?page={p + 1}&currency=UAH"
             if p + 1 < npages
             else None
         )
@@ -176,7 +190,7 @@ def make_crawl_graph(
             "next_page": next_page,
         }
         listing_pages.append(lrow)
-        store.listing[(host, urlsplit(url).path)] = lrow
+        store.listing[listing_key(url)] = lrow
 
     # robots: disallow ~5% of ad paths per host (path prefixes)
     for hi, hrow in enumerate(hosts):

@@ -1,0 +1,173 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is a *JVM-side Column expression* built from
+``pyspark.sql.functions`` — no Python UDFs — so each function (a) runs
+inside whole-stage codegen at 100 TB scale and (b) has an exactly
+equivalent ANSI-SQL form for the DuckDB oracle in ``__spark_entry__``.
+
+Portable-hash convention used across the repo: the first 15 hex chars
+of md5 parsed as a 60-bit integer —
+Spark  ``cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)``
+DuckDB ``('0x' || substr(md5(x), 1, 15))::bigint``
+(verified identical; xxhash64 is Spark-only so it keys internal state,
+while md5-60 keys anything an external oracle must recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram-ish heuristic language ID;
+# ties broken by list order (deterministic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " los "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " les ", " des "],
+}
+
+
+def md5_60(col: Column | str) -> Column:
+    """Portable 60-bit hash (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def norm_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint of normalized text (md5-60)."""
+    return md5_60(norm_text(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring, via length arithmetic
+    (portable: only length + replace)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Marker-hit count for one language over normalized padded text."""
+    c = F.concat(F.lit(" "), norm_text(col), F.lit(" "))
+    score = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        score = score + occurrences(c, m)
+    return score
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-hit scores, first-listed
+    language wins ties, 'und' when all scores are zero."""
+    scores = [(lang, lang_score(col, lang)) for lang in LANG_MARKERS]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # build reversed so the FIRST language in LANG_MARKERS wins ties
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.translate(c, PUNCT_CHARS, "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)) / F.length(c)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: token volume, punctuation
+    cleanliness, mean token length — the standard cheap pre-filters of
+    a web-scale text pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    avg_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.trim(c)) / n_tok
+    )
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(c))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles of normalized text as array<string>; empty
+    array when there are fewer than k tokens."""
+    toks = F.split(norm_text(col), " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
+    """MinHash signature as array<bigint> of length n_perm: permutation
+    j = md5-60 of 'j:shingle'; empty shingle set -> nulls.
+
+    NB: the per-permutation lambda must stay UNARY — a 2-arg lambda is
+    interpreted by PySpark as (element, index) and the index Column
+    would shadow the captured j.
+    """
+
+    def perm(j: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, perm(j))) for j in range(n_perm)]
+    )
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over whitespace tokens with the md5-60 token hash
+    (oracle-checkable width; the 64-bit variant lives in
+    operators/similarity.py as a vectorized pandas UDF)."""
+    toks = F.split(norm_text(col), " ")
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    def vote_fn(i: int):
+        # must stay binary (acc, element) — see minhash_signature note
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_terms = []
+    for i in range(16):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), vote_fn(i))
+        bit_terms.append(
+            F.when(vote >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
-from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,6 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from olx_spark.fixtures.crawl_graph import ad_key, listing_key
 from olx_spark.fixtures.images import image_index_from_id, make_image_row
 
 LISTING_SCHEMA = StructType(
@@ -76,11 +76,6 @@ AD_SCHEMA = StructType(
         StructField("elapsed_ms", DoubleType()),
     ]
 )
-
-
-def _store_key(url: str) -> tuple[str, str]:
-    u = urlsplit(url)
-    return (u.netloc, u.path)
 
 
 def scala_split_colon(s: str) -> list[str]:
@@ -125,7 +120,7 @@ def fetch_listings(df: DataFrame, listing_store_bc) -> DataFrame:
             t0 = time.perf_counter()
             ads, nxt, status = [], [], []
             for url in pdf["base_url"]:
-                page = store.get(_store_key(url))
+                page = store.get(listing_key(url))
                 if page is None:
                     ads.append([])
                     nxt.append(None)
@@ -171,7 +166,7 @@ def fetch_parse_ads(
                 pdf["name"], pdf["round"], pdf["pos"], pdf["seq"], pdf["url"]
             ):
                 t0 = time.perf_counter()
-                ad = store.get(_store_key(url))
+                ad = store.get(ad_key(url))
                 if ad is None:
                     rows.append(
                         dict.fromkeys(AD_SCHEMA.fieldNames())

@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media are opaque ``binary`` columns plus typed metadata — the
+input_hint's (image_id, bytes, w, h, fmt, caption, phash) schema. All
+Spark-side plumbing here is real and tested: Arrow-batched
+``mapInPandas`` iterators, explicit output schemas, partition-sized
+batches. The pixel codecs cover ``raw`` + ``png`` (pure numpy/zlib,
+``fixtures/images.py``); ``jpeg`` decode and audio/video sampling are
+STUBBED behind ``NotImplementedError`` because the sandbox ships no
+Pillow/ffmpeg — the surrounding plumbing (schemas, batch shapes, UDF
+signatures) is exercised with the supported formats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from olx_spark.fixtures.images import decode_image, encode_image, phash64
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("std_gray", DoubleType()),
+        StructField("phash", LongType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def _decode(data: bytes, fmt: str) -> np.ndarray | None:
+    if fmt in ("raw", "png"):
+        return decode_image(bytes(data), fmt)
+    if fmt == "jpeg":
+        # STUB: no JPEG codec in this environment (no Pillow); the
+        # plumbing is identical — plug a decoder here on a real cluster.
+        raise NotImplementedError("jpeg decode requires a codec (Pillow)")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode + per-image features (channel means, gray stddev, phash)
+    over Arrow batches. Input: (image_id, bytes, fmt, ...)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    arr = _decode(data, fmt)
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "image_id": image_id,
+                            "w": None,
+                            "h": None,
+                            "fmt": fmt,
+                            "mean_r": None,
+                            "mean_g": None,
+                            "mean_b": None,
+                            "std_gray": None,
+                            "phash": None,
+                            "decode_ok": 0,
+                        }
+                    )
+                    continue
+                gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "w": arr.shape[1],
+                        "h": arr.shape[0],
+                        "fmt": fmt,
+                        "mean_r": float(arr[..., 0].mean()),
+                        "mean_g": float(arr[..., 1].mean()),
+                        "mean_b": float(arr[..., 2].mean()),
+                        "std_gray": float(gray.std()),
+                        "phash": phash64(arr),
+                        "decode_ok": 1,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
+
+    return df.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32, out_fmt: str = "png") -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h), re-encoded. The 100-TB
+    consideration: output batches are re-encoded per batch, payload
+    never collects to the driver."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = _decode(data, fmt)
+                h, w, _ = arr.shape
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                small = arr[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "bytes": encode_image(small, out_fmt),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": out_fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=RESIZE_SCHEMA.fieldNames())
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def audio_sample_frames(df: DataFrame, *args, **kwargs):
+    """STUB: audio frame sampling needs an audio codec (ffmpeg) absent
+    from this environment. The image operators above define the
+    plumbing pattern (binary column + mapInPandas + typed schema)."""
+    raise NotImplementedError("audio decoding requires ffmpeg/soundfile")
+
+
+def video_sample_frames(df: DataFrame, *args, **kwargs):
+    """STUB: see audio_sample_frames."""
+    raise NotImplementedError("video decoding requires ffmpeg")

@@ -1,0 +1,74 @@
+"""Politeness gate: robots rules + per-host crawl-delay budgets
+(SURVEY.md §2.1 row 10, §2.3 item 5).
+
+The reference's politeness is implicit: exactly one in-flight request
+per job, no robots.txt, no delay (``DownloadAds.scala:28``). The engine
+makes the budget explicit and distributed:
+
+- robots rules live in a small ``hosts`` dimension (host,
+  crawl_delay_ms, disallow prefixes) that is BROADCAST-joined to the
+  frontier — never shuffled;
+- disallow matching is a JVM-side expression (``exists(prefixes,
+  p -> startswith(path, p))``) — no Python in the hot path;
+- the per-round per-host budget is ``floor(round_budget_ms /
+  crawl_delay_ms)`` requests; enforcement is a window
+  ``row_number() over (partition by host order by priority desc, ...)``
+  -> rank-then-filter. One shuffle on host; hot hosts are handled by
+  AQE skew splitting plus explicit salting of the *fetch* fan-out
+  (politeness accounting always uses the unsalted host).
+- ``schedule_with_delay`` additionally assigns each scheduled URL a
+  deterministic ``not_before_ms`` offset inside the round (seq within
+  host x crawl_delay), which a real fetcher sleeps to; the sandbox
+  fetcher records it into fetch_log instead of sleeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Drop frontier URLs whose path matches a disallow prefix of its
+    host. ``hosts``: (host, crawl_delay_ms, robots_disallow array).
+    Broadcast join + JVM ``exists`` — zero Python."""
+    joined = frontier.join(F.broadcast(hosts), on="host", how="left")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    disallowed = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~disallowed)
+
+
+def per_host_budget(
+    frontier: DataFrame,
+    round_budget_ms: int = 60_000,
+    default_per_round: int = 100,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Rank frontier rows per host and keep the round's budget:
+    budget = round_budget_ms / crawl_delay_ms (or default when delay=0).
+    Adds ``host_rank`` (0-based) and ``not_before_ms``."""
+    order_cols = order_cols or [
+        F.col("priority").desc(),
+        F.col("discovery_round"),
+        F.col("discovery_pos"),
+    ]
+    w = Window.partitionBy("host").orderBy(*order_cols)
+    budget = F.when(
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,
+        # a host is always allowed >=1 fetch per round, else it starves
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(round_budget_ms) / F.col("crawl_delay_ms")),
+        ),
+    ).otherwise(F.lit(default_per_round))
+    return (
+        frontier.withColumn("host_rank", F.row_number().over(w) - 1)
+        .filter(F.col("host_rank") < budget)
+        .withColumn(
+            "not_before_ms",
+            F.col("host_rank") * F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+        )
+    )

@@ -1,0 +1,311 @@
+"""Similarity + near-duplicate operators for training-data pipelines:
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine ANN.
+
+Everything stays JVM-side (higher-order array functions inside
+whole-stage codegen) except the 64-bit SimHash packer, which is a
+vectorized pandas UDF (bit-packing 64 lanes is awkward as a SQL
+expression; the 16-bit oracle-checkable variant lives in
+``functions/text.py``).
+
+Scale notes:
+- MinHash LSH: the candidate-pair join is ``groupBy(band_id,
+  band_hash)`` — one shuffle keyed by band hash; bucket sizes are the
+  skew risk, so buckets larger than ``max_bucket`` are dropped with a
+  log count (a mega-bucket means a degenerate shingle, e.g. boilerplate).
+- brute-force cosine top-k broadcasts the QUERY side (small) and keeps
+  the corpus distributed — one pass, no shuffle except the final
+  per-query top-k window on a corpus already reduced to candidates.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus;
+  queries probe only their bucket (+ optional multi-probe neighbors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from olx_spark.functions.text import minhash_signature, norm_text, word_shingles
+
+
+# --------------------------------------------------------------- MinHash LSH
+def minhash_docs(
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, k_shingle: int = 3
+) -> DataFrame:
+    """(id, shingles, sig) per doc; docs with < k_shingle tokens have an
+    empty shingle set and null signatures (excluded from LSH)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k_shingle).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_perm))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_perm: int = 16, bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Banding: split the signature into ``bands`` rows each hashing
+    ``n_perm/bands`` minhashes; docs sharing any band bucket become a
+    candidate pair (doc_a < doc_b)."""
+    rows_per_band = n_perm // bands
+    banded = sigs.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    # drop degenerate mega-buckets (boilerplate shingles) — logged upstream
+    bucket = banded.groupBy("band_id", "band_hash").agg(
+        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
+    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = bucket.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
+    return pairs
+
+
+def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Verify candidates with exact shingle-set Jaccard (array ops)."""
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        (inter / union).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> band -> bucket
+    join -> exact-Jaccard verify >= threshold."""
+    sigs = minhash_docs(df, id_col, text_col, n_perm)
+    pairs = lsh_candidate_pairs(sigs, n_perm, bands)
+    return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- SimHash
+@pandas_udf(LongType())
+def _simhash64_packed(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash from pre-hashed token arrays (arrow batch in,
+    numpy bit-voting, int64 out)."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, hs in enumerate(tokens):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        for b in np.nonzero(votes >= 0)[0]:
+            val |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(val)
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — token hashes computed JVM-side (xxhash64), only
+    the 64-lane bit vote runs in the vectorized UDF."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _simhash64_packed(hashes).alias("simhash"),
+    )
+
+
+def hamming64(a, b):
+    """Hamming distance between two int64 simhashes, JVM-side."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_dist, blocked
+    on 16-bit bands (a pair within distance d <= 3 shares at least one
+    of 4 bands exactly — pigeonhole)."""
+    s = simhash64(df, id_col, text_col)
+    banded = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    other = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_id",
+        "band_val",
+    )
+    pairs = (
+        banded.join(other, ["band_id", "band_val"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            hamming64(F.col("simhash"), F.col("sim_b")).alias("dist"),
+        )
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )
+    return pairs
+
+
+# --------------------------------------------------------- embedding cosine
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns, JVM-side
+    (F.aggregate/zip_with — no Python)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector. The query
+    side is broadcast (small); corpus scan is one distributed pass."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from random hyperplanes, JVM-side."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1 << i).otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: corpus bucketed once by hyperplane
+    signs; each query probes its own bucket plus (multiprobe) every
+    bucket one sign-flip away — n_planes+1 probes, the standard recall
+    fix for sign-LSH. Corpus stays distributed; only the small query
+    side explodes. Recall measured vs brute_force_topk in tests; the
+    100-TB path shards buckets."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket0", lsh_bucket(F.col("qvec"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("bucket0"))
+    q = q.select(
+        "query_id", "qvec", F.explode(probes).alias("bucket")
+    )
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

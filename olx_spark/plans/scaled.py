@@ -1,0 +1,322 @@
+"""Web-scale crawl mode — the 10^10-frontier design (north_rule).
+
+Differences from the reference-exact loop in ``crawl.py``:
+
+- the frontier is a real BFS: ``next_page`` links ARE followed
+  (the reference parses but never follows them,
+  ``DownloadLinks.scala:21``), and dedup is GLOBAL — exact left-anti
+  join against the seen table, or partitioned Bloom shards
+  (``operators/dedup.py``) when materializing the exact set per round
+  is too expensive;
+- politeness is explicit: robots prefixes broadcast-joined + per-host
+  crawl-delay budgets enforced by window ranking
+  (``operators/politeness.py``);
+- all state tables are APPEND-ONLY deltas (frontier discoveries, seen
+  fingerprints, results, fetch_log, seen_shards): a round commits only
+  its additions, so commit cost is O(round), not O(frontier). The
+  pending set is derived: ``frontier MINUS seen`` — an anti join on
+  ``url_fp`` that bucketing co-locates on a real cluster (zero
+  shuffle with both sides bucketed by url_fp; here AQE handles it).
+- hot-host skew: the *fetch* fan-out is repartitioned by salted host
+  (``host#salt``) so one 10x host spreads over many tasks, while
+  politeness accounting stays on the unsalted host (SURVEY.md §4.2).
+
+Determinism under parallelism: every cut (politeness budget, per-seed
+count budget, seq assignment) is rank-then-filter over an explicit
+total order — never partition iteration order — so results are
+identical at local[8] and local[32] (asserted by the scaling test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olx_spark.functions.urls import canonicalize_modern
+from olx_spark.operators.dedup import BloomSeenFilter, anti_join_unseen, first_seen_dedup
+from olx_spark.operators.fetch import fetch_listings, fetch_parse_ads, with_lineage
+from olx_spark.operators.politeness import per_host_budget, robots_filter
+from olx_spark.plans.crawl import CrawlConfig
+from olx_spark.plans.snapshot import SnapshotStore
+
+FRONTIER_SCHEMA = (
+    "name string, url string, url_fp long, host string, kind string, depth int, "
+    "priority int, discovery_round int, parent_fp long, discovery_pos int"
+)
+
+
+class ScaledCrawlEngine:
+    """Frontier-BFS crawl with global dedup + politeness."""
+
+    def __init__(self, spark: SparkSession, graph, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.graph = graph
+        self.config = config or CrawlConfig(mode="scaled")
+        sc = spark.sparkContext
+        self._listing_bc = sc.broadcast(dict(graph.store.listing))
+        self._ads_bc = sc.broadcast(dict(graph.store.ads))
+        if self.config.checkpoint_dir is None:
+            import tempfile
+
+            self.config.checkpoint_dir = tempfile.mkdtemp(prefix="olx_scaled_run_")
+        self.store = SnapshotStore(self.config.checkpoint_dir, spark)
+        self.hosts_df = spark.createDataFrame(
+            [
+                (h["host"], h["crawl_delay_ms"], h["robots_disallow"])
+                for h in graph.hosts
+            ],
+            "host string, crawl_delay_ms int, robots_disallow array<string>",
+        )
+        self.bloom: BloomSeenFilter | None = None
+
+    # ---------------------------------------------------------------- run
+    def run(self, seeds: list[dict]) -> DataFrame | None:
+        state, start_round = self._init_or_resume(seeds)
+        rnd = start_round
+        while rnd < self.config.max_rounds:
+            done = all(s["scheduled"] >= s["count"] for s in state.values())
+            if done:
+                break
+            progressed = self._run_round(rnd, state)
+            rnd += 1
+            if not progressed:
+                break  # frontier drained
+        return self.results()
+
+    def results(self) -> DataFrame | None:
+        df = self.store.read_table("results")
+        return None if df is None else df.orderBy("name", "seq")
+
+    def fetch_log(self) -> DataFrame | None:
+        return self.store.read_table("fetch_log")
+
+    def seen_fps(self) -> DataFrame | None:
+        return self.store.read_table("seen")
+
+    # ---------------------------------------------------------- internals
+    def _init_or_resume(self, seeds: list[dict]):
+        committed = self.store.committed_rounds()
+        if committed:
+            saved = self.store.last_state()
+            if self.config.dedup_scope == "global_bloom":
+                shards = self.store.read_table("seen_shards")
+                if shards is not None:
+                    self.bloom = BloomSeenFilter.from_df(
+                        self.spark,
+                        shards,
+                        m_bits_per_shard=self.config.bloom_bits_per_shard,
+                        n_shards=self.config.bloom_shards,
+                        k=saved.get("bloom_k", 7),
+                    )
+            return saved["seeds"], saved["next_round"]
+
+        if self.config.dedup_scope == "global_bloom":
+            self.bloom = BloomSeenFilter(
+                self.spark,
+                n_shards=self.config.bloom_shards,
+                m_bits_per_shard=self.config.bloom_bits_per_shard,
+            )
+        state = {
+            s["name"]: {"count": int(s["count"]), "scheduled": 0, "priority": int(s.get("priority", 0))}
+            for s in seeds
+        }
+        # round -1 commit: the seed frontier (so resume replays exactly)
+        seed_frontier = self.spark.createDataFrame(
+            [
+                (
+                    s["name"],
+                    s["url"],
+                    None,
+                    None,
+                    "listing",
+                    0,
+                    int(s.get("priority", 0)),
+                    0,
+                    0,
+                    i,
+                )
+                for i, s in enumerate(seeds)
+            ],
+            FRONTIER_SCHEMA,
+        )
+        seed_frontier = seed_frontier.withColumn(
+            "url_fp", F.xxhash64("url")
+        ).withColumn("host", F.parse_url("url", F.lit("HOST")))
+        self.store.commit_round(
+            0,
+            {"frontier": seed_frontier.select(*_frontier_cols())},
+            {"seeds": state, "next_round": 1, "bloom_k": self.bloom.k if self.bloom else None},
+        )
+        return state, 1
+
+    def _pending(self) -> DataFrame | None:
+        frontier = self.store.read_table("frontier")
+        if frontier is None:
+            return None
+        # duplicates may exist across round deltas: keep first discovery
+        pending = first_seen_dedup(
+            frontier, ["url_fp"], ["discovery_round", "parent_fp", "discovery_pos"]
+        )
+        seen = self.store.read_table("seen")
+        if self.config.dedup_scope == "global_bloom" and self.bloom and self.bloom.shards:
+            pending = self.bloom.probe(pending).filter(~F.col("maybe_seen")).drop(
+                "maybe_seen"
+            )
+        elif seen is not None:
+            pending = anti_join_unseen(pending, seen)
+        return pending
+
+    def _run_round(self, rnd: int, state: dict) -> bool:
+        cfg = self.config
+        pending = self._pending()
+        if pending is None:
+            return False
+
+        # politeness: robots + per-host crawl-delay budget; robots-hit
+        # rows go straight to seen (state EXCLUDED) so they never linger
+        polite = robots_filter(pending, self.hosts_df)
+        excluded = pending.select("url_fp").exceptAll(polite.select("url_fp"))
+        gated = per_host_budget(
+            polite,
+            round_budget_ms=cfg.round_budget_ms,
+            default_per_round=cfg.per_host_per_round,
+        )
+
+        # per-seed remaining ad budget (listing fetches are not counted —
+        # the reference counts only ad downloads)
+        limits = [
+            (n, s["count"] - s["scheduled"], s["scheduled"])
+            for n, s in state.items()
+        ]
+        limits_df = self.spark.createDataFrame(
+            limits, "name string, remaining long, base_seq long"
+        )
+        w_seed = Window.partitionBy("name").orderBy(
+            F.col("priority").desc(), "discovery_round", "parent_fp", "discovery_pos"
+        )
+        ads_sched = (
+            gated.filter(F.col("kind") == "ad")
+            .join(F.broadcast(limits_df), "name")
+            .withColumn("seed_rank", F.row_number().over(w_seed) - 1)
+            .filter(F.col("seed_rank") < F.col("remaining"))
+            .withColumn("seq", F.col("base_seq") + F.col("seed_rank"))
+        )
+        listings_sched = gated.filter(F.col("kind") == "listing")
+
+        # ---- fetch listing pages; discover ad links + next_page links
+        listing_in = listings_sched.select(
+            "name", F.col("url").alias("base_url"), F.lit(rnd).alias("round"),
+            "url_fp", "depth", "priority",
+        )
+        # salt the fetch fan-out so a hot host spreads across tasks
+        listing_in = listing_in.repartition(
+            F.pmod(F.xxhash64("base_url"), F.lit(cfg.host_salt_buckets * 8))
+        )
+        fetched = fetch_listings(
+            listing_in.select("name", "base_url", "round"), self._listing_bc
+        ).join(
+            listing_in.select(
+                F.col("base_url"), "url_fp", "depth", "priority"
+            ),
+            "base_url",
+        )
+        ad_disc = (
+            fetched.select(
+                "name", "base_url", "depth", "priority",
+                F.col("url_fp").alias("parent_fp"),
+                F.posexplode("ads").alias("discovery_pos", "href"),
+            )
+            .withColumn("url", canonicalize_modern(F.col("href"), F.col("base_url")))
+            .withColumn("kind", F.lit("ad"))
+        )
+        next_disc = (
+            fetched.filter(F.col("next_page").isNotNull())
+            .select(
+                "name", "base_url", "depth", "priority",
+                F.col("url_fp").alias("parent_fp"),
+                F.col("next_page").alias("href"),
+            )
+            .withColumn("discovery_pos", F.lit(-1))  # pagination first
+            .withColumn("url", canonicalize_modern(F.col("href"), F.col("base_url")))
+            .withColumn("kind", F.lit("listing"))
+        )
+        discovered = (
+            ad_disc.unionByName(next_disc)
+            .withColumn("url_fp", F.xxhash64("url"))
+            .withColumn("host", F.parse_url("url", F.lit("HOST")))
+            .withColumn("depth", F.col("depth") + 1)
+            .withColumn("discovery_round", F.lit(rnd))
+            .select(*_frontier_cols())
+        )
+        discovered = first_seen_dedup(
+            discovered, ["url_fp"], ["parent_fp", "discovery_pos"]
+        )
+
+        # ---- fetch + parse scheduled ad pages
+        ad_in = ads_sched.select(
+            "name", F.lit(rnd).alias("round"),
+            F.col("seed_rank").cast("int").alias("pos"), "seq", "url",
+        ).repartition(F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_buckets * 8)))
+        parsed = with_lineage(
+            fetch_parse_ads(
+                ad_in,
+                self._ads_bc,
+                image_seed=self.graph.image_seed,
+                n_hosts=self.graph.n_hosts,
+                with_payload=cfg.with_payload,
+            )
+        )
+        results = parsed.drop("status", "elapsed_ms", "partition_id")
+        log = parsed.select(
+            "name", "round", "seq", F.col("href").alias("url"),
+            "status", "elapsed_ms", "partition_id",
+        )
+
+        # ---- seen delta = everything scheduled this round + robots-
+        # excluded rows (they must not stay pending forever)
+        seen_delta = (
+            listings_sched.select("url_fp")
+            .unionByName(ads_sched.select("url_fp"))
+            .unionByName(excluded)
+            .distinct()
+        )
+
+        # driver-side budget/progress accounting (tiny aggs)
+        n_ads = {
+            r["name"]: r["n"]
+            for r in ads_sched.groupBy("name").agg(F.count("*").alias("n")).collect()
+        }
+        n_listings = listings_sched.count()
+        for n, s in state.items():
+            s["scheduled"] += int(n_ads.get(n, 0))
+        progressed = bool(n_ads) or n_listings > 0
+
+        tables = {
+            "results": results if n_ads else None,
+            "fetch_log": log if n_ads else None,
+            "frontier": discovered if n_listings else None,
+            "seen": seen_delta if progressed else None,
+        }
+        if cfg.dedup_scope == "global_bloom" and self.bloom is not None and progressed:
+            self.bloom.add_round(seen_delta)
+            tables["seen_shards"] = self.spark.createDataFrame(
+                self.bloom.to_rows(),
+                "shard_id int, bits binary, n_items long",
+            )
+        self.store.commit_round(
+            rnd,
+            tables,
+            {
+                "seeds": state,
+                "next_round": rnd + 1,
+                "bloom_k": self.bloom.k if self.bloom else None,
+            },
+        )
+        return progressed
+
+
+def _frontier_cols():
+    return [
+        "name", "url", "url_fp", "host", "kind", "depth",
+        "priority", "discovery_round", "parent_fp", "discovery_pos",
+    ]

@@ -1,0 +1,87 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol): run the SAME
+crawl job via ``spark-submit --py-files`` at local[8] and local[32]
+(standing in for N and 4N executor clusters — no real cluster in this
+sandbox), assert result determinism across levels, and report
+throughput + efficiency = (thr_32 / thr_8) / 4.
+
+Usage: python scripts/scaling_run.py [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip() -> str:
+    out = os.path.join(REPO, "dist")
+    os.makedirs(out, exist_ok=True)
+    zpath = os.path.join(out, "olx_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(REPO, "olx_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return zpath
+
+
+def run_level(cores: int, zpath: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--py-files", zpath,
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "scripts", "crawl_job.py"),
+        "--cores", str(cores),
+    ]
+    env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{cores}]")
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    zpath = make_pyfiles_zip()
+    r_lo = run_level(lo, zpath)
+    r_hi = run_level(hi, zpath)
+    assert r_lo["urls"] == r_hi["urls"], "result sets differ across parallelism!"
+    assert r_lo["seen_count"] == r_hi["seen_count"], "seen sets differ!"
+    eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo)
+    summary = {
+        "level_lo": r_lo,
+        "level_hi": r_hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    with open(args.out, "a") as f:
+        f.write(
+            f"\n## Scaling run (spark-submit --py-files, local[{lo}] vs local[{hi}])\n\n"
+            f"| level | urls | sec | urls/sec | rounds |\n|---|---|---|---|---|\n"
+            f"| local[{lo}] | {r_lo['urls']} | {r_lo['sec']} | {r_lo['urls_per_sec']} | {r_lo['rounds']} |\n"
+            f"| local[{hi}] | {r_hi['urls']} | {r_hi['sec']} | {r_hi['urls_per_sec']} | {r_hi['rounds']} |\n\n"
+            f"Scaling efficiency = (thr_{hi}/thr_{lo})/{hi // lo} = **{eff:.3f}** "
+            f"(target >= 0.8). Identical URL/seen sets at both levels: yes.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

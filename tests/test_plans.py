@@ -1,0 +1,113 @@
+"""Physical-plan quality gates (SURVEY.md §4): predicate pushdown,
+column pruning, broadcast joins, whole-stage codegen, and no
+row-at-a-time Python in any hot path.
+
+These tests pin the *plan shape*, not timings — a regression that
+un-pushes a filter or silently inserts BatchEvalPython fails here long
+before it shows up in bench numbers.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entry_mod.q_scan_filter(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_column_pruning(spark):
+    df = entry_mod.q_scan_filter(spark, SF_DIR)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    # untouched wide columns must NOT be read
+    assert "c_nationkey" not in read_schema
+
+
+def test_fk_join_is_broadcast(spark):
+    df = entry_mod.q_fk_stamp_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_uses_whole_stage_codegen_and_partial_agg(spark):
+    df = entry_mod.q_metrics_agg(spark, SF_DIR)
+    df.collect()  # finalize the AQE plan before inspecting it
+    plan = plan_of(df)
+    # whole-stage codegen spans render as "*(n)" in executedPlan strings
+    assert "*(1)" in plan and "*(2)" in plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_jvm_queries(spark):
+    """Every query that can be pure JVM must be pure JVM: no
+    BatchEvalPython (row-at-a-time) and no Arrow eval either."""
+    jvm_only = [
+        "q_scan_filter", "q_filter_conj", "q_explode_links", "q_string_fns",
+        "q_ordered_limit", "q_parse_project", "q_map_brief", "q_fk_stamp_join",
+        "q_politeness_budget", "q_dedup_first_seen", "q_duration_parse",
+        "q_metrics_agg", "q_window_rank", "q_rollup_metrics",
+        "q_token_count", "q_quality_score", "q_lang_id", "q_doc_fingerprint",
+        "q_dedup_exact", "q_simhash16", "q_ngram_jaccard", "q_embed_cosine_topk",
+    ]
+    queries = entry_mod.queries()
+    for key in jvm_only:
+        plan = plan_of(queries[key](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{key}: row-at-a-time Python!"
+        assert "ArrowEvalPython" not in plan, f"{key}: unexpected Python UDF"
+        assert "MapInPandas" not in plan, f"{key}: unexpected mapInPandas"
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Pandas-UDF paths (canonicalize, fetch) must be Arrow-vectorized,
+    never BatchEvalPython (input_hint: no per-row Python)."""
+    from olx_spark.functions.urls import canonicalize_reference
+
+    df = spark.createDataFrame(
+        [("/a/", "https://h.example/l/?q=1")], "href string, base string"
+    ).select(canonicalize_reference(F.col("href"), F.col("base")))
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_filter_pushdown_on_type(spark):
+    df = entry_mod.q_filter_conj(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "event_type" in pushed and "value" in pushed
+
+
+def test_ordered_limit_has_single_shuffle(spark):
+    """rank-then-filter global top-k: exactly one exchange (the global
+    sort for the window), no extra repartitions."""
+    df = entry_mod.q_ordered_limit(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Exchange") <= 2  # window singlepartition + AQE read
+
+
+def test_anti_join_strategy(spark):
+    from olx_spark.operators.dedup import anti_join_unseen
+
+    frontier = spark.range(0, 100000).select(F.xxhash64("id").alias("url_fp"))
+    seen = spark.range(0, 1000).select(F.xxhash64("id").alias("url_fp"))
+    out = anti_join_unseen(frontier, seen)
+    plan = plan_of(out)
+    # small seen side must broadcast (no full shuffle of the frontier)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

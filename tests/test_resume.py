@@ -1,0 +1,94 @@
+"""Checkpoint/resume exactness (north_rule: a killed run resumes from
+the last committed snapshot and completes EXACTLY as an uninterrupted
+run — the reference loses all progress on cancel,
+``OlxServer.scala:92-100``, SURVEY.md §2.1 row 16)."""
+
+import pytest
+
+from olx_spark.fixtures import make_crawl_graph
+from olx_spark.plans.crawl import CrawlConfig, CrawlEngine
+from olx_spark.plans.scaled import ScaledCrawlEngine
+
+
+@pytest.fixture(scope="module")
+def graph():
+    # small hot factor: resume tests run 4 full crawls (test wall-time)
+    return make_crawl_graph(hot_host_factor=2)
+
+
+def _collect_sorted(df, cols):
+    return [tuple(r[c] for c in cols) for r in df.orderBy("name", "seq").collect()]
+
+
+CMP_COLS = ["name", "seq", "round", "href", "title", "price", "brief_flat"]
+
+
+def test_reference_mode_resume_exact(spark, graph, tmp_path_factory):
+    seeds = [dict(s, count=40) for s in graph.seeds]
+
+    full_dir = str(tmp_path_factory.mktemp("ref_full"))
+    full = CrawlEngine(
+        spark, graph, CrawlConfig(checkpoint_dir=full_dir, with_payload=False)
+    )
+    want = _collect_sorted(full.run(seeds), CMP_COLS)
+
+    part_dir = str(tmp_path_factory.mktemp("ref_part"))
+    part = CrawlEngine(
+        spark,
+        graph,
+        CrawlConfig(checkpoint_dir=part_dir, max_rounds=2, with_payload=False),
+    )
+    part.run(seeds)  # "killed" after 2 committed rounds
+    assert part.store.committed_rounds() == [0, 1]
+
+    resumed = CrawlEngine(
+        spark, graph, CrawlConfig(checkpoint_dir=part_dir, with_payload=False)
+    )
+    got = _collect_sorted(resumed.run(seeds), CMP_COLS)
+    assert got == want
+
+
+def test_scaled_mode_resume_exact(spark, graph, tmp_path_factory):
+    seeds = [dict(s, count=50) for s in graph.seeds]
+
+    def cfg(d, **kw):
+        return CrawlConfig(
+            mode="scaled", dedup_scope="global_bloom", checkpoint_dir=d,
+            bloom_shards=8, bloom_bits_per_shard=1 << 17,
+            with_payload=False, **kw,
+        )
+
+    full_dir = str(tmp_path_factory.mktemp("sc_full"))
+    want = _collect_sorted(
+        ScaledCrawlEngine(spark, graph, cfg(full_dir)).run(seeds), CMP_COLS
+    )
+
+    part_dir = str(tmp_path_factory.mktemp("sc_part"))
+    ScaledCrawlEngine(spark, graph, cfg(part_dir, max_rounds=3)).run(seeds)
+
+    resumed = ScaledCrawlEngine(spark, graph, cfg(part_dir))
+    got = _collect_sorted(resumed.run(seeds), CMP_COLS)
+    assert got == want
+
+
+def test_commit_is_atomic_against_partial_round(spark, graph, tmp_path_factory):
+    """A crashed round (delta dir written, manifest not swapped) is
+    invisible on resume and gets cleanly overwritten."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("atomic"))
+    seeds = [dict(graph.seeds[1], count=30)]
+    eng = CrawlEngine(
+        spark, graph, CrawlConfig(checkpoint_dir=d, max_rounds=1, with_payload=False)
+    )
+    eng.run(seeds)
+    # simulate a crash mid-round-1: orphan delta dir, no manifest entry
+    orphan = os.path.join(d, "r00001", "results")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    resumed = CrawlEngine(spark, graph, CrawlConfig(checkpoint_dir=d))
+    out = resumed.run(seeds)
+    assert out.count() == 30
+    # the orphan was replaced by a real commit
+    assert 1 in resumed.store.committed_rounds()

@@ -1,0 +1,132 @@
+"""Scaled-mode engine invariants: global dedup (exact + Bloom), robots,
+politeness budgets, per-seed count budgets, BFS discovery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olx_spark.fixtures import make_crawl_graph
+from olx_spark.plans.crawl import CrawlConfig
+from olx_spark.plans.scaled import ScaledCrawlEngine
+
+
+@pytest.fixture(scope="module")
+def graph():
+    # hot_host_factor=3 keeps the BFS ~9 rounds (test wall-time budget)
+    return make_crawl_graph(n_hosts=4, pages_per_host=3, hot_host_factor=3)
+
+
+def _run(spark, graph, tmp_path_factory, scope, tag, **kw):
+    cfg = CrawlConfig(
+        mode="scaled",
+        dedup_scope=scope,
+        checkpoint_dir=str(tmp_path_factory.mktemp(f"scaled_{tag}")),
+        max_rounds=30,
+        bloom_shards=8,
+        bloom_bits_per_shard=1 << 17,
+        with_payload=False,
+        **kw,
+    )
+    eng = ScaledCrawlEngine(spark, graph, cfg)
+    seeds = [dict(s, count=60) for s in graph.seeds]
+    eng.run(seeds)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def exact_run(spark, graph, tmp_path_factory):
+    return _run(spark, graph, tmp_path_factory, "global_exact", "exact")
+
+
+@pytest.fixture(scope="module")
+def bloom_run(spark, graph, tmp_path_factory):
+    return _run(spark, graph, tmp_path_factory, "global_bloom", "bloom")
+
+
+def test_no_url_fetched_twice(exact_run):
+    log = exact_run.fetch_log().collect()
+    urls = [r["url"] for r in log]
+    assert len(urls) == len(set(urls)), "global dedup violated"
+
+
+def test_robots_respected(exact_run, graph):
+    from urllib.parse import urlsplit
+
+    disallow = {h["host"]: h["robots_disallow"] for h in graph.hosts}
+    for r in exact_run.fetch_log().collect():
+        u = urlsplit(r["url"])
+        for pref in disallow.get(u.netloc, []):
+            assert not u.path.startswith(pref), f"robots violation: {r['url']}"
+
+
+def test_seed_count_budget(exact_run, graph):
+    counts = (
+        exact_run.results()
+        .groupBy("name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in counts:
+        assert r["n"] <= 60
+
+
+def test_bfs_follows_pagination(exact_run, graph):
+    """Unlike the reference (never follows next_page), scaled mode must
+    reach ads on page>=1 of some host."""
+    from urllib.parse import urlsplit
+
+    by_path = {(urlsplit(a["url"]).netloc, a["path"]): a for a in graph.ad_pages}
+    page0_paths = set()
+    for lp in graph.listing_pages:
+        if lp["page_idx"] == 0:
+            for h in lp["ad_hrefs"]:
+                page0_paths.add((lp["host"], h))
+    fetched = {
+        (urlsplit(r["url"]).netloc, urlsplit(r["url"]).path)
+        for r in exact_run.fetch_log().collect()
+    }
+    deep = [k for k in fetched if k in by_path and k not in page0_paths]
+    assert deep, "no ads beyond page 0 were crawled"
+
+
+def test_results_parse_matches_store(exact_run, graph):
+    rows = exact_run.results().limit(50).collect()
+    assert rows
+    for r in rows:
+        ad = graph.store.get_ad(r["href"])
+        assert ad is not None
+        assert r["title"] == ad["title"]
+        assert r["description"] == ad["title"]
+        assert r["price"] == ad["price"]
+
+
+def test_bloom_matches_exact_seen_set(exact_run, bloom_run):
+    """With generously-sized shards the bloom run fetches the same URL
+    set as the exact run (no false negatives; fp rate ~0)."""
+    exact = {r["url"] for r in exact_run.fetch_log().collect()}
+    bloom = {r["url"] for r in bloom_run.fetch_log().collect()}
+    assert bloom == exact
+
+
+def test_bloom_no_refetch(bloom_run):
+    urls = [r["url"] for r in bloom_run.fetch_log().collect()]
+    assert len(urls) == len(set(urls))
+
+
+def test_politeness_budget_respected(spark, graph, tmp_path_factory):
+    eng = _run(
+        spark, graph, tmp_path_factory, "global_exact", "polite",
+        round_budget_ms=1000, per_host_per_round=5,
+    )
+    from urllib.parse import urlsplit
+
+    delay = {h["host"]: h["crawl_delay_ms"] for h in graph.hosts}
+    per = {}
+    for r in eng.fetch_log().collect():
+        host = urlsplit(r["url"]).netloc
+        per.setdefault((r["round"], host), 0)
+        per[(r["round"], host)] += 1
+    for (rnd, host), n in per.items():
+        d = delay.get(host, 0)
+        budget = max(1, 1000 // d) if d else 5
+        # listing fetches share the host budget; fetch_log records ads only
+        assert n <= budget, f"round {rnd} host {host}: {n} > {budget}"

@@ -1,0 +1,99 @@
+"""Text-analysis column functions on the driver testdata documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from olx_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    md5_60,
+    minhash_signature,
+    quality_score,
+    simhash16,
+    token_count,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_md5_60_known_value(spark):
+    # md5('abc') = 900150983cd24fb0... -> 0x900150983cd24fb
+    row = spark.range(1).select(md5_60(F.lit("abc")).alias("h")).first()
+    assert row["h"] == 648541476951500027
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_doc_fingerprint_dedups_whitespace_variants(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), (" hello\tworld ",), ("other",)],
+        "text string",
+    )
+    fps = [r[0] for r in df.select(doc_fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of it",),
+            ("el gato la casa los perros",),
+            ("der Hund und die Katze",),
+            ("zzz qqq",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sel = docs.filter(F.col("doc_id") < 20).orderBy("doc_id")
+    sigs = sel.select(
+        "doc_id", minhash_signature(word_shingles("text", 3), 16).alias("sig")
+    ).collect()
+    for r in sigs:
+        assert len(r["sig"]) == 16
+    again = sel.select(
+        "doc_id", minhash_signature(word_shingles("text", 3), 16).alias("sig")
+    ).collect()
+    assert [r["sig"] for r in sigs] == [r["sig"] for r in again]
+
+
+def test_simhash16_range_and_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words here entirely unrelated"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["h"] for r in df.select("id", simhash16("text").alias("h")).collect()}
+    assert all(0 <= h < (1 << 16) for h in rows.values())
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
