@@ -345,7 +345,7 @@ def q_crawl_reference(spark, sf):
     from olx_spark.fixtures import make_crawl_graph
     from olx_spark.plans.crawl import CrawlConfig, CrawlEngine
 
-    g = make_crawl_graph()
+    g = make_crawl_graph(hot_host_factor=2)  # small graph: driver-check budget
     eng = CrawlEngine(spark, g, CrawlConfig(with_payload=False))
     return eng.run(g.seeds).select(
         "name", "seq", "round", "pos", "href", "title", "price", "brief_flat"

@@ -69,8 +69,11 @@ def crawl_throughput(spark) -> dict:
     from olx_spark.plans.crawl import CrawlConfig
     from olx_spark.plans.scaled import ScaledCrawlEngine
 
+    # wide graph: 32 host chains x 4-8 pages -> ~600 ads/round over ~10
+    # rounds, so the metric measures parallel fetch throughput, not
+    # sequential round latency (pagination chains are inherently serial)
     graph = make_crawl_graph(
-        n_hosts=8, pages_per_host=4, ads_per_page=(20, 40), hot_host_factor=4
+        n_hosts=32, pages_per_host=4, ads_per_page=(30, 60), hot_host_factor=2
     )
     cfg = CrawlConfig(
         mode="scaled",

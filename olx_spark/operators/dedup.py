@@ -192,6 +192,20 @@ class BloomSeenFilter:
     def to_df(self) -> DataFrame:
         return self.spark.createDataFrame(self.to_rows(), SHARD_SCHEMA)
 
+    def to_arrow(self):
+        """Driver-side arrow table (for pyarrow snapshot writes — no
+        Spark job for 16 rows of driver state)."""
+        import pyarrow as pa
+
+        rows = self.to_rows()
+        return pa.table(
+            {
+                "shard_id": pa.array([r[0] for r in rows], pa.int32()),
+                "bits": pa.array([r[1] for r in rows], pa.binary()),
+                "n_items": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
     @classmethod
     def from_df(
         cls, spark: SparkSession, df: DataFrame, m_bits_per_shard: int, n_shards: int, k: int

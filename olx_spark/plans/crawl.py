@@ -59,6 +59,11 @@ class CrawlConfig:
     bloom_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20
     host_salt_buckets: int = 8
+    compact_every: int = 8  # merge frontier/seen deltas every N rounds
+    # parquet files per round delta: rounds are small relative to the
+    # whole crawl, so don't fan a few-MB delta into 32 task files (at
+    # real scale size this to round_rows / ~128MB)
+    delta_write_partitions: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -103,18 +108,24 @@ class CrawlEngine:
         return self.results()
 
     def results(self) -> DataFrame | None:
-        df = self.store.read_table("results")
+        df = self.store.read_table("parsed")
         if df is None:
             return None
-        return df.orderBy("name", "seq")
+        return df.drop("status", "elapsed_ms", "partition_id").orderBy("name", "seq")
 
     def fetch_log(self) -> DataFrame | None:
-        return self.store.read_table("fetch_log")
+        df = self.store.read_table("parsed")
+        if df is None:
+            return None
+        return df.select(
+            "name", "round", "seq", F.col("href").alias("url"),
+            "status", "elapsed_ms", "partition_id",
+        )
 
     def seen_urls(self) -> DataFrame | None:
         """Distinct fetched URLs per seed, in first-occurrence order —
         the URL-seen set of the north_rule."""
-        df = self.store.read_table("results")
+        df = self.store.read_table("parsed")
         if df is None:
             return None
         w = Window.partitionBy("name", "href").orderBy("seq")
@@ -166,7 +177,7 @@ class CrawlEngine:
             .filter(F.col("dup_rn") == 1)
             .withColumn("pos", (F.row_number().over(w_rank) - 1).cast("int"))
             .select("name", "round", "pos", "url")
-        )
+        ).cache()  # listing fetch runs once; budget agg + schedule reuse
         # tiny per-seed budget agg -> driver (the unfold countdown)
         counts = {r["name"]: r["n"] for r in distinct.groupBy("name").agg(
             F.count("*").alias("n")).collect()}
@@ -189,6 +200,7 @@ class CrawlEngine:
             .withColumn("seq", F.col("base_seq") + F.col("pos"))
             .select("name", "round", "pos", "seq", "url")
         )
+        # results + fetch_log are projections of ONE written table
         parsed = with_lineage(
             fetch_parse_ads(
                 scheduled,
@@ -198,18 +210,9 @@ class CrawlEngine:
                 with_payload=self.config.with_payload,
             )
         )
-        results = parsed.drop("status", "elapsed_ms", "partition_id")
-        log = parsed.select(
-            "name",
-            "round",
-            "seq",
-            F.col("href").alias("url"),
-            "status",
-            "elapsed_ms",
-            "partition_id",
-        )
         self.store.commit_round(
             rnd,
-            {"results": results, "fetch_log": log},
+            {"parsed": parsed.coalesce(self.config.delta_write_partitions)},
             {"seeds": state, "next_round": rnd + 1},
         )
+        distinct.unpersist()

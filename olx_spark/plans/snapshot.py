@@ -54,11 +54,21 @@ class SnapshotStore:
             return json.load(f)
 
     def commit_round(
-        self, round_no: int, tables: dict[str, DataFrame | None], state: dict
+        self,
+        round_no: int,
+        tables: dict[str, DataFrame | None],
+        state: dict,
+        driver_tables: dict[str, "object"] | None = None,
     ) -> None:
         """Write each table's round delta, then atomically publish the
         manifest. Uncommitted delta dirs from a crashed run are
-        invisible (not in the manifest) and get cleaned lazily."""
+        invisible (not in the manifest) and get cleaned lazily.
+
+        ``driver_tables`` maps name -> pyarrow.Table for DRIVER-side
+        state (e.g. Bloom shards): written with pyarrow directly —
+        same parquet layout, readable by spark.read.parquet, but no
+        Spark job (a 16-row binary table cost a 4s job via py4j).
+        """
         manifest = self.read_manifest()
         if round_no in manifest["rounds"]:
             raise ValueError(f"round {round_no} already committed")
@@ -73,6 +83,18 @@ class SnapshotStore:
             manifest["tables"].setdefault(name, []).append(
                 os.path.relpath(path, self.root)
             )
+        for name, pa_table in (driver_tables or {}).items():
+            if pa_table is None:
+                continue
+            import pyarrow.parquet as pq
+
+            path = os.path.join(rdir, name)
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(pa_table, os.path.join(path, "part-0.parquet"))
+            # driver tables are CUMULATIVE snapshots (e.g. Bloom shards
+            # OR-merged on the driver): the latest one replaces all
+            # prior entries — no delta union, no compaction needed
+            manifest["tables"][name] = [os.path.relpath(path, self.root)]
         manifest["rounds"].append(round_no)
         manifest["state"] = state
         tmp = self._manifest_path + ".tmp"
@@ -89,6 +111,48 @@ class SnapshotStore:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def compact_table(self, name: str, df_transform=None) -> None:
+        """Merge all committed deltas of ``name`` into one directory and
+        atomically repoint the manifest (Iceberg rewrite-data-files
+        analog). Bounds per-round read fan-in: without compaction a
+        round-R scan opens R delta dirs. ``df_transform`` can dedup
+        while compacting (e.g. distinct on url_fp for ``seen``)."""
+        manifest = self.read_manifest()
+        paths = manifest["tables"].get(name, [])
+        if len(paths) <= 1:
+            return
+        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+        if df_transform is not None:
+            df = df_transform(df)
+        gen = sum(1 for p in paths if "compact" in p)
+        out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}"
+        out = os.path.join(self.root, out_rel)
+        df.write.mode("overwrite").parquet(out)
+        manifest["tables"][name] = [out_rel]
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        # old delta dirs are now unreferenced; leave them for vacuum()
+        # (readers that already opened them stay consistent)
+
+    def vacuum(self) -> None:
+        """Delete unreferenced top-level delta dirs (post-compaction
+        cleanup). A round dir survives if ANY of its per-table subdirs
+        is still referenced."""
+        manifest = self.read_manifest()
+        live = {
+            rel.split("/")[0] for rels in manifest["tables"].values() for rel in rels
+        }
+        for entry in os.listdir(self.root):
+            full = os.path.join(self.root, entry)
+            if (
+                os.path.isdir(full)
+                and entry not in live
+                and (entry.startswith("compact-") or entry[0] == "r")
+            ):
+                shutil.rmtree(full)
 
     def last_state(self) -> dict:
         return self.read_manifest()["state"]

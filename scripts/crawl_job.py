@@ -26,7 +26,7 @@ from olx_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=32)
-    ap.add_argument("--hosts", type=int, default=8)
+    ap.add_argument("--hosts", type=int, default=32)
     ap.add_argument("--pages", type=int, default=4)
     ap.add_argument("--seed-count", type=int, default=10_000)
     args = ap.parse_args()
@@ -38,7 +38,7 @@ def main() -> None:
     )
     graph = make_crawl_graph(
         n_hosts=args.hosts, pages_per_host=args.pages,
-        ads_per_page=(20, 40), hot_host_factor=4,
+        ads_per_page=(30, 60), hot_host_factor=2,
     )
     cfg = CrawlConfig(
         mode="scaled",

@@ -112,6 +112,21 @@ def test_bloom_no_refetch(bloom_run):
     assert len(urls) == len(set(urls))
 
 
+def test_compaction_preserves_crawl(spark, graph, tmp_path_factory, exact_run):
+    """Aggressive delta compaction (every 2 rounds) + vacuum must not
+    change the fetched set."""
+    eng = _run(
+        spark, graph, tmp_path_factory, "global_exact", "compact",
+        compact_every=2,
+    )
+    eng.store.vacuum()
+    a = {r["url"] for r in eng.fetch_log().collect()}
+    b = {r["url"] for r in exact_run.fetch_log().collect()}
+    assert a == b
+    # resumability intact after compaction+vacuum: seen table readable
+    assert eng.seen_fps().count() > 0
+
+
 def test_politeness_budget_respected(spark, graph, tmp_path_factory):
     eng = _run(
         spark, graph, tmp_path_factory, "global_exact", "polite",
