@@ -80,6 +80,49 @@ def q_string_fns(spark, sf):
     )
 
 
+def q_canonicalize(spark, sf):
+    # the reference's URL graft (SURVEY §2.1 row 6) as a vectorized
+    # pandas UDF, checked against an independent SQL string construction:
+    # href grafted onto base scheme://authority, base query RETAINED
+    from olx_spark.functions.urls import canonicalize_reference
+
+    d = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/list/"), F.col("lang"),
+        F.lit("/?page="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&currency=UAH"),
+    )
+    href = F.concat(
+        F.lit("/d/ad/"), F.col("source"), F.lit("-"),
+        F.col("doc_id").cast("string"), F.lit("/"),
+    )
+    return d.select(
+        "doc_id", canonicalize_reference(href, base).alias("canon_url")
+    )
+
+
+def q_canonicalize_modern(spark, sf):
+    # modern normalization (urljoin + sorted query, tracking stripped);
+    # fixture params are already alphabetical so the SQL twin is exact
+    from olx_spark.functions.urls import canonicalize_modern
+
+    d = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/list/"), F.col("lang"),
+        F.lit("/?currency=UAH&page="), (F.col("doc_id") % 5).cast("string"),
+    )
+    href = F.concat(
+        F.lit("/d/ad/"), F.col("source"), F.lit("-"),
+        F.col("doc_id").cast("string"), F.lit("/"),
+    )
+    # modern mode resolves href against base -> query dropped (urljoin)
+    return d.select(
+        "doc_id", canonicalize_modern(href, base).alias("canon_url")
+    )
+
+
 def q_ordered_limit(spark, sf):
     # deterministic global top-k: rank-then-filter (SURVEY §4.2 item 1)
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -404,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
         "q_filter_conj": q_filter_conj,
+        "q_canonicalize": q_canonicalize,
+        "q_canonicalize_modern": q_canonicalize_modern,
         "q_explode_links": q_explode_links,
         "q_string_fns": q_string_fns,
         "q_ordered_limit": q_ordered_limit,
@@ -505,6 +550,21 @@ def oracle_sql() -> dict[str, str]:
         "q_filter_conj": """
             select event_id, user_id, round(value, 4) as value
             from events where event_type = 'error' and value > 100
+        """,
+        "q_canonicalize": """
+            select doc_id,
+                   'https://host' || (doc_id % 10) || '.example'
+                   || '/d/ad/' || source || '-' || doc_id || '/'
+                   || '?page=' || (doc_id % 5) || '&currency=UAH'
+                   as canon_url
+            from documents
+        """,
+        "q_canonicalize_modern": """
+            select doc_id,
+                   'https://host' || (doc_id % 10) || '.example'
+                   || '/d/ad/' || source || '-' || doc_id || '/'
+                   as canon_url
+            from documents
         """,
         "q_explode_links": """
             select vec_id, u.i::int - 1 as pos,

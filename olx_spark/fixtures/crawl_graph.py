@@ -80,6 +80,9 @@ class CrawlGraph:
     store: PageStore
     image_seed: int = 43  # seed used for make_image_row regeneration
     n_hosts: int = 4
+    # synthetic-server config: when set, listing/ad content is derived
+    # in-worker from the URL alone (scale runs; nothing broadcast)
+    synth_conf: dict | None = None
 
     def images_by_id(self) -> dict[str, dict]:
         return {r["image_id"]: r for r in self.images}
@@ -223,4 +226,48 @@ def make_crawl_graph(
         store=store,
         image_seed=seed + 1,
         n_hosts=n_hosts,
+    )
+
+
+def make_scaling_graph(
+    n_hosts: int = 256,
+    pages_per_host: int = 2,
+    ads_per_page: int = 1000,
+    seed: int = 42,
+) -> CrawlGraph:
+    """Wide synthetic graph for throughput/scaling runs: BOTH listing
+    and ad content are SYNTHESIZED inside the fetch workers from the
+    URL alone (``operators.fetch.synth_listing`` / ``synth_ad``), so
+    nothing is broadcast and per-round fetch work dominates fixed
+    round cost — the regime where scaling efficiency is a meaningful
+    measurement. Total URLs = n_hosts * pages_per_host * (1 +
+    ads_per_page)."""
+    hosts = [
+        {"host": f"host{i:03d}.example", "crawl_delay_ms": 0,
+         "robots_disallow": [], "hot": False}
+        for i in range(n_hosts)
+    ]
+    seeds = [
+        {
+            "name": f"job-{hi:03d}",
+            "url": f"https://host{hi:03d}.example/list/all/?page=0",
+            "count": 10**9,
+            "priority": 0,
+        }
+        for hi in range(n_hosts)
+    ]
+    return CrawlGraph(
+        hosts=hosts,
+        listing_pages=[],
+        ad_pages=[],
+        images=[],
+        seeds=seeds,
+        store=PageStore(),
+        image_seed=seed + 1,
+        n_hosts=n_hosts,
+        synth_conf={
+            "n_hosts": n_hosts,
+            "pages_per_host": pages_per_host,
+            "ads_per_page": ads_per_page,
+        },
     )

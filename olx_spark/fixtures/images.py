@@ -176,11 +176,17 @@ def image_caption(i: int) -> str:
     )
 
 
-def make_image_row(i: int, seed: int = 42, n_hosts: int = 4) -> dict:
+def make_image_row(
+    i: int, seed: int = 42, n_hosts: int = 4, with_bytes: bool = True
+) -> dict:
     """One row of the ``images`` payload table, derived from (seed, i)
     ALONE — per-image determinism, so the fetch UDF can regenerate any
     image's bytes from its id without broadcasting the corpus (at
-    bench/web scale the payload bytes never leave the executors)."""
+    bench/web scale the payload bytes never leave the executors).
+
+    ``with_bytes=False`` still generates pixels and the phash (the
+    fetch/decode/hash work) but skips encoding and returns bytes=None —
+    for throughput runs whose sink keeps metadata only."""
     rng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i])))
     sizes = [32, 64, 96]
     fmts = ["raw", "png"]
@@ -191,7 +197,7 @@ def make_image_row(i: int, seed: int = 42, n_hosts: int = 4) -> dict:
     arr = make_image_array(rng, w, h)
     return {
         "image_id": f"img-{host_idx:03d}-{i:05d}",
-        "bytes": encode_image(arr, fmt),
+        "bytes": encode_image(arr, fmt) if with_bytes else None,
         "w": w,
         "h": h,
         "fmt": fmt,

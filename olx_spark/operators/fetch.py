@@ -39,7 +39,52 @@ from pyspark.sql.types import (
 )
 
 from olx_spark.fixtures.crawl_graph import ad_key, listing_key
-from olx_spark.fixtures.images import image_index_from_id, make_image_row
+from olx_spark.fixtures.images import image_caption, image_index_from_id, make_image_row
+
+
+def synth_listing(url: str, conf: dict) -> dict | None:
+    """Deterministic 'server' for listing pages (scale runs): hrefs and
+    the next-page link derived from (host index, page) in the URL."""
+    from urllib.parse import parse_qs, urlsplit
+
+    u = urlsplit(url)
+    try:
+        host_idx = int(u.netloc.split(".")[0].removeprefix("host"))
+        page = int(parse_qs(u.query).get("page", ["0"])[0])
+    except ValueError:
+        return None
+    npages, app = conf["pages_per_host"], conf["ads_per_page"]
+    if host_idx >= conf["n_hosts"] or page >= npages:
+        return None
+    base = (host_idx * npages + page) * app
+    return {
+        "ad_hrefs": [f"/d/ad/x-{base + j}/" for j in range(app)],
+        "next_page": (
+            f"https://{u.netloc}/list/all/?page={page + 1}"
+            if page + 1 < npages
+            else None
+        ),
+    }
+
+
+def synth_ad(url: str, n_hosts: int) -> dict:
+    """Deterministic 'server': ad content derived from the URL alone
+    (path ends in ``-{i}/``). Used for scale runs where a broadcast ad
+    store would be the bottleneck — same trick as per-id image
+    regeneration: content addressed by identifier, no data shipping."""
+    host, path = ad_key(url)
+    i = int(path.rstrip("/").rsplit("-", 1)[1])
+    host_idx = i % n_hosts
+    return {
+        "title": image_caption(i),
+        "price": f"{(i * 7919) % 99899 + 100} грн.",
+        "brief_items": [
+            f"Condition: {'new' if i % 3 == 0 else 'used'}",
+            f"Year: {2015 + i % 10}",
+        ]
+        + (["Negotiable"] if i % 5 == 0 else []),
+        "image_id": f"img-{host_idx:03d}-{i:05d}",
+    }
 
 LISTING_SCHEMA = StructType(
     [
@@ -109,18 +154,23 @@ def flatten_brief(d: dict[str, str]) -> str:
     return "; ".join(f"{k} -> {v}" for k, v in d.items())
 
 
-def fetch_listings(df: DataFrame, listing_store_bc) -> DataFrame:
+def fetch_listings(df: DataFrame, listing_store_bc, synth_conf: dict | None = None) -> DataFrame:
     """mapInPandas listing-page fetch: (name, base_url, round) ->
     + (ads array, next_page). The flatten to individual hrefs happens
-    Spark-side via posexplode (SURVEY.md §2.1 row 8)."""
+    Spark-side via posexplode (SURVEY.md §2.1 row 8). With
+    ``synth_conf`` set, pages are synthesized in-worker (scale runs)."""
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        store = listing_store_bc.value
+        store = listing_store_bc.value if listing_store_bc is not None else None
         for pdf in batches:
             t0 = time.perf_counter()
             ads, nxt, status = [], [], []
             for url in pdf["base_url"]:
-                page = store.get(listing_key(url))
+                page = (
+                    store.get(listing_key(url))
+                    if store is not None
+                    else synth_listing(url, synth_conf)
+                )
                 if page is None:
                     ads.append([])
                     nxt.append(None)
@@ -151,6 +201,7 @@ def fetch_parse_ads(
     image_seed: int,
     n_hosts: int,
     with_payload: bool = True,
+    payload_bytes: bool = True,
 ) -> DataFrame:
     """mapInPandas ad-page fetch + parse + payload materialization.
 
@@ -158,61 +209,64 @@ def fetch_parse_ads(
     URLs per iteration; payload bytes regenerated from image_id.
     """
 
+    cols = AD_SCHEMA.fieldNames()
+
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        store = ad_store_bc.value
+        store = ad_store_bc.value if ad_store_bc is not None else None
         for pdf in batches:
-            rows = []
+            # column-wise accumulation: building a 10k-row batch from
+            # per-row dicts makes pandas re-infer dtypes row by row
+            # (~ms/row); dict-of-lists assembles in one shot
+            out: dict[str, list] = {c: [] for c in cols}
             for name, rnd, pos, seq, url in zip(
                 pdf["name"], pdf["round"], pdf["pos"], pdf["seq"], pdf["url"]
             ):
                 t0 = time.perf_counter()
-                ad = store.get(ad_key(url))
+                ad = (
+                    store.get(ad_key(url))
+                    if store is not None
+                    else synth_ad(url, n_hosts)
+                )
+                out["name"].append(name)
+                out["round"].append(int(rnd))
+                out["pos"].append(int(pos))
+                out["seq"].append(int(seq))
+                out["href"].append(url)
                 if ad is None:
-                    rows.append(
-                        dict.fromkeys(AD_SCHEMA.fieldNames())
-                        | {
-                            "name": name,
-                            "round": int(rnd),
-                            "pos": int(pos),
-                            "seq": int(seq),
-                            "href": url,
-                            "status": "NOT_FOUND",
-                            "elapsed_ms": (time.perf_counter() - t0) * 1000.0,
-                        }
-                    )
+                    for c in (
+                        "title", "description", "price", "brief", "brief_flat",
+                        "image_id", "image_bytes", "w", "h", "fmt", "caption", "phash",
+                    ):
+                        out[c].append(None)
+                    out["status"].append("NOT_FOUND")
+                    out["elapsed_ms"].append((time.perf_counter() - t0) * 1000.0)
                     continue
                 brief = parse_brief_items(ad["brief_items"])
-                img = None
-                if with_payload:
-                    img = make_image_row(
+                img = (
+                    make_image_row(
                         image_index_from_id(ad["image_id"]),
                         seed=image_seed,
                         n_hosts=n_hosts,
+                        with_bytes=payload_bytes,
                     )
-                rows.append(
-                    {
-                        "name": name,
-                        "round": int(rnd),
-                        "pos": int(pos),
-                        "seq": int(seq),
-                        "href": url,
-                        "title": ad["title"],
-                        "description": ad["title"],  # faithful quirk
-                        "price": ad["price"],
-                        "brief": brief,
-                        "brief_flat": flatten_brief(brief),
-                        "image_id": ad["image_id"],
-                        "image_bytes": img["bytes"] if img else None,
-                        "w": img["w"] if img else None,
-                        "h": img["h"] if img else None,
-                        "fmt": img["fmt"] if img else None,
-                        "caption": img["caption"] if img else None,
-                        "phash": img["phash"] if img else None,
-                        "status": "OK",
-                        "elapsed_ms": (time.perf_counter() - t0) * 1000.0,
-                    }
+                    if with_payload
+                    else None
                 )
-            yield pd.DataFrame(rows, columns=AD_SCHEMA.fieldNames())
+                out["title"].append(ad["title"])
+                out["description"].append(ad["title"])  # faithful quirk
+                out["price"].append(ad["price"])
+                out["brief"].append(brief)
+                out["brief_flat"].append(flatten_brief(brief))
+                out["image_id"].append(ad["image_id"])
+                out["image_bytes"].append(img["bytes"] if img else None)
+                out["w"].append(img["w"] if img else None)
+                out["h"].append(img["h"] if img else None)
+                out["fmt"].append(img["fmt"] if img else None)
+                out["caption"].append(img["caption"] if img else None)
+                out["phash"].append(img["phash"] if img else None)
+                out["status"].append("OK")
+                out["elapsed_ms"].append((time.perf_counter() - t0) * 1000.0)
+            yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(_fetch, schema=AD_SCHEMA)
 

@@ -64,6 +64,12 @@ class CrawlConfig:
     # whole crawl, so don't fan a few-MB delta into 32 task files (at
     # real scale size this to round_rows / ~128MB)
     delta_write_partitions: int = 8
+    # False: compute the payload in-worker (decode/phash work happens)
+    # but null the bytes before the sink — for throughput runs where a
+    # single local disk would otherwise measure I/O, not the engine
+    # (in prod the payload sink is object storage with aggregate
+    # bandwidth; results/metadata still land in the table)
+    store_payload_bytes: bool = True
     extra: dict = field(default_factory=dict)
 
 

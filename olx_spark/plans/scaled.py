@@ -53,8 +53,14 @@ class ScaledCrawlEngine:
         self.graph = graph
         self.config = config or CrawlConfig(mode="scaled")
         sc = spark.sparkContext
-        self._listing_bc = sc.broadcast(dict(graph.store.listing))
-        self._ads_bc = sc.broadcast(dict(graph.store.ads))
+        # empty stores -> synthetic-server mode (content from URL)
+        self._synth_conf = getattr(graph, "synth_conf", None)
+        self._listing_bc = (
+            sc.broadcast(dict(graph.store.listing)) if graph.store.listing else None
+        )
+        self._ads_bc = (
+            sc.broadcast(dict(graph.store.ads)) if graph.store.ads else None
+        )
         if self.config.checkpoint_dir is None:
             import tempfile
 
@@ -67,6 +73,7 @@ class ScaledCrawlEngine:
             ],
             "host string, crawl_delay_ms int, robots_disallow array<string>",
         )
+        self._has_robots = any(h["robots_disallow"] for h in graph.hosts)
         self.bloom: BloomSeenFilter | None = None
 
     # ---------------------------------------------------------------- run
@@ -179,6 +186,17 @@ class ScaledCrawlEngine:
 
     def _run_round(self, rnd: int, state: dict) -> bool:
         cfg = self.config
+        import time as _time
+
+        _prof = bool(cfg.extra.get("profile"))
+        _t = {"last": _time.perf_counter()}
+
+        def mark(label: str) -> None:
+            if _prof:
+                now = _time.perf_counter()
+                print(f"    [r{rnd}] {label}: {now - _t['last']:.2f}s", flush=True)
+                _t["last"] = now
+
         pending = self._pending()
         if pending is None:
             return False
@@ -186,9 +204,15 @@ class ScaledCrawlEngine:
         pending = pending.cache()  # read once; reused by gate + exclusion
 
         # politeness: robots + per-host crawl-delay budget; robots-hit
-        # rows go straight to seen (state EXCLUDED) so they never linger
-        polite = robots_filter(pending, self.hosts_df)
-        excluded = pending.select("url_fp").exceptAll(polite.select("url_fp"))
+        # rows go straight to seen (state EXCLUDED) so they never
+        # linger. With no disallow rules anywhere, skip the whole-
+        # frontier set-difference (a full extra shuffle per round).
+        if self._has_robots:
+            polite = robots_filter(pending, self.hosts_df)
+            excluded = pending.select("url_fp").exceptAll(polite.select("url_fp"))
+        else:
+            polite = pending.join(F.broadcast(self.hosts_df), on="host", how="left")
+            excluded = None
         # cache the round's working set: every downstream consumer
         # (budget agg, seen delta, fetch input, commit) would otherwise
         # re-run the whole pending scan + windows — measured 5-7x
@@ -225,12 +249,21 @@ class ScaledCrawlEngine:
             "name", F.col("url").alias("base_url"), F.lit(rnd).alias("round"),
             "url_fp", "depth", "priority",
         )
-        # salt the fetch fan-out so a hot host spreads across tasks
+        # salt the fetch fan-out so a hot host spreads across tasks.
+        # NB: EXPLICIT partition count — without it AQE coalesces the
+        # pre-UDF shuffle by byte size (~100MB of URLs -> 2-4 tasks) and
+        # the expensive fetch UDF runs nearly serial (measured 40% CPU
+        # at 32 cores); AQE can't see Python CPU cost behind a shuffle.
+        # 3x slots: CPU-heavy UDF stages want small tasks so stragglers
+        # don't cap the stage at the slowest of exactly-#cores tasks
+        n_fetch = 3 * int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         listing_in = listing_in.repartition(
-            F.pmod(F.xxhash64("base_url"), F.lit(cfg.host_salt_buckets * 8))
+            n_fetch, F.pmod(F.xxhash64("base_url"), F.lit(cfg.host_salt_buckets * 8))
         )
         fetched = fetch_listings(
-            listing_in.select("name", "base_url", "round"), self._listing_bc
+            listing_in.select("name", "base_url", "round"),
+            self._listing_bc,
+            synth_conf=self._synth_conf,
         ).join(
             listing_in.select(
                 F.col("base_url"), "url_fp", "depth", "priority"
@@ -273,28 +306,34 @@ class ScaledCrawlEngine:
         ad_in = ads_sched.select(
             "name", F.lit(rnd).alias("round"),
             F.col("seed_rank").cast("int").alias("pos"), "seq", "url",
-        ).repartition(F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_buckets * 8)))
+        ).repartition(  # explicit count: see n_fetch comment above
+            n_fetch, F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_buckets * 8))
+        )
         # results + fetch_log live in ONE written table ("parsed"):
         # one write job per round instead of two; readers project out
         # their columns (column pruning makes the log view cheap)
+        # store_payload_bytes=False: pixels + phash still computed in
+        # the workers (the fetch/decode/hash work), but bytes are never
+        # encoded nor shipped through Arrow — metadata-only sink
         parsed = with_lineage(
             fetch_parse_ads(
                 ad_in,
-                self._ads_bc,
+                self._ads_bc,  # None -> synthetic-server mode
                 image_seed=self.graph.image_seed,
                 n_hosts=self.graph.n_hosts,
                 with_payload=cfg.with_payload,
+                payload_bytes=cfg.store_payload_bytes,
             )
         )
 
         # ---- seen delta = everything scheduled this round + robots-
         # excluded rows (they must not stay pending forever)
-        seen_delta = (
-            listings_sched.select("url_fp")
-            .unionByName(ads_sched.select("url_fp"))
-            .unionByName(excluded)
-            .distinct()
+        seen_delta = listings_sched.select("url_fp").unionByName(
+            ads_sched.select("url_fp")
         )
+        if excluded is not None:
+            seen_delta = seen_delta.unionByName(excluded)
+        seen_delta = seen_delta.distinct()
 
         # driver-side budget/progress accounting — ONE tiny collect for
         # both per-seed ad counts and the listing count
@@ -308,21 +347,26 @@ class ScaledCrawlEngine:
             )
             .collect()
         )
+        mark("stats-collect (pending+gate+schedule)")
         n_ads = {r["name"]: r["n"] for r in stats if r["name"] != "__listings__"}
         n_listings = sum(r["n"] for r in stats if r["name"] == "__listings__")
         for n, s in state.items():
             s["scheduled"] += int(n_ads.get(n, 0))
         progressed = bool(n_ads) or n_listings > 0
 
-        p = cfg.delta_write_partitions
+        # NO coalesce on any delta here: coalesce is a narrow dependency
+        # that collapses the producing pipeline itself (fetch UDF,
+        # canonicalize+dedup window) to that many tasks — measured 21s
+        # frontier writes at 32 cores. Compaction merges small files.
         tables = {
-            "parsed": parsed.coalesce(p) if n_ads else None,
-            "frontier": discovered.coalesce(p) if n_listings else None,
-            "seen": seen_delta.coalesce(p) if progressed else None,
+            "parsed": parsed if n_ads else None,
+            "frontier": discovered if n_listings else None,
+            "seen": seen_delta if progressed else None,
         }
         driver_tables = {}
         if cfg.dedup_scope == "global_bloom" and self.bloom is not None and progressed:
             self.bloom.add_round(seen_delta)
+            mark("bloom-add")
             driver_tables["seen_shards"] = self.bloom.to_arrow()
         self.store.commit_round(
             rnd,
@@ -334,6 +378,7 @@ class ScaledCrawlEngine:
             },
             driver_tables=driver_tables,
         )
+        mark("commit (parsed+frontier+seen writes)")
         for df in (pending, gated, ads_sched, discovered):
             df.unpersist()
         # bound per-round read fan-in: merge accumulated deltas so a

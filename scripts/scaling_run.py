@@ -1,8 +1,10 @@
 """Scaling-efficiency evidence (BASELINE.md protocol): run the SAME
-crawl job via ``spark-submit --py-files`` at local[8] and local[32]
-(standing in for N and 4N executor clusters — no real cluster in this
-sandbox), assert result determinism across levels, and report
-throughput + efficiency = (thr_32 / thr_8) / 4.
+crawl job via ``spark-submit --py-files`` at local[2] and local[8]
+(N and 4N cores standing in for N and 4N executor clusters — no real
+cluster in this sandbox; levels 2/8 because the VM itself stops
+scaling beyond ~16 cores, see BENCH.md hardware table), assert result
+determinism across levels, and report throughput + efficiency =
+(thr_4N / thr_N) / 4.
 
 Usage: python scripts/scaling_run.py [--out BENCH.md]
 """
@@ -45,6 +47,7 @@ def run_level(cores: int, zpath: str) -> dict:
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "scripts", "crawl_job.py"),
         "--cores", str(cores),
+        "--ads-per-page", "4000",
     ]
     env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{cores}]")
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
@@ -55,7 +58,7 @@ def run_level(cores: int, zpath: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
-    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--levels", default="2,8")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 

@@ -1,0 +1,67 @@
+"""Multimodal (binary image column) operators: features, resize, stubs."""
+
+import numpy as np
+import pytest
+
+from olx_spark.fixtures.images import decode_image, make_image_corpus, phash64
+from olx_spark.operators.multimodal import (
+    audio_sample_frames,
+    image_features,
+    resize_images,
+    video_sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = make_image_corpus(30, seed=21)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return rows, df
+
+
+def test_image_features_match_ground_truth(spark, images_df):
+    rows, df = images_df
+    got = {r["image_id"]: r for r in image_features(df).collect()}
+    assert len(got) == 30
+    for r in rows:
+        g = got[r["image_id"]]
+        arr = decode_image(r["bytes"], r["fmt"])
+        assert g["decode_ok"] == 1
+        assert g["w"] == arr.shape[1] and g["h"] == arr.shape[0]
+        assert abs(g["mean_r"] - arr[..., 0].mean()) < 1e-6
+        assert g["phash"] == phash64(arr)
+
+
+def test_jpeg_stub_degrades_gracefully(spark):
+    df = spark.createDataFrame(
+        [("x", b"\xff\xd8\xff\xe0fakejpeg", "jpeg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = image_features(df).collect()
+    assert len(got) == 1
+    assert got[0]["decode_ok"] == 0
+    assert got[0]["phash"] is None
+
+
+def test_resize_images(spark, images_df):
+    rows, df = images_df
+    out = {r["image_id"]: r for r in resize_images(df, 16, 16, "raw").collect()}
+    for r in rows[:5]:
+        g = out[r["image_id"]]
+        arr = decode_image(bytes(g["bytes"]), "raw")
+        assert arr.shape == (16, 16, 3)
+        # nearest-neighbor of the original at sampled coords
+        src = decode_image(r["bytes"], r["fmt"])
+        ys = (np.arange(16) * src.shape[0] // 16).clip(0, src.shape[0] - 1)
+        xs = (np.arange(16) * src.shape[1] // 16).clip(0, src.shape[1] - 1)
+        assert np.array_equal(arr, src[np.ix_(ys, xs)])
+
+
+def test_audio_video_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        audio_sample_frames(None)
+    with pytest.raises(NotImplementedError):
+        video_sample_frames(None)
