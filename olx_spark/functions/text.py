@@ -149,25 +149,33 @@ def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
 def simhash16(col: Column | str) -> Column:
     """16-bit SimHash over whitespace tokens with the md5-60 token hash
     (oracle-checkable width; the 64-bit variant lives in
-    operators/similarity.py as a vectorized pandas UDF)."""
+    operators/similarity.py as a vectorized pandas UDF).
+
+    Single pass: ONE aggregate carrying a 16-lane vote vector — the
+    16-separate-aggregates formulation re-walked the token array per
+    bit (16x the work; 4.7s -> sub-second at sf0.1)."""
     toks = F.split(norm_text(col), " ")
     hashes = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    def vote_fn(i: int):
-        # must stay binary (acc, element) — see minhash_signature note
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_terms = []
-    for i in range(16):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), vote_fn(i))
-        bit_terms.append(
-            F.when(vote >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-        )
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(16)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
