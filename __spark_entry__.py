@@ -380,6 +380,26 @@ def q_embed_cosine_topk(spark, sf):
     )
 
 
+def q_embed_near_dup(spark, sf):
+    # embedding-cosine near-duplicate pairs (dedup family): exact over a
+    # bounded id range; the approximate scale path is q_ann_lsh
+    from olx_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cs") >= 0.3)  # filter raw, round for output
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+    return pairs
+
+
 # ----------------------- rows-only keys (no SQL equivalent) ---------------
 
 def q_crawl_reference(spark, sf):
@@ -396,9 +416,10 @@ def q_crawl_reference(spark, sf):
 
 
 def q_minhash_lsh(spark, sf):
-    # MinHash+LSH near-dup pairs (probabilistic candidate generation;
-    # exact-Jaccard verified >=0.5; planted-dup recall tested in
-    # tests/test_similarity.py)
+    # MinHash+LSH near-dup pairs: shingle -> 16 md5-60 minhashes ->
+    # 4 band hashes -> bucket join -> exact-Jaccard verify >= 0.5.
+    # The ENTIRE pipeline (incl. probabilistic banding) has a DuckDB
+    # twin because every hash is the portable md5-60.
     from olx_spark.operators.similarity import minhash_near_dups
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
@@ -472,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash16": q_simhash16,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_cosine_topk": q_embed_cosine_topk,
+        "q_embed_near_dup": q_embed_near_dup,
         # rows-only (no SQL equivalent; exact tests live in tests/)
         "q_crawl_reference": q_crawl_reference,
         "q_minhash_lsh": q_minhash_lsh,
@@ -525,6 +547,48 @@ def _sql_shingles(k: int = 3) -> str:
         f"case when len({toks}) < {k} then []::varchar[] else "
         f"[array_to_string({toks}[i:i+{k - 1}], ' ') for i in range(1, len({toks}) - {k - 2})] end"
     )
+
+
+def _sql_minhash_lsh(n_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_near_dups (same md5-60 hashes, same
+    banding, same exact-Jaccard verification)."""
+    rpb = n_perm // bands
+    sig = "[" + ", ".join(
+        f"list_min([(('0x' || substr(md5('{j}:' || s), 1, 15))::bigint) for s in sh])"
+        for j in range(n_perm)
+    ) + "]"
+    band_selects = "\n            union all\n".join(
+        f"""            select doc_id, {b} as band_id,
+                   ('0x' || substr(md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], ',')), 1, 15))::bigint as band_hash
+            from sigs"""
+        for b in range(bands)
+    )
+    return f"""
+        with d as (
+            select doc_id, {_sql_shingles(3)} as sh
+            from documents where doc_id < 300
+        ), dd as (
+            select doc_id, sh from d where len(sh) > 0
+        ), sigs as (
+            select doc_id, sh, {sig} as sig from dd
+        ), ex as (
+{band_selects}
+        ), pairs as (
+            select a.doc_id as doc_a, b.doc_id as doc_b
+            from ex a join ex b using (band_id, band_hash)
+            where a.doc_id < b.doc_id
+            group by 1, 2
+        ), verified as (
+            select doc_a, doc_b,
+                   len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::double
+                   / len(list_distinct(sa.sh || sb.sh)) as j
+            from pairs
+            join dd sa on sa.doc_id = doc_a
+            join dd sb on sb.doc_id = doc_b
+        )
+        select doc_a, doc_b, round(j, 6) as jaccard
+        from verified where j >= {threshold}
+    """
 
 
 def _sql_simhash16() -> str:
@@ -685,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
             ) where rn = 1
         """,
         "q_simhash16": f"select doc_id, {_sql_simhash16()} as sh16 from documents",
+        "q_minhash_lsh": _sql_minhash_lsh(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh
@@ -705,6 +770,21 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
             join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
             where inter / (na.n + nb.n - inter) >= 0.2
+        """,
+        "q_embed_near_dup": """
+            with c as (
+                select vec_id, [x::double for x in embedding] as v
+                from embeddings where vec_id < 300
+            ), pairs as (
+                select a.vec_id as id_a, b.vec_id as id_b,
+                       list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+                       (sqrt(list_sum([x * x for x in a.v])) *
+                        sqrt(list_sum([x * x for x in b.v]))) as cs
+                from c a cross join c b
+                where a.vec_id < b.vec_id
+            )
+            select id_a, id_b, round(cs, 6) as cos_sim
+            from pairs where cs >= 0.3
         """,
         "q_embed_cosine_topk": """
             with c as (select vec_id, [x::double for x in embedding] as v from embeddings),

@@ -50,20 +50,30 @@ def lsh_candidate_pairs(
     ``n_perm/bands`` minhashes; docs sharing any band bucket become a
     candidate pair (doc_a < doc_b)."""
     rows_per_band = n_perm // bands
+    # band hash is md5-60 (portable) so the DuckDB oracle can recompute
+    # the exact same candidate set (xxhash64 is Spark-only)
     banded = sigs.filter(F.size("shingles") > 0).select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", b * rows_per_band + r + 1)
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
                     for b in range(bands)
                 ]
             )
