@@ -380,6 +380,34 @@ def q_embed_cosine_topk(spark, sf):
     )
 
 
+def q_join_agg_topk(spark, sf):
+    # TPC-H Q3-shaped: filter both sides -> join -> grouped agg ->
+    # deterministic top-k (exercises join reordering + partial agg)
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    )
+    li = _t(spark, sf, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "rev_raw"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    # rank on the RAW value (the oracle does too); round only the output
+    w = Window.orderBy(F.col("rev_raw").desc(), F.col("l_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "l_orderkey", F.round("rev_raw", DEC).alias("revenue"), "n_lines")
+    )
+
+
 def q_embed_near_dup(spark, sf):
     # embedding-cosine near-duplicate pairs (dedup family): exact over a
     # bounded id range; the approximate scale path is q_ann_lsh
@@ -494,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_join_agg_topk": q_join_agg_topk,
         # rows-only (no SQL equivalent; exact tests live in tests/)
         "q_crawl_reference": q_crawl_reference,
         "q_minhash_lsh": q_minhash_lsh,
@@ -770,6 +799,25 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
             join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
             where inter / (na.n + nb.n - inter) >= 0.2
+        """,
+        "q_join_agg_topk": """
+            with j as (
+                select l_orderkey,
+                       round(sum(l_extendedprice * (1.0 - l_discount)), 4) as revenue,
+                       count(*) as n_lines,
+                       sum(l_extendedprice * (1.0 - l_discount)) as rev_raw
+                from lineitem
+                join orders on l_orderkey = o_orderkey
+                join customer on o_custkey = c_custkey
+                where c_mktsegment = 'BUILDING'
+                  and o_orderdate < timestamp '2024-06-01 00:00:00'
+                group by l_orderkey
+            )
+            select row_number() over (order by rev_raw desc, l_orderkey) as rk,
+                   l_orderkey, revenue, n_lines
+            from j
+            order by rev_raw desc, l_orderkey
+            limit 20
         """,
         "q_embed_near_dup": """
             with c as (

@@ -1,0 +1,75 @@
+"""Unit tests for the ranking + politeness operators in isolation."""
+
+from pyspark.sql import functions as F
+
+from olx_spark.functions.urls import host_salt
+from olx_spark.operators.politeness import per_host_budget, robots_filter
+from olx_spark.operators.ranking import frontier_rank, ordered_limit
+
+FRONTIER = "url string, host string, priority int, discovery_round int, discovery_pos long"
+
+
+def _frontier(spark):
+    rows = [
+        (f"https://h{h}.example/a/{i}/", f"h{h}.example", p, r, i)
+        for h in range(2)
+        for i, (p, r) in enumerate([(5, 0), (1, 0), (5, 1), (9, 2), (1, 1)])
+    ]
+    return spark.createDataFrame(rows, FRONTIER)
+
+
+def test_frontier_rank_priority_queue(spark):
+    df = frontier_rank(_frontier(spark))
+    top = {
+        r["host"]: r["url"] for r in df.filter(F.col("host_rank") == 0).collect()
+    }
+    # highest priority wins regardless of discovery order
+    for h in range(2):
+        assert top[f"h{h}.example"].endswith("/3/")
+
+
+def test_ordered_limit_deterministic(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "v long, g int")
+    got = ordered_limit(df, 4, [F.col("v").desc()])
+    assert [r["v"] for r in got.orderBy("rank_in_limit").collect()] == [29, 28, 27, 26]
+    per_g = ordered_limit(df, 2, [F.col("v").desc()], ["g"])
+    assert per_g.count() == 6
+
+
+def test_per_host_budget_and_delay(spark):
+    f = _frontier(spark).withColumn(
+        "crawl_delay_ms", F.when(F.col("host") == "h0.example", 200).otherwise(0)
+    )
+    out = per_host_budget(f, round_budget_ms=600, default_per_round=2)
+    by_host = {}
+    for r in out.collect():
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["h0.example"]) == 3  # 600/200
+    assert len(by_host["h1.example"]) == 2  # default
+    # not_before spacing honors the delay
+    nb = sorted(r["not_before_ms"] for r in by_host["h0.example"])
+    assert nb == [0, 200, 400]
+
+
+def test_robots_filter_prefix(spark):
+    f = _frontier(spark)
+    hosts = spark.createDataFrame(
+        [("h0.example", 0, ["/a/1", "/a/3"]), ("h1.example", 0, [])],
+        "host string, crawl_delay_ms int, robots_disallow array<string>",
+    )
+    out = robots_filter(f, hosts).collect()
+    kept = {(r["host"], r["url"]) for r in out}
+    assert ("h0.example", "https://h0.example/a/1/") not in kept
+    assert ("h0.example", "https://h0.example/a/3/") not in kept
+    assert ("h0.example", "https://h0.example/a/0/") in kept
+    assert sum(1 for h, _ in kept if h == "h1.example") == 5
+
+
+def test_host_salt_spreads_but_keeps_host(spark):
+    df = spark.createDataFrame(
+        [(f"https://hot.example/x/{i}/", "hot.example") for i in range(200)],
+        "url string, host string",
+    ).withColumn("salted", host_salt(F.col("host"), F.col("url"), buckets=8))
+    salts = {r["salted"] for r in df.collect()}
+    assert len(salts) == 8
+    assert all(s.startswith("hot.example#") for s in salts)
