@@ -124,13 +124,18 @@ def q_canonicalize_modern(spark, sf):
 
 
 def q_ordered_limit(spark, sf):
-    # deterministic global top-k: rank-then-filter (SURVEY §4.2 item 1)
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        _t(spark, sf, "orders")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("rk", "o_orderkey", F.round("o_totalprice", DEC).alias("total"))
+    # deterministic global top-k (SURVEY §4.2 item 1): sort+limit
+    # compiles to TakeOrderedAndProject — distributed partial top-k,
+    # deterministic given the total order; rank derived on the <= k
+    # surviving rows (constant-partitioned window, never a global one
+    # that would move all data to a single task at scale)
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    top = _t(spark, sf, "orders").orderBy(*order).limit(10)
+    # pmod(col, 1) == 0 always, but non-foldable — a lit(0) partition
+    # key would be constant-folded away, reviving the global window
+    w = Window.partitionBy(F.pmod(F.col("o_orderkey"), F.lit(1))).orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "o_orderkey", F.round("o_totalprice", DEC).alias("total")
     )
 
 
@@ -399,12 +404,15 @@ def q_join_agg_topk(spark, sf):
             F.count("*").alias("n_lines"),
         )
     )
-    # rank on the RAW value (the oracle does too); round only the output
-    w = Window.orderBy(F.col("rev_raw").desc(), F.col("l_orderkey"))
-    return (
-        j.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("rk", "l_orderkey", F.round("rev_raw", DEC).alias("revenue"), "n_lines")
+    # rank on the RAW value (the oracle does too); round only the output.
+    # sort+limit -> TakeOrderedAndProject (distributed top-k), rank
+    # derived on the 20-row result — no single-partition global window
+    order = [F.col("rev_raw").desc(), F.col("l_orderkey")]
+    top = j.orderBy(*order).limit(20)
+    # non-foldable constant partition key (see q_ordered_limit)
+    w = Window.partitionBy(F.pmod(F.col("l_orderkey"), F.lit(1))).orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "l_orderkey", F.round("rev_raw", DEC).alias("revenue"), "n_lines"
     )
 
 
@@ -457,10 +465,14 @@ def q_minhash_lsh(spark, sf):
 
 
 def q_simhash_near_dups(spark, sf):
+    # portable 60-bit simhash (md5-60 token hash) with banding DERIVED
+    # from max_dist (max_dist+1 bands -> complete candidate recall by
+    # pigeonhole), so the result set equals the brute-force pair set —
+    # which is exactly what the DuckDB oracle computes
     from olx_spark.operators.similarity import simhash_near_dups
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dups(d, "doc_id", "text", max_dist=10)
+    return simhash_near_dups(d, "doc_id", "text", max_dist=10, nbits=60)
 
 
 def q_ann_lsh(spark, sf):
@@ -470,7 +482,9 @@ def q_ann_lsh(spark, sf):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, q, k=5, n_planes=4).select(
+    # dim=64 is the embeddings table's fixed width (TESTDATA.md); at
+    # scale this is table metadata — never derived by a driver job
+    return lsh_topk(emb, q, dim=64, k=5, n_planes=4).select(
         "query_id", "cand_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     )
 
@@ -523,10 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
-        # rows-only (no SQL equivalent; exact tests live in tests/)
-        "q_crawl_reference": q_crawl_reference,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_near_dups": q_simhash_near_dups,
+        # rows-only (no SQL equivalent; exact tests live in tests/)
+        "q_crawl_reference": q_crawl_reference,
         "q_ann_lsh": q_ann_lsh,
         "q_image_features": q_image_features,
     }
@@ -617,6 +631,30 @@ def _sql_minhash_lsh(n_perm: int = 16, bands: int = 4, threshold: float = 0.5) -
         )
         select doc_a, doc_b, round(j, 6) as jaccard
         from verified where j >= {threshold}
+    """
+
+
+def _sql_simhash_near_dups(nbits: int = 60, max_dist: int = 10, id_max: int = 500) -> str:
+    """DuckDB twin of simhash_near_dups(portable md5-60, banding derived
+    from max_dist): complete candidate recall makes the banded result
+    equal the brute-force pair set, which is what this computes."""
+    bit = lambda i: (
+        f"(case when list_sum([case when (h >> {i}) & 1 = 1 then 1 else -1 end "
+        f"for h in hs]) >= 0 then (1::bigint << {i}) else 0::bigint end)"
+    )
+    sh = "(" + " + ".join(bit(i) for i in range(nbits)) + ")::bigint"
+    toks = f"string_split({_sql_norm('text')}, ' ')"
+    return f"""
+        with d as (
+            select doc_id, [{_sql_md5_60('t')} for t in {toks}] as hs
+            from documents where doc_id < {id_max}
+        ), sim as (
+            select doc_id, {sh} as sh from d
+        )
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               bit_count(xor(a.sh, b.sh))::int as dist
+        from sim a join sim b on a.doc_id < b.doc_id
+        where bit_count(xor(a.sh, b.sh)) <= {max_dist}
     """
 
 
@@ -778,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             ) where rn = 1
         """,
         "q_simhash16": f"select doc_id, {_sql_simhash16()} as sh16 from documents",
+        "q_simhash_near_dups": _sql_simhash_near_dups(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_ngram_jaccard": f"""
             with d as (

@@ -146,23 +146,25 @@ def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
     )
 
 
-def simhash16(col: Column | str) -> Column:
-    """16-bit SimHash over whitespace tokens with the md5-60 token hash
-    (oracle-checkable width; the 64-bit variant lives in
-    operators/similarity.py as a vectorized pandas UDF).
+def simhash_wide(col: Column | str, nbits: int = 60) -> Column:
+    """``nbits``-bit SimHash over whitespace tokens with the md5-60
+    token hash — pure JVM Column expression, so any width up to 60 has
+    an exact DuckDB twin (the token hash itself is 60-bit).
 
-    Single pass: ONE aggregate carrying a 16-lane vote vector — the
-    16-separate-aggregates formulation re-walked the token array per
-    bit (16x the work; 4.7s -> sub-second at sf0.1)."""
+    Single pass: ONE aggregate carrying an ``nbits``-lane vote vector —
+    a per-bit-aggregate formulation re-walks the token array per bit
+    (nbits x the work; measured 4.7s -> sub-second at sf0.1 for 16)."""
+    if not 1 <= nbits <= 60:
+        raise ValueError(f"nbits must be in [1, 60], got {nbits}")
     toks = F.split(norm_text(col), " ")
     hashes = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(16)])
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(nbits)])
     votes = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), 16),
+        F.array_repeat(F.lit(0).cast("bigint"), nbits),
         lambda acc, h: F.zip_with(
             acc,
             masks,
@@ -179,3 +181,8 @@ def simhash16(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash (oracle-checkable width) — see simhash_wide."""
+    return simhash_wide(col, 16)

@@ -27,18 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from olx_spark.operators.ranking import frontier_order_cols
+
+
+def robots_flag(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Broadcast-join the hosts dimension and add a boolean
+    ``disallowed`` column (path matches a disallow prefix of its host).
+    ``hosts``: (host, crawl_delay_ms, robots_disallow array).
+    JVM ``exists`` — zero Python.
+
+    Returning a flag instead of filtering lets callers split ONE cached
+    scan into allowed/excluded with two cheap filters — the previous
+    ``exceptAll(frontier - polite)`` shape shuffled both sides every
+    round that had any disallow rule."""
+    joined = frontier.join(F.broadcast(hosts), on="host", how="left")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return joined.withColumn(
+        "disallowed",
+        F.exists(
+            F.coalesce(F.col("robots_disallow"), F.array()),
+            lambda p: path.startswith(p),
+        ),
+    )
+
 
 def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     """Drop frontier URLs whose path matches a disallow prefix of its
-    host. ``hosts``: (host, crawl_delay_ms, robots_disallow array).
-    Broadcast join + JVM ``exists`` — zero Python."""
-    joined = frontier.join(F.broadcast(hosts), on="host", how="left")
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
-    disallowed = F.exists(
-        F.coalesce(F.col("robots_disallow"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.filter(~disallowed)
+    host (filter view of :func:`robots_flag`)."""
+    return robots_flag(frontier, hosts).filter(~F.col("disallowed")).drop("disallowed")
 
 
 def per_host_budget(
@@ -49,12 +65,14 @@ def per_host_budget(
 ) -> DataFrame:
     """Rank frontier rows per host and keep the round's budget:
     budget = round_budget_ms / crawl_delay_ms (or default when delay=0).
-    Adds ``host_rank`` (0-based) and ``not_before_ms``."""
-    order_cols = order_cols or [
-        F.col("priority").desc(),
-        F.col("discovery_round"),
-        F.col("discovery_pos"),
-    ]
+    Adds ``host_rank`` (0-based) and ``not_before_ms``.
+
+    The default order includes the frontier fingerprint tie-breaks
+    (parent_fp, url_fp when present): (priority, round, pos) alone is
+    not a total order — two listing pages of one host fetched in the
+    same round yield identical triples, and the budget cut would then
+    depend on partition iteration order."""
+    order_cols = order_cols or frontier_order_cols(frontier)
     w = Window.partitionBy("host").orderBy(*order_cols)
     budget = F.when(
         F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,

@@ -2,9 +2,21 @@
 items 4, 6; §4.2 item 1).
 
 A bare ``df.limit(n)`` is partition-order-nondeterministic in Spark, so
-every "take the first n" in this engine is rank-then-filter over an
-explicit total order — the same trick that makes the crawl order
-reproducible across cluster sizes.
+every "take the first n" in this engine is over an explicit TOTAL order.
+Two scale-aware shapes:
+
+- per-group top-n: ``row_number() over (partition by g order by ...)``
+  -> rank-then-filter. One shuffle on ``g``; each partition sorts only
+  its group.
+- GLOBAL top-n: ``orderBy(...).limit(n)`` which Catalyst compiles to
+  ``TakeOrderedAndProject`` — a distributed partial top-n per partition
+  merged on one reducer over only n rows. Deterministic given a total
+  order, and it never moves the full dataset to a single partition
+  (a global ``Window.orderBy`` with no partitionBy does — the
+  "WindowExec: No Partition Defined" scale-killer).
+
+The rank column is derived AFTER the limit, over the tiny (<= n row)
+result, partitioned by a constant so no global-window warning fires.
 """
 
 from __future__ import annotations
@@ -12,25 +24,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# deterministic tie-breaks appended to every frontier ordering when the
+# columns exist: (priority, discovery_round, discovery_pos) alone is NOT
+# a total order — two listing pages of the same host fetched in the same
+# round emit ads with identical (priority, round, pos), and row_number
+# ties would then be broken by partition iteration order
+_FRONTIER_TIEBREAKS = ("parent_fp", "discovery_pos", "url_fp")
+
+
+def frontier_order_cols(df: DataFrame) -> list:
+    """The engine's canonical frontier total order: priority desc, then
+    discovery order, then the fingerprint tie-breaks present in ``df``."""
+    cols = [F.col("priority").desc(), F.col("discovery_round")]
+    for c in _FRONTIER_TIEBREAKS:
+        if c in df.columns:
+            cols.append(F.col(c))
+    return cols
+
 
 def frontier_rank(frontier: DataFrame) -> DataFrame:
     """Per-host priority queue: rank by (priority desc, discovery_round,
-    discovery_pos) within host — the window-function heart of the
-    scheduler (north_star)."""
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("discovery_round"), F.col("discovery_pos")
-    )
+    parent_fp, discovery_pos, url_fp) within host — the window-function
+    heart of the scheduler (north_star). The fingerprint tie-breaks make
+    the order total, so ranks are identical at any parallelism."""
+    w = Window.partitionBy("host").orderBy(*frontier_order_cols(frontier))
     return frontier.withColumn("host_rank", F.row_number().over(w) - 1)
 
 
 def ordered_limit(df: DataFrame, n: int, order_cols: list, partition_cols: list | None = None) -> DataFrame:
     """Deterministic top-n in a total order; optionally per partition
-    group. Adds ``rank_in_limit`` (0-based)."""
+    group. Adds ``rank_in_limit`` (0-based).
+
+    Global form compiles to ``TakeOrderedAndProject`` (distributed
+    partial top-n) — NOT a no-partition window, which would move the
+    entire input through one task at scale."""
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    else:
-        w = Window.orderBy(*order_cols)
-    return (
-        df.withColumn("rank_in_limit", F.row_number().over(w) - 1)
-        .filter(F.col("rank_in_limit") < n)
-    )
+        return (
+            df.withColumn("rank_in_limit", F.row_number().over(w) - 1)
+            .filter(F.col("rank_in_limit") < n)
+        )
+    top = df.orderBy(*order_cols).limit(n)
+    # rank over the <= n surviving rows only, partitioned by a constant
+    # so the plan stays a (tiny) partitioned window, not a global one.
+    # NB: a plain lit(0) partition key gets constant-folded out of the
+    # window spec, reviving the global window — miid % 1 is always 0
+    # but non-foldable (miid is marked nondeterministic)
+    const_key = F.pmod(F.monotonically_increasing_id(), F.lit(1))
+    w = Window.partitionBy(const_key).orderBy(*order_cols)
+    return top.withColumn("rank_in_limit", F.row_number().over(w) - 1)

@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -29,6 +31,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from olx_spark.functions.text import minhash_signature, norm_text, word_shingles
+
+logger = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------- MinHash LSH
@@ -44,11 +48,24 @@ def minhash_docs(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_perm: int = 16, bands: int = 4, max_bucket: int = 1000
+    sigs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Banding: split the signature into ``bands`` rows each hashing
     ``n_perm/bands`` minhashes; docs sharing any band bucket become a
-    candidate pair (doc_a < doc_b)."""
+    candidate pair (doc_a < doc_b).
+
+    Scale safety: bucket sizes are computed with a COUNT-ONLY
+    aggregation first; buckets above ``max_bucket`` (degenerate
+    boilerplate shingles) are dropped before any id list exists, and
+    the pair fan-out is a self-join within surviving buckets — a
+    mega-bucket never materializes a ``collect_list`` row, so one
+    10^7-doc boilerplate bucket can't OOM an executor. With
+    ``log_dropped`` the dropped-bucket count is computed (one extra
+    small job over the cached size table) and logged."""
     rows_per_band = n_perm // bands
     # band hash is md5-60 (portable) so the DuckDB oracle can recompute
     # the exact same candidate set (xxhash64 is Spark-only)
@@ -79,25 +96,33 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    # drop degenerate mega-buckets (boilerplate shingles) — logged upstream
-    bucket = banded.groupBy("band_id", "band_hash").agg(
-        F.collect_list("doc_id").alias("ids"), F.count("*").alias("n")
-    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-    pairs = bucket.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda a: F.transform(
-                            "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
-                        ),
-                    )
-                ),
-                lambda p: p["a"] < p["b"],
+    # count-only bucket sizing FIRST (no id lists anywhere), then keep
+    # only productive, non-degenerate buckets
+    sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    if log_dropped:
+        sizes = sizes.cache()
+        n_dropped = sizes.filter(F.col("n") > max_bucket).count()
+        if n_dropped:
+            logger.warning(
+                "lsh_candidate_pairs: dropped %d mega-bucket(s) larger than "
+                "max_bucket=%d (degenerate/boilerplate shingles)",
+                n_dropped,
+                max_bucket,
             )
-        ).alias("p")
-    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band_id", "band_hash"
+    )
+    kept = banded.join(ok, ["band_id", "band_hash"])
+    other = kept.select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_b")
+    )
+    # pair fan-out streams through the join — never a per-bucket array
+    pairs = (
+        kept.join(other, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
     return pairs
 
 
@@ -167,21 +192,59 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance <= max_dist, blocked
-    on 16-bit bands (a pair within distance d <= 3 shares at least one
-    of 4 bands exactly — pigeonhole)."""
-    s = simhash64(df, id_col, text_col)
-    banded = s.select(
-        "doc_id",
-        "simhash",
+def _band_slices(nbits: int, bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band, widths differing by at most 1."""
+    base, extra = divmod(nbits, bands)
+    out, shift = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def _banded(sigs: DataFrame, sim_col: str, nbits: int, bands: int) -> DataFrame:
+    """Explode a simhash column into (band_id, band_val) rows. Uses
+    unsigned shifts so the sign bit of a full-64-bit hash can't smear
+    into higher bands."""
+    return sigs.select(
+        "*",
         F.posexplode(
-            F.array(*[
-                F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
-            ])
+            F.array(
+                *[
+                    F.shiftrightunsigned(sim_col, shift).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for shift, width in _band_slices(nbits, bands)
+                ]
+            )
         ).alias("band_id", "band_val"),
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_dist.
+
+    Banding is DERIVED from max_dist: the simhash is split into
+    ``max_dist + 1`` bands, so any pair within distance max_dist leaves
+    at least one band untouched (pigeonhole) — candidate recall is
+    complete for the advertised radius, whatever it is. (A fixed 4-band
+    split silently dropped pairs at distance 4+ when callers asked for
+    a larger radius.) One shuffle keyed by (band_id, band_val).
+    """
+    bands = max_dist + 1
+    if bands > nbits:
+        raise ValueError(f"max_dist={max_dist} needs {bands} bands > {nbits} bits")
+    s = simhash64(df, id_col, text_col) if nbits == 64 else simhash_portable(
+        df, id_col, text_col, nbits
+    )
+    banded = _banded(s, "simhash", nbits, bands)
     other = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sim_b"),
@@ -194,12 +257,24 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_dist: int =
         .select(
             F.col("doc_id").alias("doc_a"),
             F.col("doc_b"),
-            hamming64(F.col("simhash"), F.col("sim_b")).alias("dist"),
+            hamming64(F.col("simhash"), F.col("sim_b")).cast("int").alias("dist"),
         )
         .distinct()
         .filter(F.col("dist") <= max_dist)
     )
     return pairs
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str, nbits: int = 60) -> DataFrame:
+    """(doc_id, simhash) with the portable md5-60 token hash (pure JVM
+    expression) — every bit recomputable by an external SQL oracle,
+    unlike the xxhash64-keyed simhash64."""
+    from olx_spark.functions.text import simhash_wide
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_wide(F.col(text_col), nbits).alias("simhash"),
+    )
 
 
 # --------------------------------------------------------- embedding cosine
@@ -274,9 +349,9 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 5,
     n_planes: int = 8,
-    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -287,9 +362,11 @@ def lsh_topk(
     bucket one sign-flip away — n_planes+1 probes, the standard recall
     fix for sign-LSH. Corpus stays distributed; only the small query
     side explodes. Recall measured vs brute_force_topk in tests; the
-    100-TB path shards buckets."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+    100-TB path shards buckets.
+
+    ``dim`` is REQUIRED plan metadata (embedding width): deriving it
+    with ``queries.first()`` ran a Spark job inside plan construction —
+    at scale the width comes from table metadata, never from data."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")

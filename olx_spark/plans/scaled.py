@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from olx_spark.functions.urls import canonicalize_modern
 from olx_spark.operators.dedup import BloomSeenFilter, anti_join_unseen, first_seen_dedup
 from olx_spark.operators.fetch import fetch_listings, fetch_parse_ads, with_lineage
-from olx_spark.operators.politeness import per_host_budget, robots_filter
+from olx_spark.operators.politeness import per_host_budget, robots_flag
 from olx_spark.plans.crawl import CrawlConfig
 from olx_spark.plans.snapshot import SnapshotStore
 
@@ -205,11 +205,13 @@ class ScaledCrawlEngine:
 
         # politeness: robots + per-host crawl-delay budget; robots-hit
         # rows go straight to seen (state EXCLUDED) so they never
-        # linger. With no disallow rules anywhere, skip the whole-
-        # frontier set-difference (a full extra shuffle per round).
+        # linger. The disallow test is a broadcast-joined flag column,
+        # so allowed/excluded are two filters over ONE cached scan —
+        # no exceptAll (which shuffled both sides every round).
         if self._has_robots:
-            polite = robots_filter(pending, self.hosts_df)
-            excluded = pending.select("url_fp").exceptAll(polite.select("url_fp"))
+            flagged = robots_flag(pending, self.hosts_df)
+            polite = flagged.filter(~F.col("disallowed")).drop("disallowed")
+            excluded = flagged.filter(F.col("disallowed")).select("url_fp")
         else:
             polite = pending.join(F.broadcast(self.hosts_df), on="host", how="left")
             excluded = None
@@ -232,8 +234,11 @@ class ScaledCrawlEngine:
         limits_df = self.spark.createDataFrame(
             limits, "name string, remaining long, base_seq long"
         )
+        # url_fp final tie-break: (priority, round, parent, pos) is not
+        # total when one host's pages collide — see per_host_budget
         w_seed = Window.partitionBy("name").orderBy(
-            F.col("priority").desc(), "discovery_round", "parent_fp", "discovery_pos"
+            F.col("priority").desc(), "discovery_round", "parent_fp",
+            "discovery_pos", "url_fp",
         )
         ads_sched = (
             gated.filter(F.col("kind") == "ad")

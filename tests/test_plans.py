@@ -94,12 +94,39 @@ def test_events_filter_pushdown_on_type(spark):
     assert "event_type" in pushed and "value" in pushed
 
 
-def test_ordered_limit_has_single_shuffle(spark):
-    """rank-then-filter global top-k: exactly one exchange (the global
-    sort for the window), no extra repartitions."""
-    df = entry_mod.q_ordered_limit(spark, SF_DIR)
-    plan = plan_of(df)
-    assert plan.count("Exchange") <= 2  # window singlepartition + AQE read
+def test_ordered_limit_is_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject (distributed
+    partial top-k), never a no-partition window that funnels the whole
+    table through one task ("WindowExec: No Partition Defined")."""
+    import re
+
+    for q in (entry_mod.q_ordered_limit, entry_mod.q_join_agg_topk):
+        df = q(spark, SF_DIR)
+        df.collect()  # finalize AQE
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, q.__name__
+        # every Window operator left must carry a partition spec (the
+        # constant-partitioned rank over the limited rows qualifies);
+        # an empty windowspecdefinition partition list is the scale bug
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            spec = plan[m.end() : m.end() + 120]
+            assert not spec.startswith(("o_", "l_", "rev_raw DESC")), (
+                q.__name__,
+                spec,
+            )
+
+
+def test_ordered_limit_operator_take_ordered(spark):
+    from olx_spark.operators.ranking import ordered_limit
+
+    df = spark.range(100000).select(
+        F.col("id"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    out = ordered_limit(df, 5, [F.col("v").desc(), F.col("id")])
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan
+    got = [r["id"] for r in out.orderBy("rank_in_limit").collect()]
+    assert len(got) == 5
 
 
 def test_anti_join_strategy(spark):

@@ -51,6 +51,57 @@ def test_per_host_budget_and_delay(spark):
     assert nb == [0, 200, 400]
 
 
+def test_per_host_budget_ties_deterministic(spark):
+    """Two listing pages of ONE host fetched in the SAME round produce
+    ads with identical (priority, discovery_round, discovery_pos) — the
+    default order must still be total (parent_fp, url_fp tie-breaks),
+    so the budget cut is identical at any parallelism."""
+    rows = [
+        # (url, host, priority, round, pos, parent_fp)
+        (f"https://h.example/ad/{p}/{i}/", "h.example", 1, 0, i, p)
+        for p in (111, 222)  # two parent pages, colliding (prio, rnd, pos)
+        for i in range(6)
+    ]
+    schema = (
+        "url string, host string, priority int, discovery_round int, "
+        "discovery_pos long, parent_fp long"
+    )
+    picks = []
+    for nparts in (1, 7, 32):
+        f = (
+            spark.createDataFrame(rows, schema)
+            .repartition(nparts)
+            .withColumn("url_fp", F.xxhash64("url"))
+            .withColumn("crawl_delay_ms", F.lit(0))
+        )
+        out = per_host_budget(f, default_per_round=5)
+        picks.append(sorted((r["host_rank"], r["url"]) for r in out.collect()))
+        assert len(picks[-1]) == 5
+    assert picks[0] == picks[1] == picks[2]
+    # parent 111's ads outrank parent 222's at equal (prio, round, pos)
+    assert all(u.startswith("https://h.example/ad/111/") for _, u in picks[0][:5])
+
+
+def test_robots_flag_splits_one_scan(spark):
+    """robots_flag returns a disallowed column so allowed/excluded are
+    two filters of one scan — no exceptAll set-difference in the plan."""
+    from olx_spark.operators.politeness import robots_flag
+
+    f = _frontier(spark)
+    hosts = spark.createDataFrame(
+        [("h0.example", 0, ["/a/1"]), ("h1.example", 0, [])],
+        "host string, crawl_delay_ms int, robots_disallow array<string>",
+    )
+    flagged = robots_flag(f, hosts)
+    allowed = flagged.filter(~F.col("disallowed"))
+    excluded = flagged.filter(F.col("disallowed"))
+    assert excluded.count() == 1
+    assert allowed.count() == 9
+    plan = excluded._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_robots_filter_prefix(spark):
     f = _frontier(spark)
     hosts = spark.createDataFrame(

@@ -66,6 +66,78 @@ def test_simhash_finds_planted_near_dups(docs_with_dups):
     assert len({r["doc_id"] for r in sh}) == len(sh)
 
 
+def test_lsh_mega_bucket_dropped_and_logged(spark, caplog):
+    """A boilerplate shingle shared by every doc creates one bucket per
+    band holding ALL docs; buckets above max_bucket must be dropped
+    BEFORE any id-list materializes, with the drop count logged."""
+    import logging
+
+    # 40 docs sharing identical text -> every band bucket has 40 members
+    df = spark.createDataFrame(
+        [(i, "common boilerplate header shared by every single page") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_docs(df, "doc_id", "text")
+    with caplog.at_level(logging.WARNING, logger="olx_spark.operators.similarity"):
+        pairs = lsh_candidate_pairs(sigs, max_bucket=10)
+        assert pairs.count() == 0  # all candidates came from mega-buckets
+    assert any("mega-bucket" in r.message for r in caplog.records)
+    # plan shape: no collect_list anywhere on the pair path
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_lsh_normal_buckets_survive_mega_bucket_filter(spark):
+    """Docs in small buckets still pair up when a mega-bucket coexists."""
+    rows = [(i, "common boilerplate text everywhere here") for i in range(40)]
+    rows += [
+        (1000, "a very specific rare document about bicycles in lviv"),
+        (1001, "a very specific rare document about bicycles in lviv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_docs(df, "doc_id", "text")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=10, log_dropped=False).collect()
+    }
+    assert (1000, 1001) in pairs
+    assert all(a >= 1000 for a, _ in pairs)
+
+
+def test_simhash_bands_derived_from_max_dist(docs_with_dups):
+    """ADVICE fix: asking for radius d must yield d+1 bands so pairs at
+    distance 4..d are NOT silently dropped. The banded result must equal
+    the brute-force Hamming pair set at the same radius."""
+    from olx_spark.operators.similarity import hamming64, simhash_portable
+
+    d = docs_with_dups.filter(F.col("doc_id") < 80)
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in simhash_near_dups(d, "doc_id", "text", max_dist=10, nbits=60).collect()
+    }
+    s = simhash_portable(d, "doc_id", "text", 60)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            hamming64(F.col("sa"), F.col("sb")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+        .collect()
+    }
+    assert got == brute
+    assert any(dist > 3 for _, _, dist in brute) or len(brute) == 0
+
+
+def test_simhash_max_dist_too_large_raises(docs_with_dups):
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs_with_dups, "doc_id", "text", max_dist=64, nbits=64)
+
+
 def test_cosine_expression(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
@@ -93,7 +165,7 @@ def test_brute_force_topk(emb):
 def test_lsh_topk_recall(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, k=5).collect()
-    approx = lsh_topk(emb, queries, k=5, n_planes=4).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
     exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
     approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
