@@ -246,12 +246,30 @@ def q_unfold_rounds(spark, sf):
 
 
 def q_duration_parse(spark, sf):
-    # timestamp arithmetic (duration-parse shape, SURVEY §2.1 row 18)
+    # SURVEY §2.1 row 18, full reference semantics: synthesize the
+    # proxy table's "N units [M units] ago" strings, then parse them
+    # back with the regexp-extract-all + unit-multiplier fold of
+    # FreeProxy.scala:59-70 (duration_ago_seconds), plus the original
+    # timestamp arithmetic
+    from olx_spark.functions.durations import duration_ago_seconds
+
     e = _t(spark, sf, "events")
     ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
     epoch0 = F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("timestamp_ltz").cast("long")
+    unit = F.element_at(
+        F.array(F.lit("secs"), F.lit("mins"), F.lit("hours"), F.lit("days")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    n1 = (F.col("event_id") % 23 + 1).cast("string")
+    n2 = (F.col("event_id") % 59 + 1).cast("string")
+    dur_str = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(n1, F.lit(" "), unit, F.lit(" "), n2, F.lit(" mins ago")),
+    ).otherwise(F.concat(n1, F.lit(" "), unit, F.lit(" ago")))
     return e.select(
         "event_id",
+        dur_str.alias("dur_str"),
+        duration_ago_seconds(dur_str).alias("ago_s"),
         F.floor((ts_s - epoch0) / 3600).cast("bigint").alias("hours_since"),
     )
 
@@ -763,9 +781,33 @@ def oracle_sql() -> dict[str, str]:
             group by r.i
         """,
         "q_duration_parse": """
-            select event_id,
+            with d as (
+                select event_id, ts,
+                       case when event_id % 3 = 0
+                            then (event_id % 23 + 1) || ' ' ||
+                                 (['secs','mins','hours','days'])[(event_id % 4 + 1)::int]
+                                 || ' ' || (event_id % 59 + 1) || ' mins ago'
+                            else (event_id % 23 + 1) || ' ' ||
+                                 (['secs','mins','hours','days'])[(event_id % 4 + 1)::int]
+                                 || ' ago'
+                       end as dur_str
+                from events
+            )
+            select event_id, dur_str,
+                   coalesce(list_sum([
+                       (string_split(m, ' ')[1])::bigint *
+                       (case string_split(m, ' ')[2]
+                            when 'sec' then 1 when 'secs' then 1
+                            when 'second' then 1 when 'seconds' then 1
+                            when 'min' then 60 when 'mins' then 60
+                            when 'minute' then 60 when 'minutes' then 60
+                            when 'hour' then 3600 when 'hours' then 3600
+                            when 'day' then 86400 when 'days' then 86400
+                            else 0 end)
+                       for m in regexp_extract_all(replace(dur_str, 'ago', ''), '(\\d+ \\S+)', 1)
+                   ]), 0)::bigint as ago_s,
                    floor((floor(epoch(ts))::bigint - floor(epoch(timestamp '2024-01-01 00:00:00'))::bigint) / 3600)::bigint as hours_since
-            from events
+            from d
         """,
         "q_metrics_agg": """
             select l_returnflag, l_linestatus,

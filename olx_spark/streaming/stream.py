@@ -6,16 +6,31 @@ kept thin by design).
 Shape: discovered URLs arrive as files in a drop directory (the
 streaming stand-in for a Kafka frontier topic); each micro-batch runs
 the SAME batch operators (canonicalize -> fingerprint -> first-seen
-dedup vs the seen table) inside ``foreachBatch`` and appends fresh URLs
-to the snapshot store. Using foreachBatch (not stateful operators) is
-deliberate: the seen-set already lives in snapshot tables shared with
-the batch engine, so both modes have one source of truth — and the
-batch operators are reused verbatim.
+dedup) inside ``foreachBatch`` and appends fresh URLs to the snapshot
+store. Using foreachBatch (not stateful operators) is deliberate: the
+state already lives in snapshot tables shared with the batch engine,
+so both modes have one source of truth — and the batch operators are
+reused verbatim.
+
+Table semantics (shared store contract):
+
+- ``frontier``  — discovered URLs; the batch engine schedules from it.
+- ``enqueued``  — STREAM-level dedup marker: url_fps this stream has
+  already pushed into the frontier. Kept separate from ``seen``:
+  ``seen`` means *scheduled/fetched* in the batch engine, and writing
+  stream discoveries there would make the engine's frontier-MINUS-seen
+  anti-join drop every streamed URL before it was ever fetched.
+- ``seen``      — read-only here: a URL the batch engine already
+  fetched is not re-enqueued.
+
+The manifest ``state`` dict is MERGED (stream keys added), never
+replaced — clobbering it destroyed the batch engine's ``seeds`` /
+``next_round`` and broke resume.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olx_spark.functions.urls import canonicalize_modern
@@ -42,8 +57,6 @@ def start_frontier_stream(
         .json(drop_dir)
     )
 
-    batch_no = {"n": 0}
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         canon = (
             batch_df.withColumn(
@@ -53,25 +66,42 @@ def start_frontier_stream(
             .withColumn("host", F.parse_url("url", F.lit("HOST")))
         )
         fresh = first_seen_dedup(canon, ["url_fp"], ["name", "href"])
+        # stream-level dedup: never enqueue a url_fp twice...
+        enqueued = store.read_table("enqueued")
+        if enqueued is not None:
+            fresh = anti_join_unseen(fresh, enqueued)
+        # ...and never re-enqueue what the batch engine already fetched
         seen = store.read_table("seen")
         if seen is not None:
             fresh = anti_join_unseen(fresh, seen)
         rounds = store.committed_rounds()
         nxt = (max(rounds) + 1) if rounds else 0
+        # discovery_pos: a deterministic position in an explicit total
+        # order — NOT monotonically_increasing_id, whose per-partition
+        # id blocks collide/overflow under an int cast and made the
+        # ordering partition-layout-dependent. The micro-batch is small,
+        # so one rank task is fine; the constant partition key is
+        # non-foldable (a foldable one is optimized away, reviving the
+        # global-window warning).
+        w = Window.partitionBy(
+            F.pmod(F.monotonically_increasing_id(), F.lit(1))
+        ).orderBy("name", "url_fp")
         out = fresh.select(
             "name", "url", "url_fp", "host",
             F.lit("ad").alias("kind"), F.lit(0).alias("depth"),
             F.coalesce("priority", F.lit(0)).alias("priority"),
             F.lit(nxt).alias("discovery_round"),
             F.lit(0).cast("long").alias("parent_fp"),
-            F.monotonically_increasing_id().cast("int").alias("discovery_pos"),
-        )
+        ).withColumn("discovery_pos", (F.row_number().over(w) - 1).cast("int"))
+        # MERGE stream bookkeeping into the manifest state: replacing it
+        # clobbered the batch engine's seeds/next_round (resume KeyError)
+        state = dict(store.last_state())
+        state.setdefault("stream_batches", []).append(int(batch_id))
         store.commit_round(
             nxt,
-            {"frontier": out, "seen": out.select("url_fp")},
-            {"stream_batch": int(batch_id)},
+            {"frontier": out, "enqueued": out.select("url_fp")},
+            state,
         )
-        batch_no["n"] += 1
 
     writer = (
         raw.writeStream.foreachBatch(process)

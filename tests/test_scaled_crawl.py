@@ -127,6 +127,47 @@ def test_compaction_preserves_crawl(spark, graph, tmp_path_factory, exact_run):
     assert eng.seen_fps().count() > 0
 
 
+def test_partial_failure_keeps_round_and_rows(spark, tmp_path_factory):
+    """Reference error semantics (OlxServer.scala:56-59): one failed ad
+    fetch kills the whole job fiber, keeping only already-inserted rows.
+    The engine is strictly more robust by design: failed fetches land in
+    fetch_log with per-row status=NOT_FOUND, the round still commits,
+    and every OTHER ad of the same round is parsed normally."""
+    g = make_crawl_graph(n_hosts=2, pages_per_host=2, hot_host_factor=1)
+    # 404 every 5th ad page: drop it from the "server" after the links
+    # to it were already published on listing pages
+    killed = sorted(g.store.ads)[::5]
+    for k in killed:
+        del g.store.ads[k]
+    assert killed
+    cfg = CrawlConfig(
+        mode="scaled",
+        dedup_scope="global_exact",
+        checkpoint_dir=str(tmp_path_factory.mktemp("scaled_404")),
+        max_rounds=30,
+        with_payload=False,
+    )
+    eng = ScaledCrawlEngine(spark, g, cfg)
+    eng.run([dict(s, count=60) for s in g.seeds])
+    log = eng.fetch_log().collect()
+    by_status: dict[str, set] = {}
+    for r in log:
+        by_status.setdefault(r["status"], set()).add(r["url"])
+    from urllib.parse import urlsplit
+
+    not_found = by_status.get("NOT_FOUND", set())
+    assert not_found, "no NOT_FOUND rows recorded"
+    assert all((urlsplit(u).netloc, urlsplit(u).path) in set(killed) for u in not_found)
+    # rounds committed: OK rows of the same run are parsed and persisted
+    ok_rows = eng.results().filter(F.col("title").isNotNull()).count()
+    assert ok_rows == len(by_status.get("OK", set()))
+    assert ok_rows > 0
+    # every NOT_FOUND row carries lineage like any other row
+    assert all(
+        r["partition_id"] is not None and r["elapsed_ms"] >= 0 for r in log
+    )
+
+
 def test_politeness_budget_respected(spark, graph, tmp_path_factory):
     eng = _run(
         spark, graph, tmp_path_factory, "global_exact", "polite",

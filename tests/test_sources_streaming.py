@@ -83,3 +83,67 @@ def test_streaming_frontier_ingest(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert store.read_table("frontier").count() == 15
+    # dedup marker is the stream-level 'enqueued' table, NOT 'seen':
+    # writing 'seen' would make the batch engine's frontier-minus-seen
+    # anti-join drop every streamed URL before it was fetched
+    assert store.read_table("enqueued").count() == 15
+    assert store.read_table("seen") is None
+
+
+def test_streaming_positions_stable_across_partitionings(spark, tmp_path):
+    """discovery_pos must be the rank in the explicit (name, url_fp)
+    order — identical whatever the file/partition layout of the batch
+    (the old int-cast monotonically_increasing_id collided across
+    partitions)."""
+    from olx_spark.plans.snapshot import SnapshotStore
+    from olx_spark.streaming.stream import start_frontier_stream
+
+    recs = [
+        {"name": f"s{i % 3}", "base_url": "https://h.example/list/?x=1",
+         "href": f"/d/ad/b-{i}/", "priority": 1}
+        for i in range(24)
+    ]
+    runs = []
+    for layout, n_files in (("one", 1), ("many", 8)):
+        drop = tmp_path / f"drop_{layout}"
+        drop.mkdir()
+        for fi in range(n_files):
+            with open(drop / f"f{fi}.json", "w") as f:
+                for r in recs[fi::n_files]:
+                    f.write(json.dumps(r) + "\n")
+        store = SnapshotStore(str(tmp_path / f"snap_{layout}"), spark)
+        q = start_frontier_stream(
+            spark, str(drop), store, str(tmp_path / f"ckpt_{layout}"),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        rows = store.read_table("frontier").collect()
+        runs.append(sorted((r["name"], r["url"], r["discovery_pos"]) for r in rows))
+        pos = sorted(r["discovery_pos"] for r in rows)
+        assert pos == list(range(len(recs)))  # dense, unique, 0-based
+    assert runs[0] == runs[1]
+
+
+def test_streaming_merges_manifest_state(spark, tmp_path):
+    """Streaming into a store shared with the batch engine must MERGE
+    its bookkeeping into the manifest state — replacing it destroyed
+    seeds/next_round and broke engine resume."""
+    from olx_spark.plans.snapshot import SnapshotStore
+    from olx_spark.streaming.stream import start_frontier_stream
+
+    store = SnapshotStore(str(tmp_path / "snap"), spark)
+    seed_df = spark.createDataFrame([(1,)], "url_fp long")
+    engine_state = {"seeds": {"job-a": {"count": 5, "scheduled": 0}}, "next_round": 1}
+    store.commit_round(0, {"seen": seed_df}, engine_state)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "b.json", "w") as f:
+        f.write(json.dumps({"name": "s", "base_url": "https://h.example/l/",
+                            "href": "/d/ad/z-1/", "priority": 0}) + "\n")
+    q = start_frontier_stream(spark, str(drop), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    state = store.last_state()
+    assert state["seeds"] == engine_state["seeds"]  # preserved
+    assert state["next_round"] == 1
+    assert state["stream_batches"] == [0]

@@ -97,3 +97,24 @@ def test_simhash16_range_and_similarity(spark):
     d12 = bin(rows[1] ^ rows[2]).count("1")
     d13 = bin(rows[1] ^ rows[3]).count("1")
     assert d12 < d13
+
+
+def test_duration_ago_seconds_reference_semantics(spark):
+    """FreeProxy.scala:59-70: strip 'ago', find all (\\d+ \\S+)
+    components, unit-multiplier each, fold by addition."""
+    from olx_spark.functions.durations import duration_ago_seconds
+
+    cases = [
+        ("30 secs ago", 30),
+        ("5 mins ago", 300),
+        ("1 hour ago", 3600),
+        ("2 days ago", 2 * 86400),
+        ("1 hour 5 mins ago", 3900),       # multi-component fold
+        ("1 min 30 secs ago", 90),
+        ("7 parsecs ago", 0),              # unknown unit -> 0, row kept
+        ("no digits here", 0),
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r["v"] for r in df.select(duration_ago_seconds("s").alias("v")).collect()]
+    assert got == [want for _, want in cases]
