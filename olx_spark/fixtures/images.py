@@ -83,12 +83,83 @@ def png_decode(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+_DCT8 = None
+
+
+def _dct_matrix8() -> np.ndarray:
+    global _DCT8
+    if _DCT8 is None:
+        n = 8
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT8 = m
+    return _DCT8
+
+
+# uniform quantization steps (DC finer than AC). AC step 6 bounds the
+# per-coefficient error by U(-3,3): MSE <= 36/12 = 3 under the
+# orthonormal DCT => PSNR >= 10*log10(255^2/3) ~ 43.4 dB — comfortably
+# above the input_hint's 40 dB lossy floor, while zeroing enough
+# high-frequency content to compress
+_DCTQ_DC_STEP = 4
+_DCTQ_AC_STEP = 6
+
+
+def _dctq_steps() -> np.ndarray:
+    q = np.full((8, 8), float(_DCTQ_AC_STEP))
+    q[0, 0] = float(_DCTQ_DC_STEP)
+    return q
+
+
+def dctq_encode(arr: np.ndarray) -> bytes:
+    """LOSSY pure-numpy codec: per-channel 8x8 block DCT-II, uniform
+    quantization, zlib entropy stage. Exists so the PSNR>=40dB branch
+    of the payload invariant is executable in a sandbox with no JPEG
+    codec (BASELINE.json input_hint)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64)
+    padded -= 128.0
+    hh, ww = padded.shape[:2]
+    d = _dct_matrix8()
+    steps = _dctq_steps()
+    # (nby, nbx, 8, 8, 3) block view -> DCT along both block axes
+    blocks = padded.reshape(hh // 8, 8, ww // 8, 8, 3).transpose(0, 2, 1, 3, 4)
+    coef = np.einsum("ij,abjkc,lk->abilc", d, blocks, d, optimize=True)
+    q = np.round(coef / steps[None, None, :, :, None]).astype(np.int16)
+    return (
+        struct.pack(">HHBB", h, w, _DCTQ_DC_STEP, _DCTQ_AC_STEP)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def dctq_decode(data: bytes) -> np.ndarray:
+    h, w, dc_step, ac_step = struct.unpack(">HHBB", data[:6])
+    hh, ww = h + ((-h) % 8), w + ((-w) % 8)
+    q = np.frombuffer(zlib.decompress(data[6:]), dtype=np.int16).reshape(
+        hh // 8, ww // 8, 8, 8, 3
+    )
+    steps = np.full((8, 8), float(ac_step))
+    steps[0, 0] = float(dc_step)
+    coef = q.astype(np.float64) * steps[None, None, :, :, None]
+    d = _dct_matrix8()
+    blocks = np.einsum("ji,abjkc,kl->abilc", d, coef, d, optimize=True)
+    px = blocks.transpose(0, 2, 1, 3, 4).reshape(hh, ww, 3) + 128.0
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)[:h, :w]
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(arr)
     if fmt == "raw":
         h, w, _ = arr.shape
         return struct.pack(">HH", h, w) + arr.tobytes()
+    if fmt == "dctq":
+        return dctq_encode(arr)
     if fmt == "jpeg":  # pragma: no cover - no codec in sandbox
         raise NotImplementedError("no JPEG codec available in this environment")
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -100,6 +171,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "raw":
         h, w = struct.unpack(">HH", data[:4])
         return np.frombuffer(data[4:], dtype=np.uint8).reshape(h, w, 3).copy()
+    if fmt == "dctq":
+        return dctq_decode(data)
     if fmt == "jpeg":  # pragma: no cover
         raise NotImplementedError("no JPEG codec available in this environment")
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -187,14 +260,8 @@ def make_image_row(
     ``with_bytes=False`` still generates pixels and the phash (the
     fetch/decode/hash work) but skips encoding and returns bytes=None —
     for throughput runs whose sink keeps metadata only."""
-    rng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i])))
-    sizes = [32, 64, 96]
-    fmts = ["raw", "png"]
+    w, h, fmt, arr = original_pixels(i, seed)
     host_idx = i % n_hosts
-    w = int(rng.choice(sizes))
-    h = int(rng.choice(sizes))
-    fmt = fmts[int(rng.integers(0, len(fmts)))]
-    arr = make_image_array(rng, w, h)
     return {
         "image_id": f"img-{host_idx:03d}-{i:05d}",
         "bytes": encode_image(arr, fmt) if with_bytes else None,
@@ -204,6 +271,22 @@ def make_image_row(
         "caption": image_caption(i),
         "phash": phash64(arr),
     }
+
+
+def original_pixels(i: int, seed: int = 42) -> tuple[int, int, str, np.ndarray]:
+    """(w, h, fmt, pixels) for image ``i`` BEFORE encoding — the ground
+    truth the lossy-payload invariant compares against (input_hint:
+    decoded pixels within PSNR>=40dB of the true image for lossy fmt,
+    exact for lossless). fmt rotates through lossless raw/png and the
+    lossy dctq codec so the lossy branch actually executes."""
+    rng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i])))
+    sizes = [32, 64, 96]
+    fmts = ["raw", "png", "dctq"]
+    w = int(rng.choice(sizes))
+    h = int(rng.choice(sizes))
+    fmt = fmts[int(rng.integers(0, len(fmts)))]
+    arr = make_image_array(rng, w, h)
+    return w, h, fmt, arr
 
 
 def image_index_from_id(image_id: str) -> int:

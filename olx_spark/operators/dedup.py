@@ -6,29 +6,38 @@ The reference's only dedup is per-page ``List.distinct``
 - ``first_seen_dedup``: exact first-occurrence-wins via window
   ``row_number() = 1`` — the correctness oracle, and fine up to ~10^9
   rows (one shuffle on the key).
-- ``anti_join_unseen``: frontier MINUS seen via broadcast-free left
-  anti join — the exact global seen-set at any scale (shuffles both
-  sides on url_fp; with both tables bucketed by url_fp this is a
-  zero-shuffle sort-merge join on a real cluster).
+- ``anti_join_unseen``: frontier MINUS seen via left anti join — the
+  exact global seen-set at any scale (with both tables bucketed by
+  url_fp this is a zero-shuffle sort-merge join on a real cluster).
 - ``BloomSeenFilter``: partitioned Bloom shards for the 10^10-URL
   frontier where materializing the exact seen-set per round is too
-  expensive. Shards are numpy bit-arrays built per ``url_fp % n_shards``
-  group with ``applyInPandas``, OR-merged each round, probed inside
-  ``mapInPandas`` with the shard binaries broadcast. No false
-  negatives (a seen URL always probes positive); false positives
-  (a fresh URL wrongly skipped) bounded by the standard
-  (1 - e^{-kn/m})^k rate, accounted per shard.
+  expensive.
 
-Shard math at 10^10 URLs (documented for the scale claim): target fp
-rate 1% needs m/n ≈ 9.6 bits -> 9.6e10 bits = 12 GB total, sharded
-across e.g. 4096 partitions = 2.9 MB/shard — each shard comfortably
-in-memory in its executor, merged as 4096 small rows per round.
+Bloom layout — fully DISTRIBUTED, nothing resident on the driver:
+
+- shard state is a DataFrame of ``(shard_id, bits, n_items)`` rows
+  (the ``seen_shards`` snapshot table in the engine); a round's build
+  is one ``applyInPandas`` pass grouped by ``url_fp % n_shards`` that
+  emits per-shard DELTA rows — appended to the table, never collected;
+- probing CO-GROUPS the frontier (keyed by the same ``pmod``) with the
+  shard rows, so each task holds exactly one shard's bit-arrays (OR of
+  its deltas) and only that task's slice of the frontier — the filter
+  is never broadcast whole and never lives in a driver dict;
+- delta rows per shard are OR-merged lazily in the probe task and
+  physically by ``merge_shard_deltas`` during snapshot compaction.
+
+Shard math at 10^10 URLs: target fp rate 1% needs m/n ≈ 9.6 bits ->
+9.6e10 bits = 12 GB TOTAL — never materialized in one place: across
+4096 shards that is 2.9 MB per shard row, and a probe task touches
+exactly one of them. No false negatives (a seen URL always probes
+positive); false positives bounded by the standard (1 - e^{-kn/m})^k
+rate, accounted per shard from the table's n_items (bits column pruned
+— only counts ever reach the driver).
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -36,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -83,8 +93,39 @@ def _bloom_positions(fps: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
+def _or_rows(bits_col) -> np.ndarray | None:
+    out: np.ndarray | None = None
+    for b in bits_col:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        out = arr.copy() if out is None else (out | arr)
+    return out
+
+
+def merge_shard_deltas(df: DataFrame) -> DataFrame:
+    """OR-merge accumulated per-round shard delta rows down to one row
+    per shard (used by snapshot compaction; probe tasks do the same OR
+    lazily, so merging is an optimization, not a correctness need)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bits": [_or_rows(pdf["bits"]).tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+            }
+        )
+
+    return df.groupBy("shard_id").applyInPandas(merge, schema=SHARD_SCHEMA)
+
+
 class BloomSeenFilter:
-    """Partitioned Bloom seen-filter over 64-bit URL fingerprints."""
+    """Partitioned Bloom seen-filter over 64-bit URL fingerprints.
+
+    State is a DataFrame of shard rows (``shards_df``), pointed at the
+    committed ``seen_shards`` table by the engine (``set_state``) or
+    locally checkpointed between ``add_round`` calls in standalone use.
+    The driver never holds shard bits; probe is a per-shard cogroup.
+    """
 
     def __init__(
         self,
@@ -100,17 +141,24 @@ class BloomSeenFilter:
         if k_hashes is None and expected_per_shard:
             k_hashes = max(1, round(math.log(2) * m_bits_per_shard / expected_per_shard))
         self.k = k_hashes or 7
-        # shard binaries held driver-side between rounds (n_shards rows,
-        # MBs each); persisted to the snapshot store as the seen_shards
-        # table for resume
-        self.shards: dict[int, np.ndarray] = {}
-        self.n_items: dict[int, int] = {}
+        self.shards_df: DataFrame | None = None
+
+    # -------------------------------------------------------------- state
+    def has_state(self) -> bool:
+        return self.shards_df is not None
+
+    def set_state(self, shards_df: DataFrame | None) -> None:
+        """Point the filter at committed shard rows (delta rows allowed:
+        probe ORs rows of one shard inside its task)."""
+        self.shards_df = shards_df
 
     # -------------------------------------------------------------- build
-    def add_round(self, df: DataFrame, fp_col: str = "url_fp") -> None:
-        """OR this round's fingerprints into the shards. One
-        applyInPandas pass: group by shard id, build a bit-array per
-        group in its executor, collect only the n_shards small rows."""
+    def build_deltas(self, df: DataFrame, fp_col: str = "url_fp") -> DataFrame:
+        """This round's fingerprints as per-shard Bloom DELTA rows: one
+        applyInPandas pass grouped by shard id; each group builds its
+        bit-array in its executor. Returns a DataFrame (n_shards rows
+        max) — the caller appends it to the seen_shards table; nothing
+        is collected."""
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -123,100 +171,115 @@ class BloomSeenFilter:
                 {"shard_id": [sid], "bits": [bits.tobytes()], "n_items": [len(fps)]}
             )
 
-        rows = (
+        return (
             df.select(F.col(fp_col))
             .withColumn("__shard", F.pmod(F.col(fp_col), F.lit(n_shards)).cast("int"))
             .groupBy("__shard")
             .applyInPandas(build, schema=SHARD_SCHEMA)
-            .collect()
         )
-        for r in rows:
-            arr = np.frombuffer(r["bits"], dtype=np.uint8)
-            if r["shard_id"] in self.shards:
-                self.shards[r["shard_id"]] = self.shards[r["shard_id"]] | arr
-            else:
-                self.shards[r["shard_id"]] = arr.copy()
-            self.n_items[r["shard_id"]] = self.n_items.get(r["shard_id"], 0) + int(
-                r["n_items"]
-            )
+
+    def add_round(self, df: DataFrame, fp_col: str = "url_fp") -> None:
+        """Standalone (storeless) state update: OR this round's deltas
+        into the distributed state. ``localCheckpoint`` materializes the
+        merged rows on the EXECUTORS (truncating lineage so later probes
+        don't rebuild every delta) — still no driver copy. Engine runs
+        use build_deltas + snapshot commit + set_state instead."""
+        delta = self.build_deltas(df, fp_col)
+        merged = (
+            delta
+            if self.shards_df is None
+            else merge_shard_deltas(self.shards_df.unionByName(delta))
+        )
+        self.shards_df = merged.localCheckpoint(eager=True)
 
     # -------------------------------------------------------------- probe
     def probe(self, df: DataFrame, fp_col: str = "url_fp") -> DataFrame:
         """Adds boolean ``maybe_seen``: False is definitive (fresh URL),
-        True may be a false positive at the configured rate."""
-        shards_bc = self.spark.sparkContext.broadcast(
-            {sid: arr.tobytes() for sid, arr in self.shards.items()}
+        True may be a false positive at the configured rate.
+
+        Frontier rows are co-grouped with shard rows on
+        ``url_fp % n_shards``: each task sees one shard's bits and only
+        its own slice of the frontier — no driver collect, no whole-
+        filter broadcast (the 12 GB @ 10^10 never converges anywhere).
+        """
+        if not self.has_state():
+            return df.withColumn("maybe_seen", F.lit(False))
+        m_bits, k = self.m_bits, self.k
+        cols = df.columns
+        out_schema = StructType(df.schema.fields + [StructField("maybe_seen", BooleanType())])
+
+        def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = left.drop(columns=["__shard"])
+            if len(left) == 0:
+                out["maybe_seen"] = pd.Series([], dtype=bool)
+                return out
+            if len(right) == 0:
+                out["maybe_seen"] = False
+                return out
+            bits = _or_rows(right["bits"])
+            fps = out[fp_col].to_numpy(dtype=np.int64)
+            pos = _bloom_positions(fps, k, m_bits)
+            hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+            out["maybe_seen"] = hit
+            return out
+
+        keyed = df.withColumn(
+            "__shard", F.pmod(F.col(fp_col), F.lit(self.n_shards)).cast("int")
         )
-        n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
-        out_schema = StructType(df.schema.fields + [StructField("maybe_seen", IntegerType())])
-
-        def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            shards = {
-                sid: np.frombuffer(b, dtype=np.uint8)
-                for sid, b in shards_bc.value.items()
-            }
-            for pdf in batches:
-                fps = pdf[fp_col].to_numpy(dtype=np.int64)
-                res = np.zeros(len(fps), dtype=np.int32)
-                sid_of = np.mod(fps, n_shards)  # matches Spark pmod
-                for sid in np.unique(sid_of):
-                    mask = sid_of == sid
-                    shard = shards.get(int(sid))
-                    if shard is None:
-                        continue
-                    pos = _bloom_positions(fps[mask], k, m_bits)
-                    hit = (
-                        (shard[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-                    ).all(axis=1)
-                    res[mask] = hit.astype(np.int32)
-                out = pdf.copy()
-                out["maybe_seen"] = res
-                yield out
-
-        return df.mapInPandas(_probe, schema=out_schema).withColumn(
-            "maybe_seen", F.col("maybe_seen") == 1
+        shards = self.shards_df.select("shard_id", "bits")
+        return (
+            keyed.groupby("__shard")
+            .cogroup(shards.groupby("shard_id"))
+            .applyInPandas(_probe, schema=out_schema)
         )
 
     # ------------------------------------------------------------ fp math
-    def fp_rate(self, shard_id: int) -> float:
-        n = self.n_items.get(shard_id, 0)
-        return (1.0 - math.exp(-self.k * n / self.m_bits)) ** self.k
+    def fp_rates(self) -> dict[int, float]:
+        """Per-shard theoretical fp rate from the table's item counts.
+        Only (shard_id, n_items) is aggregated/collected — the bits
+        column is pruned and never reaches the driver."""
+        if not self.has_state():
+            return {}
+        rows = (
+            self.shards_df.groupBy("shard_id")
+            .agg(F.sum("n_items").alias("n"))
+            .collect()
+        )
+        return {
+            int(r["shard_id"]): (1.0 - math.exp(-self.k * int(r["n"]) / self.m_bits))
+            ** self.k
+            for r in rows
+        }
 
     # --------------------------------------------------------- snapshots
-    def to_rows(self) -> list[tuple]:
-        return [
-            (sid, self.shards[sid].tobytes(), self.n_items.get(sid, 0))
-            for sid in sorted(self.shards)
-        ]
-
-    def to_df(self) -> DataFrame:
-        return self.spark.createDataFrame(self.to_rows(), SHARD_SCHEMA)
-
-    def to_arrow(self):
-        """Driver-side arrow table (for pyarrow snapshot writes — no
-        Spark job for 16 rows of driver state)."""
-        import pyarrow as pa
-
-        rows = self.to_rows()
-        return pa.table(
-            {
-                "shard_id": pa.array([r[0] for r in rows], pa.int32()),
-                "bits": pa.array([r[1] for r in rows], pa.binary()),
-                "n_items": pa.array([r[2] for r in rows], pa.int64()),
-            }
-        )
+    def to_df(self) -> DataFrame | None:
+        """The distributed shard rows (delta form) — what the engine
+        commits; round-trips through ``from_df``."""
+        return self.shards_df
 
     @classmethod
     def from_df(
         cls, spark: SparkSession, df: DataFrame, m_bits_per_shard: int, n_shards: int, k: int
     ) -> "BloomSeenFilter":
         f = cls(spark, n_shards=n_shards, m_bits_per_shard=m_bits_per_shard, k_hashes=k)
-        # union of round deltas: OR duplicate shard rows together
-        for r in df.collect():
-            arr = np.frombuffer(r["bits"], dtype=np.uint8)
-            if r["shard_id"] in f.shards:
-                f.shards[r["shard_id"]] = f.shards[r["shard_id"]] | arr
-            else:
-                f.shards[r["shard_id"]] = arr.copy()
-            f.n_items[r["shard_id"]] = f.n_items.get(r["shard_id"], 0) + int(r["n_items"])
+        f.set_state(df)
         return f
+
+    # ------------------------------------------------------ test helpers
+    def shard_arrays(self) -> dict[int, np.ndarray]:
+        """TEST/DEBUG ONLY: collect the OR-merged shard bit-arrays to
+        the driver for assertions. Never on any engine path."""
+        if not self.has_state():
+            return {}
+        rows = merge_shard_deltas(self.shards_df).collect()
+        return {
+            int(r["shard_id"]): np.frombuffer(r["bits"], dtype=np.uint8) for r in rows
+        }
+
+    def n_items_by_shard(self) -> dict[int, int]:
+        if not self.has_state():
+            return {}
+        rows = (
+            self.shards_df.groupBy("shard_id").agg(F.sum("n_items").alias("n")).collect()
+        )
+        return {int(r["shard_id"]): int(r["n"]) for r in rows}

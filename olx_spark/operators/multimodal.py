@@ -4,7 +4,8 @@ Media are opaque ``binary`` columns plus typed metadata — the
 input_hint's (image_id, bytes, w, h, fmt, caption, phash) schema. All
 Spark-side plumbing here is real and tested: Arrow-batched
 ``mapInPandas`` iterators, explicit output schemas, partition-sized
-batches. The pixel codecs cover ``raw`` + ``png`` (pure numpy/zlib,
+batches. The pixel codecs cover lossless ``raw`` + ``png`` and the
+LOSSY ``dctq`` quantized-DCT codec (all pure numpy/zlib,
 ``fixtures/images.py``); ``jpeg`` decode and audio/video sampling are
 STUBBED behind ``NotImplementedError`` because the sandbox ships no
 Pillow/ffmpeg — the surrounding plumbing (schemas, batch shapes, UDF
@@ -57,7 +58,7 @@ RESIZE_SCHEMA = StructType(
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray | None:
-    if fmt in ("raw", "png"):
+    if fmt in ("raw", "png", "dctq"):
         return decode_image(bytes(data), fmt)
     if fmt == "jpeg":
         # STUB: no JPEG codec in this environment (no Pillow); the

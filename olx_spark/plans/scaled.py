@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olx_spark.functions.urls import canonicalize_modern
-from olx_spark.operators.dedup import BloomSeenFilter, anti_join_unseen, first_seen_dedup
+from olx_spark.operators.dedup import (
+    BloomSeenFilter,
+    anti_join_unseen,
+    first_seen_dedup,
+    merge_shard_deltas,
+)
 from olx_spark.operators.fetch import fetch_listings, fetch_parse_ads, with_lineage
 from olx_spark.operators.politeness import per_host_budget, robots_flag
 from olx_spark.plans.crawl import CrawlConfig
@@ -174,7 +179,7 @@ class ScaledCrawlEngine:
         # pending remainder, not the whole table
         pending = frontier
         seen = self.store.read_table("seen")
-        if self.config.dedup_scope == "global_bloom" and self.bloom and self.bloom.shards:
+        if self.config.dedup_scope == "global_bloom" and self.bloom and self.bloom.has_state():
             pending = self.bloom.probe(pending).filter(~F.col("maybe_seen")).drop(
                 "maybe_seen"
             )
@@ -363,16 +368,20 @@ class ScaledCrawlEngine:
         # that collapses the producing pipeline itself (fetch UDF,
         # canonicalize+dedup window) to that many tasks — measured 21s
         # frontier writes at 32 cores. Compaction merges small files.
+        use_bloom = cfg.dedup_scope == "global_bloom" and self.bloom is not None
         tables = {
             "parsed": parsed if n_ads else None,
             "frontier": discovered if n_listings else None,
             "seen": seen_delta if progressed else None,
+            # Bloom shard DELTAS are a normal distributed table commit:
+            # built per shard in executors, appended like any other
+            # round delta — never collected to or held on the driver
+            "seen_shards": (
+                self.bloom.build_deltas(seen_delta)
+                if use_bloom and progressed
+                else None
+            ),
         }
-        driver_tables = {}
-        if cfg.dedup_scope == "global_bloom" and self.bloom is not None and progressed:
-            self.bloom.add_round(seen_delta)
-            mark("bloom-add")
-            driver_tables["seen_shards"] = self.bloom.to_arrow()
         self.store.commit_round(
             rnd,
             tables,
@@ -381,8 +390,11 @@ class ScaledCrawlEngine:
                 "next_round": rnd + 1,
                 "bloom_k": self.bloom.k if self.bloom else None,
             },
-            driver_tables=driver_tables,
         )
+        if use_bloom and progressed:
+            # next round's probe cogroups against the COMMITTED rows
+            # (parquet-backed; delta rows per shard OR-merged in-task)
+            self.bloom.set_state(self.store.read_table("seen_shards"))
         mark("commit (parsed+frontier+seen writes)")
         for df in (pending, gated, ads_sched, discovered):
             df.unpersist()
@@ -396,8 +408,11 @@ class ScaledCrawlEngine:
                 ),
             )
             self.store.compact_table("seen", lambda df: df.distinct())
-            # seen_shards needs no compaction: driver-table commits
-            # replace the manifest entry each round (always 1 path)
+            # OR-merge accumulated shard deltas down to 1 row/shard so
+            # probe tasks read O(1) rows per shard, not O(rounds)
+            if use_bloom:
+                self.store.compact_table("seen_shards", merge_shard_deltas)
+                self.bloom.set_state(self.store.read_table("seen_shards"))
         return progressed
 
 

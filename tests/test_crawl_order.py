@@ -65,24 +65,35 @@ def test_parsed_fields_exact(engine_run, sim_results):
 
 
 def test_payload_invariant(engine_run, crawl_graph):
-    """input_hint: decoded pixels allclose (exact for lossless) + caption
-    equality + phash equality vs the fixture ground truth."""
+    """input_hint: decoded pixels vs the TRUE (pre-encode) fixture
+    pixels — exact for lossless fmt, PSNR >= 40 dB for lossy — plus
+    caption and phash equality. Both branches must actually execute
+    (the lossy dctq codec exists precisely so the >=40dB branch isn't
+    dead code in a JPEG-less sandbox)."""
+    from olx_spark.fixtures.images import image_index_from_id, original_pixels
+
     _, by_seed = engine_run
     images = crawl_graph.images_by_id()
-    checked = 0
+    checked = {"lossless": 0, "lossy": 0}
     for rows in by_seed.values():
         for r in rows[:20]:
             truth = images[r["image_id"]]
             assert r["caption"] == truth["caption"]
             assert r["phash"] == truth["phash"]
             got_px = decode_image(bytes(r["image_bytes"]), r["fmt"])
-            want_px = decode_image(truth["bytes"], truth["fmt"])
+            _, _, true_fmt, true_px = original_pixels(
+                image_index_from_id(r["image_id"]), seed=crawl_graph.image_seed
+            )
+            assert r["fmt"] == true_fmt
             if r["fmt"] in ("raw", "png"):  # lossless: exact
-                assert np.array_equal(got_px, want_px)
-            else:  # lossy: PSNR >= 40 dB
-                assert psnr(got_px, want_px) >= 40.0
-            checked += 1
-    assert checked > 0
+                assert np.array_equal(got_px, true_px)
+                checked["lossless"] += 1
+            else:  # lossy: close but NOT identical (genuinely lossy)
+                assert psnr(got_px, true_px) >= 40.0
+                assert not np.array_equal(got_px, true_px)
+                checked["lossy"] += 1
+    assert checked["lossless"] > 0
+    assert checked["lossy"] > 0, "lossy branch never executed"
 
 
 def test_fetch_log_lineage(engine_run):

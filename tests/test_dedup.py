@@ -1,4 +1,10 @@
-"""Unit tests for dedup operators: window first-seen, anti-join, Bloom."""
+"""Unit tests for dedup operators: window first-seen, anti-join, Bloom.
+
+The Bloom filter is fully distributed (VERDICT round-1 item 1): shard
+state is a DataFrame, builds emit delta rows, probes cogroup frontier
+slices with single shards. ``shard_arrays()`` (an explicit TEST-ONLY
+collect) is the only place bits ever reach the driver.
+"""
 
 import numpy as np
 import pytest
@@ -9,6 +15,7 @@ from olx_spark.operators.dedup import (
     _bloom_positions,
     anti_join_unseen,
     first_seen_dedup,
+    merge_shard_deltas,
 )
 
 
@@ -49,6 +56,7 @@ def test_bloom_no_false_negatives(spark, bloom_data):
     f = BloomSeenFilter(spark, n_shards=8, m_bits_per_shard=1 << 17)
     f.add_round(seen_df)
     probed = f.probe(seen_df).collect()
+    assert len(probed) == 5000
     assert all(r["maybe_seen"] for r in probed), "Bloom false negative!"
 
 
@@ -61,8 +69,8 @@ def test_bloom_fp_rate_bounded(spark, bloom_data):
     # 5000 items over 8 shards * 131072 bits -> n/shard=625, m/n≈210,
     # k=7 => theoretical fp ~ 1e-11; allow huge slack
     assert fp < 0.01, f"observed fp rate {fp}"
-    for sid in f.shards:
-        assert f.fp_rate(sid) < 0.01
+    for sid, rate in f.fp_rates().items():
+        assert rate < 0.01, sid
 
 
 def test_bloom_incremental_merge_matches_single_build(spark, bloom_data):
@@ -74,18 +82,56 @@ def test_bloom_incremental_merge_matches_single_build(spark, bloom_data):
     inc.add_round(b)
     one = BloomSeenFilter(spark, n_shards=4, m_bits_per_shard=1 << 16)
     one.add_round(seen_df)
-    for sid in one.shards:
-        assert np.array_equal(inc.shards[sid], one.shards[sid])
-    assert sum(inc.n_items.values()) == sum(one.n_items.values())
+    one_arrays, inc_arrays = one.shard_arrays(), inc.shard_arrays()
+    assert set(one_arrays) == set(inc_arrays)
+    for sid in one_arrays:
+        assert np.array_equal(inc_arrays[sid], one_arrays[sid])
+    assert sum(inc.n_items_by_shard().values()) == sum(
+        one.n_items_by_shard().values()
+    )
 
 
-def test_bloom_snapshot_roundtrip(spark, bloom_data):
+def test_bloom_snapshot_roundtrip(spark, bloom_data, tmp_path):
+    """Shard DELTA rows written as parquet (the seen_shards table shape)
+    rebuild an equivalent filter — including un-merged multi-delta rows
+    per shard, which probe must OR in-task."""
     seen_df, _ = bloom_data
     f = BloomSeenFilter(spark, n_shards=4, m_bits_per_shard=1 << 16)
-    f.add_round(seen_df)
-    df = f.to_df()
-    g = BloomSeenFilter.from_df(spark, df, m_bits_per_shard=1 << 16, n_shards=4, k=f.k)
-    for sid in f.shards:
-        assert np.array_equal(f.shards[sid], g.shards[sid])
+    # two un-merged deltas per shard, like two committed rounds
+    d1 = f.build_deltas(seen_df.filter(F.col("url_fp") % 2 == 0))
+    d2 = f.build_deltas(seen_df.filter(F.col("url_fp") % 2 != 0))
+    d1.unionByName(d2).write.mode("overwrite").parquet(str(tmp_path / "shards"))
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    g = BloomSeenFilter.from_df(spark, back, m_bits_per_shard=1 << 16, n_shards=4, k=f.k)
     probed = g.probe(seen_df).collect()
+    assert len(probed) == 5000
     assert all(r["maybe_seen"] for r in probed)
+
+
+def test_bloom_probe_is_distributed_no_driver_bits(spark, bloom_data):
+    """VERDICT item 1 'done' gate: the probe path is a co-grouped
+    per-shard plan (FlatMapCoGroupsInPandas) with no broadcast of the
+    filter, and the filter object holds no shard bytes on the driver."""
+    seen_df, fresh_df = bloom_data
+    f = BloomSeenFilter(spark, n_shards=8, m_bits_per_shard=1 << 17)
+    f.add_round(seen_df)
+    out = f.probe(fresh_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan  # neither exchange nor hashed relation
+    # no driver-resident bit arrays anywhere on the object
+    for v in vars(f).values():
+        assert not isinstance(v, (bytes, bytearray, np.ndarray, dict))
+    # and the distributed state is shard rows, not a local structure
+    assert f.shards_df is not None and "bits" in f.shards_df.columns
+
+
+def test_merge_shard_deltas_one_row_per_shard(spark, bloom_data):
+    seen_df, _ = bloom_data
+    f = BloomSeenFilter(spark, n_shards=4, m_bits_per_shard=1 << 16)
+    d1 = f.build_deltas(seen_df.filter(F.col("url_fp") % 2 == 0))
+    d2 = f.build_deltas(seen_df.filter(F.col("url_fp") % 2 != 0))
+    merged = merge_shard_deltas(d1.unionByName(d2))
+    rows = merged.collect()
+    assert len(rows) == len({r["shard_id"] for r in rows})
+    assert sum(r["n_items"] for r in rows) == 5000
