@@ -8,9 +8,11 @@ insensitive value hash).
 
 Keys without an oracle entry (genuinely non-SQL ops) are checked
 rows-only by the driver and exactly in tests/: crawl-engine equality vs
-the reference simulator (tests/test_crawl_order.py), Bloom properties
-(tests/test_dedup.py), resume exactness (tests/test_resume.py),
-ANN recall (tests/test_similarity.py).
+the reference simulator (tests/test_crawl_order.py) and binary image
+decode (tests/test_multimodal.py — no pixel codec in SQL). Everything
+else, including the probabilistic MinHash/SimHash/sign-LSH pipelines,
+carries a full DuckDB twin (portable md5-60 hashes + seeded-constant
+hyperplanes make even the approximate paths exactly recomputable).
 """
 
 from __future__ import annotations
@@ -557,9 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_agg_topk": q_join_agg_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_near_dups": q_simhash_near_dups,
+        "q_ann_lsh": q_ann_lsh,
         # rows-only (no SQL equivalent; exact tests live in tests/)
         "q_crawl_reference": q_crawl_reference,
-        "q_ann_lsh": q_ann_lsh,
         "q_image_features": q_image_features,
     }
 
@@ -673,6 +675,54 @@ def _sql_simhash_near_dups(nbits: int = 60, max_dist: int = 10, id_max: int = 50
                bit_count(xor(a.sh, b.sh))::int as dist
         from sim a join sim b on a.doc_id < b.doc_id
         where bit_count(xor(a.sh, b.sh)) <= {max_dist}
+    """
+
+
+def _sql_ann_lsh(n_planes: int = 4, dim: int = 64, k: int = 5, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk: the hyperplanes are SEEDED CONSTANTS
+    (numpy PCG64), so the oracle re-applies the exact same sign-bucket
+    assignment, multiprobe expansion, and (cos desc, cand_id) ranking —
+    the whole approximate pipeline is deterministic and checkable."""
+    from olx_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    dot = lambda vec, lit: (
+        f"list_sum([{vec}[i] * ({lit})[i] for i in range(1, {dim + 1})])"
+    )
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bucket_terms.append(
+            f"(case when {dot('v', lit)} >= 0 then {1 << i} else 0 end)"
+        )
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    probe_list = "[b0" + "".join(f", xor(b0, {1 << i})" for i in range(n_planes)) + "]"
+    return f"""
+        with c as (
+            select vec_id, [x::double for x in embedding] as v from embeddings
+        ), b as (
+            select vec_id, v, {bucket} as bucket from c
+        ), q as (
+            select vec_id as query_id, v as qv, bucket as b0 from b where vec_id < 10
+        ), probes as (
+            select query_id, qv, unnest({probe_list}) as bucket from q
+        ), cand as (
+            select distinct query_id, qv, cb.vec_id as cand_id, cb.v
+            from probes join b cb using (bucket)
+            where cb.vec_id != query_id
+        ), scored as (
+            select query_id, cand_id,
+                   list_sum([qv[i] * v[i] for i in range(1, {dim + 1})]) /
+                   (sqrt(list_sum([x * x for x in qv])) *
+                    sqrt(list_sum([x * x for x in v]))) as cs
+            from cand
+        )
+        select query_id, cand_id, rank, round(cs, 6) as cos_sim from (
+            select query_id, cand_id, cs,
+                   row_number() over (partition by query_id
+                       order by cs desc, cand_id) as rank
+            from scored
+        ) where rank <= {k}
     """
 
 
@@ -859,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_simhash16": f"select doc_id, {_sql_simhash16()} as sh16 from documents",
         "q_simhash_near_dups": _sql_simhash_near_dups(),
+        "q_ann_lsh": _sql_ann_lsh(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_ngram_jaccard": f"""
             with d as (

@@ -58,16 +58,15 @@ class SnapshotStore:
         round_no: int,
         tables: dict[str, DataFrame | None],
         state: dict,
-        driver_tables: dict[str, "object"] | None = None,
     ) -> None:
         """Write each table's round delta, then atomically publish the
         manifest. Uncommitted delta dirs from a crashed run are
         invisible (not in the manifest) and get cleaned lazily.
 
-        ``driver_tables`` maps name -> pyarrow.Table for DRIVER-side
-        state (e.g. Bloom shards): written with pyarrow directly —
-        same parquet layout, readable by spark.read.parquet, but no
-        Spark job (a 16-row binary table cost a 4s job via py4j).
+        Every table — including Bloom ``seen_shards`` — is a
+        distributed Spark write; no driver-side state round-trips
+        through here (the round-1 pyarrow driver-table path is gone
+        with the driver-resident Bloom it served).
         """
         manifest = self.read_manifest()
         if round_no in manifest["rounds"]:
@@ -83,18 +82,6 @@ class SnapshotStore:
             manifest["tables"].setdefault(name, []).append(
                 os.path.relpath(path, self.root)
             )
-        for name, pa_table in (driver_tables or {}).items():
-            if pa_table is None:
-                continue
-            import pyarrow.parquet as pq
-
-            path = os.path.join(rdir, name)
-            os.makedirs(path, exist_ok=True)
-            pq.write_table(pa_table, os.path.join(path, "part-0.parquet"))
-            # driver tables are CUMULATIVE snapshots (e.g. Bloom shards
-            # OR-merged on the driver): the latest one replaces all
-            # prior entries — no delta union, no compaction needed
-            manifest["tables"][name] = [os.path.relpath(path, self.root)]
         manifest["rounds"].append(round_no)
         manifest["state"] = state
         tmp = self._manifest_path + ".tmp"
