@@ -509,6 +509,22 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_ivf_ann(spark, sf):
+    # IVF-style ANN (second scale path next to q_ann_lsh): seeded
+    # random unit centroids, zero-shuffle cell assignment (array_max
+    # over (dot, cid) structs), nprobe nearest cells per query,
+    # exact-cosine rescoring. Centroids are constants -> full oracle.
+    from olx_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, dim=64, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "cand_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def q_image_features(spark, sf):
     # multimodal plumbing: decode + features over binary image column
     from olx_spark.fixtures.images import make_image_corpus
@@ -560,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_ann_lsh": q_ann_lsh,
+        "q_ivf_ann": q_ivf_ann,
         # rows-only (no SQL equivalent; exact tests live in tests/)
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -716,6 +733,62 @@ def _sql_ann_lsh(n_planes: int = 4, dim: int = 64, k: int = 5, seed: int = 42) -
                    (sqrt(list_sum([x * x for x in qv])) *
                     sqrt(list_sum([x * x for x in v]))) as cs
             from cand
+        )
+        select query_id, cand_id, rank, round(cs, 6) as cos_sim from (
+            select query_id, cand_id, cs,
+                   row_number() over (partition by query_id
+                       order by cs desc, cand_id) as rank
+            from scored
+        ) where rank <= {k}
+    """
+
+
+def _sql_ivf_ann(n_centroids: int = 16, dim: int = 64, k: int = 5, nprobe: int = 4, seed: int = 7) -> str:
+    """DuckDB twin of ivf_topk: same seeded-constant centroids, same
+    argmax cell assignment (ties -> larger centroid id, matching
+    Spark's struct max), same nprobe expansion and rescoring."""
+    from olx_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    rows = ", ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cv) + "])"
+        for ci, cv in enumerate(cents)
+    )
+    return f"""
+        with c as (
+            select vec_id, [x::double for x in embedding] as v from embeddings
+        ), cents(cid, cv) as (values {rows}),
+        dots as (
+            select vec_id, cid,
+                   list_sum([v[i] * cv[i] for i in range(1, {dim + 1})]) as d
+            from c cross join cents
+        ), cells as (  -- argmax with ties to the LARGER cid (struct-max twin)
+            select vec_id, cid as cell from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id
+                           order by d desc, cid desc) as rn
+                from dots
+            ) where rn = 1
+        ), qprobe as (
+            select vec_id as query_id, cid as cell from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id
+                           order by d desc, cid desc) as rn
+                from dots where vec_id < 10
+            ) where rn <= {nprobe}
+        ), cand as (
+            select distinct q.query_id, cc.vec_id as cand_id
+            from qprobe q
+            join cells cc using (cell)
+            where cc.vec_id != q.query_id
+        ), scored as (
+            select query_id, cand_id,
+                   list_sum([qv.v[i] * cv.v[i] for i in range(1, {dim + 1})]) /
+                   (sqrt(list_sum([x * x for x in qv.v])) *
+                    sqrt(list_sum([x * x for x in cv.v]))) as cs
+            from cand
+            join c qv on qv.vec_id = query_id
+            join c cv on cv.vec_id = cand_id
         )
         select query_id, cand_id, rank, round(cs, 6) as cos_sim from (
             select query_id, cand_id, cs,
@@ -910,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash16": f"select doc_id, {_sql_simhash16()} as sh16 from documents",
         "q_simhash_near_dups": _sql_simhash_near_dups(),
         "q_ann_lsh": _sql_ann_lsh(),
+        "q_ivf_ann": _sql_ivf_ann(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_ngram_jaccard": f"""
             with d as (

@@ -346,6 +346,75 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return out
 
 
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[float]]:
+    """Seeded random unit-vector centroids (PCG64). Deterministic
+    constants — like the sign-LSH hyperplanes — so an external SQL
+    oracle can recompute the exact cell assignment. A production IVF
+    would k-means these; random unit centroids keep the operator
+    dependency-free and the partitioning math identical."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cell_structs(vec_col, centroids: list[list[float]]):
+    """array<struct<d: double, c: int>> of (dot, centroid-id) pairs —
+    one JVM expression, no Python, no shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                _dot(vec_col, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cv in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k (the second scale path next
+    to sign-LSH): corpus vectors are assigned to their nearest centroid
+    CELL with a single argmax expression (array_max over (dot, cid)
+    structs — zero shuffle, whole-stage codegen); each query probes its
+    ``nprobe`` nearest cells. Candidates = broadcast join on cell;
+    exact cosine rescoring + per-query rank. Ties in cell assignment
+    break to the larger centroid id (struct max), mirrored by the SQL
+    oracle."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", F.array_max(_cell_structs(F.col("cvec"), cents))["c"])
+    # top-nprobe cells per query: sort the 16 structs desc, slice, project c
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_structs(F.col("qvec"), cents))), 1, nprobe),
+        lambda s: s["c"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).select("query_id", "qvec", F.explode(probes).alias("cell"))
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

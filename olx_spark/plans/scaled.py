@@ -337,13 +337,18 @@ class ScaledCrawlEngine:
         )
 
         # ---- seen delta = everything scheduled this round + robots-
-        # excluded rows (they must not stay pending forever)
+        # excluded rows (they must not stay pending forever).
+        # NO distinct(): the three parts are disjoint projections of
+        # `pending`, which is already unique per url_fp (first_seen_
+        # dedup) — listings/ads split on kind, excluded split on the
+        # robots flag; and a fp enters seen at most once across rounds
+        # (seen rows never return to pending). A distinct here was one
+        # full shuffle of the round's frontier for nothing.
         seen_delta = listings_sched.select("url_fp").unionByName(
             ads_sched.select("url_fp")
         )
         if excluded is not None:
             seen_delta = seen_delta.unionByName(excluded)
-        seen_delta = seen_delta.distinct()
 
         # driver-side budget/progress accounting — ONE tiny collect for
         # both per-seed ad counts and the listing count

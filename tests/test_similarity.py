@@ -162,6 +162,29 @@ def test_brute_force_topk(emb):
         assert all(r["cand_id"] != q for r in rows)
 
 
+def test_ivf_topk_recall_and_plan(emb):
+    """IVF cell assignment must be a zero-shuffle JVM expression (no
+    Python anywhere), and recall vs brute force must not collapse."""
+    from olx_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx_df = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, nprobe=4)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # query probes broadcast, corpus stays put
+    approx = approx_df.collect()
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35, f"IVF recall collapsed: {recall}"
+    exact_scores = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r["cos_sim"]) < 1e-6
+
+
 def test_lsh_topk_recall(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, k=5).collect()
