@@ -131,11 +131,11 @@ def q_ordered_limit(spark, sf):
     # deterministic given the total order; rank derived on the <= k
     # surviving rows (constant-partitioned window, never a global one
     # that would move all data to a single task at scale)
+    from olx_spark.operators.ranking import constant_partitioned_window
+
     order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     top = _t(spark, sf, "orders").orderBy(*order).limit(10)
-    # pmod(col, 1) == 0 always, but non-foldable — a lit(0) partition
-    # key would be constant-folded away, reviving the global window
-    w = Window.partitionBy(F.pmod(F.col("o_orderkey"), F.lit(1))).orderBy(*order)
+    w = constant_partitioned_window(order)
     return top.withColumn("rk", F.row_number().over(w)).select(
         "rk", "o_orderkey", F.round("o_totalprice", DEC).alias("total")
     )
@@ -427,10 +427,11 @@ def q_join_agg_topk(spark, sf):
     # rank on the RAW value (the oracle does too); round only the output.
     # sort+limit -> TakeOrderedAndProject (distributed top-k), rank
     # derived on the 20-row result — no single-partition global window
+    from olx_spark.operators.ranking import constant_partitioned_window
+
     order = [F.col("rev_raw").desc(), F.col("l_orderkey")]
     top = j.orderBy(*order).limit(20)
-    # non-foldable constant partition key (see q_ordered_limit)
-    w = Window.partitionBy(F.pmod(F.col("l_orderkey"), F.lit(1))).orderBy(*order)
+    w = constant_partitioned_window(order)
     return top.withColumn("rk", F.row_number().over(w)).select(
         "rk", "l_orderkey", F.round("rev_raw", DEC).alias("revenue"), "n_lines"
     )

@@ -11,8 +11,9 @@ subtracting — a faithful quirk callers can replicate by adding
 ``duration_ago_seconds`` to their base).
 
 Everything here is a JVM-side Column expression (regexp_extract_all +
-higher-order aggregate) with an exact DuckDB twin in
-``__spark_entry__._sql_duration_ago`` — no Python in the hot path.
+higher-order aggregate) with an exact DuckDB twin inlined in
+``__spark_entry__.oracle_sql()["q_duration_parse"]`` — no Python in
+the hot path.
 """
 
 from __future__ import annotations

@@ -205,7 +205,6 @@ class BloomSeenFilter:
         if not self.has_state():
             return df.withColumn("maybe_seen", F.lit(False))
         m_bits, k = self.m_bits, self.k
-        cols = df.columns
         out_schema = StructType(df.schema.fields + [StructField("maybe_seen", BooleanType())])
 
         def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

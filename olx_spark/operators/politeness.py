@@ -16,10 +16,10 @@ makes the budget explicit and distributed:
   -> rank-then-filter. One shuffle on host; hot hosts are handled by
   AQE skew splitting plus explicit salting of the *fetch* fan-out
   (politeness accounting always uses the unsalted host).
-- ``schedule_with_delay`` additionally assigns each scheduled URL a
-  deterministic ``not_before_ms`` offset inside the round (seq within
-  host x crawl_delay), which a real fetcher sleeps to; the sandbox
-  fetcher records it into fetch_log instead of sleeping.
+- ``per_host_budget`` additionally assigns each kept URL a
+  deterministic ``not_before_ms`` offset inside the round (host_rank x
+  crawl_delay), which a real fetcher sleeps to; the sandbox fetcher
+  records it instead of sleeping.
 """
 
 from __future__ import annotations

@@ -28,18 +28,34 @@ from pyspark.sql import functions as F
 # columns exist: (priority, discovery_round, discovery_pos) alone is NOT
 # a total order — two listing pages of the same host fetched in the same
 # round emit ads with identical (priority, round, pos), and row_number
-# ties would then be broken by partition iteration order
-_FRONTIER_TIEBREAKS = ("parent_fp", "discovery_pos", "url_fp")
+# ties would then be broken by partition iteration order.
+# discovery_pos stays BEFORE parent_fp: the engine marks pagination
+# links with pos=-1 ("pagination first", plans/scaled.py) and that
+# convention must hold across parents, not just within one
+_FRONTIER_TIEBREAKS = ("discovery_pos", "parent_fp", "url_fp")
 
 
 def frontier_order_cols(df: DataFrame) -> list:
     """The engine's canonical frontier total order: priority desc, then
-    discovery order, then the fingerprint tie-breaks present in ``df``."""
+    discovery round, then position (pagination sentinel -1 first), then
+    the fingerprint tie-breaks present in ``df``."""
     cols = [F.col("priority").desc(), F.col("discovery_round")]
     for c in _FRONTIER_TIEBREAKS:
         if c in df.columns:
             cols.append(F.col(c))
     return cols
+
+
+def constant_partitioned_window(order_cols: list) -> Window:
+    """A window over an explicit total order whose partition key is a
+    CONSTANT — for ranking result sets already known to be tiny (post
+    sort+limit, a drained micro-batch). A plain ``lit(0)`` partition
+    key gets constant-folded out of the window spec, reviving the
+    single-partition global window and its "No Partition Defined"
+    scale warning; ``monotonically_increasing_id() % 1`` is always 0
+    but non-foldable (miid is marked nondeterministic)."""
+    const_key = F.pmod(F.monotonically_increasing_id(), F.lit(1))
+    return Window.partitionBy(const_key).orderBy(*order_cols)
 
 
 def frontier_rank(frontier: DataFrame) -> DataFrame:
@@ -65,11 +81,7 @@ def ordered_limit(df: DataFrame, n: int, order_cols: list, partition_cols: list 
             .filter(F.col("rank_in_limit") < n)
         )
     top = df.orderBy(*order_cols).limit(n)
-    # rank over the <= n surviving rows only, partitioned by a constant
-    # so the plan stays a (tiny) partitioned window, not a global one.
-    # NB: a plain lit(0) partition key gets constant-folded out of the
-    # window spec, reviving the global window — miid % 1 is always 0
-    # but non-foldable (miid is marked nondeterministic)
-    const_key = F.pmod(F.monotonically_increasing_id(), F.lit(1))
-    w = Window.partitionBy(const_key).orderBy(*order_cols)
+    # rank over the <= n surviving rows only (constant-partitioned, so
+    # the plan stays a tiny partitioned window, not a global one)
+    w = constant_partitioned_window(order_cols)
     return top.withColumn("rank_in_limit", F.row_number().over(w) - 1)

@@ -100,7 +100,9 @@ def lsh_candidate_pairs(
     # only productive, non-degenerate buckets
     sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     if log_dropped:
-        sizes = sizes.cache()
+        # deliberately NOT cached: pinning sizes for the session just to
+        # log a count leaks storage memory across repeated calls; the
+        # count is one extra map-side-combined agg pass over banded
         n_dropped = sizes.filter(F.col("n") > max_bucket).count()
         if n_dropped:
             logger.warning(

@@ -116,31 +116,33 @@ class ScaledCrawlEngine:
     # ---------------------------------------------------------- internals
     def _init_or_resume(self, seeds: list[dict]):
         committed = self.store.committed_rounds()
-        if committed:
-            saved = self.store.last_state()
-            if self.config.dedup_scope == "global_bloom":
-                shards = self.store.read_table("seen_shards")
-                if shards is not None:
-                    self.bloom = BloomSeenFilter.from_df(
-                        self.spark,
-                        shards,
-                        m_bits_per_shard=self.config.bloom_bits_per_shard,
-                        n_shards=self.config.bloom_shards,
-                        k=saved.get("bloom_k", 7),
-                    )
-            return saved["seeds"], saved["next_round"]
-
+        saved = self.store.last_state() if committed else {}
         if self.config.dedup_scope == "global_bloom":
+            # construct the filter UNCONDITIONALLY: a run killed before
+            # the first seen_shards delta was committed (or a store a
+            # stream initialized) must not silently downgrade the whole
+            # resumed crawl to the exact anti-join path
             self.bloom = BloomSeenFilter(
                 self.spark,
                 n_shards=self.config.bloom_shards,
                 m_bits_per_shard=self.config.bloom_bits_per_shard,
+                k_hashes=saved.get("bloom_k"),
             )
+            shards = self.store.read_table("seen_shards") if committed else None
+            if shards is not None:
+                self.bloom.set_state(shards)
+        if committed and "seeds" in saved:
+            return saved["seeds"], saved["next_round"]
+
+        # fresh start — possibly over a store a frontier STREAM already
+        # initialized (committed rounds, no engine state): keep its
+        # rounds and continue the shared round numbering
+        seed_round = int(saved.get("next_round", (max(committed) + 1) if committed else 0))
         state = {
             s["name"]: {"count": int(s["count"]), "scheduled": 0, "priority": int(s.get("priority", 0))}
             for s in seeds
         }
-        # round -1 commit: the seed frontier (so resume replays exactly)
+        # seed commit: the seed frontier (so resume replays exactly)
         seed_frontier = self.spark.createDataFrame(
             [
                 (
@@ -151,7 +153,7 @@ class ScaledCrawlEngine:
                     "listing",
                     0,
                     int(s.get("priority", 0)),
-                    0,
+                    seed_round,
                     0,
                     i,
                 )
@@ -163,11 +165,16 @@ class ScaledCrawlEngine:
             "url_fp", F.xxhash64("url")
         ).withColumn("host", F.parse_url("url", F.lit("HOST")))
         self.store.commit_round(
-            0,
+            seed_round,
             {"frontier": seed_frontier.select(*_frontier_cols())},
-            {"seeds": state, "next_round": 1, "bloom_k": self.bloom.k if self.bloom else None},
+            {
+                **saved,
+                "seeds": state,
+                "next_round": seed_round + 1,
+                "bloom_k": self.bloom.k if self.bloom else None,
+            },
         )
-        return state, 1
+        return state, seed_round + 1
 
     def _pending(self) -> DataFrame | None:
         frontier = self.store.read_table("frontier")

@@ -30,11 +30,12 @@ replaced — clobbering it destroyed the batch engine's ``seeds`` /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olx_spark.functions.urls import canonicalize_modern
 from olx_spark.operators.dedup import anti_join_unseen, first_seen_dedup
+from olx_spark.operators.ranking import constant_partitioned_window
 from olx_spark.plans.snapshot import SnapshotStore
 
 DISCOVERY_SCHEMA = "name string, base_url string, href string, priority int"
@@ -79,13 +80,9 @@ def start_frontier_stream(
         # discovery_pos: a deterministic position in an explicit total
         # order — NOT monotonically_increasing_id, whose per-partition
         # id blocks collide/overflow under an int cast and made the
-        # ordering partition-layout-dependent. The micro-batch is small,
-        # so one rank task is fine; the constant partition key is
-        # non-foldable (a foldable one is optimized away, reviving the
-        # global-window warning).
-        w = Window.partitionBy(
-            F.pmod(F.monotonically_increasing_id(), F.lit(1))
-        ).orderBy("name", "url_fp")
+        # ordering partition-layout-dependent. The micro-batch is
+        # small, so one (constant-partitioned) rank task is fine.
+        w = constant_partitioned_window(["name", "url_fp"])
         out = fresh.select(
             "name", "url", "url_fp", "host",
             F.lit("ad").alias("kind"), F.lit(0).alias("depth"),
@@ -94,9 +91,14 @@ def start_frontier_stream(
             F.lit(0).cast("long").alias("parent_fp"),
         ).withColumn("discovery_pos", (F.row_number().over(w) - 1).cast("int"))
         # MERGE stream bookkeeping into the manifest state: replacing it
-        # clobbered the batch engine's seeds/next_round (resume KeyError)
+        # clobbered the batch engine's seeds/next_round (resume KeyError).
+        # next_round must ADVANCE past this commit — the round numbers
+        # are a shared sequence, and a resumed batch engine would
+        # otherwise try to re-commit the round this batch just took
+        # ("round N already committed").
         state = dict(store.last_state())
         state.setdefault("stream_batches", []).append(int(batch_id))
+        state["next_round"] = nxt + 1
         store.commit_round(
             nxt,
             {"frontier": out, "enqueued": out.select("url_fp")},

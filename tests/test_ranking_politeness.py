@@ -78,8 +78,40 @@ def test_per_host_budget_ties_deterministic(spark):
         picks.append(sorted((r["host_rank"], r["url"]) for r in out.collect()))
         assert len(picks[-1]) == 5
     assert picks[0] == picks[1] == picks[2]
-    # parent 111's ads outrank parent 222's at equal (prio, round, pos)
-    assert all(u.startswith("https://h.example/ad/111/") for _, u in picks[0][:5])
+    # order is pos-major (pagination-first convention holds across
+    # parents), parent_fp-minor: 111/0, 222/0, 111/1, 222/1, 111/2
+    want = [
+        (0, "https://h.example/ad/111/0/"),
+        (1, "https://h.example/ad/222/0/"),
+        (2, "https://h.example/ad/111/1/"),
+        (3, "https://h.example/ad/222/1/"),
+        (4, "https://h.example/ad/111/2/"),
+    ]
+    assert picks[0] == want
+
+
+def test_pagination_sentinel_outranks_ads_across_parents(spark):
+    """discovery_pos=-1 (a next-page link) must beat every same-round ad
+    of its host under the default budget order, whatever its parent —
+    the frontier tie-breaks may not bury pagination behind a parent
+    with a smaller fingerprint."""
+    rows = [
+        ("https://h.example/list/?page=1", "h.example", 1, 0, -1, 999),
+    ] + [
+        (f"https://h.example/ad/{i}/", "h.example", 1, 0, i, 1)
+        for i in range(10)
+    ]
+    schema = (
+        "url string, host string, priority int, discovery_round int, "
+        "discovery_pos long, parent_fp long"
+    )
+    f = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("url_fp", F.xxhash64("url"))
+        .withColumn("crawl_delay_ms", F.lit(0))
+    )
+    out = per_host_budget(f, default_per_round=1).collect()
+    assert len(out) == 1 and out[0]["url"].endswith("page=1")
 
 
 def test_robots_flag_splits_one_scan(spark):

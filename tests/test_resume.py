@@ -92,3 +92,34 @@ def test_commit_is_atomic_against_partial_round(spark, graph, tmp_path_factory):
     assert out.count() == 30
     # the orphan was replaced by a real commit
     assert 1 in resumed.store.committed_rounds()
+
+
+def test_bloom_survives_resume_before_first_shard_commit(
+    spark, graph, tmp_path_factory
+):
+    """A global_bloom run killed after the seed commit but BEFORE any
+    seen_shards delta landed must resume with the Bloom path ACTIVE —
+    the old resume only built the filter when the shards table already
+    existed, silently downgrading the whole resumed crawl to the exact
+    anti-join."""
+    from olx_spark.plans.crawl import CrawlConfig
+    from olx_spark.plans.scaled import ScaledCrawlEngine
+
+    d = str(tmp_path_factory.mktemp("bloom_early_kill"))
+    seeds = [dict(s, count=20) for s in graph.seeds]
+    cfg = lambda: CrawlConfig(
+        mode="scaled", dedup_scope="global_bloom", checkpoint_dir=d,
+        bloom_shards=8, bloom_bits_per_shard=1 << 17,
+        max_rounds=30, with_payload=False,
+    )
+    eng = ScaledCrawlEngine(spark, graph, cfg())
+    eng._init_or_resume(seeds)  # commits ONLY the seed round, then "dies"
+    assert eng.store.read_table("seen_shards") is None
+
+    resumed = ScaledCrawlEngine(spark, graph, cfg())
+    resumed.run(seeds)
+    assert resumed.bloom is not None, "bloom silently disabled on resume"
+    assert resumed.bloom.has_state()
+    assert resumed.store.read_table("seen_shards") is not None
+    urls = [r["url"] for r in resumed.fetch_log().collect()]
+    assert urls and len(urls) == len(set(urls))

@@ -145,5 +145,97 @@ def test_streaming_merges_manifest_state(spark, tmp_path):
     q.awaitTermination(120)
     state = store.last_state()
     assert state["seeds"] == engine_state["seeds"]  # preserved
-    assert state["next_round"] == 1
+    # the stream took round 1 of the shared sequence, so next_round
+    # must ADVANCE past it — a resumed batch engine would otherwise
+    # re-commit round 1 and die with "round already committed"
+    assert state["next_round"] == 2
+    assert store.committed_rounds() == [0, 1]
     assert state["stream_batches"] == [0]
+
+
+def test_batch_engine_runs_on_stream_initialized_store(spark, tmp_path):
+    """Stream-first store (committed rounds, no engine state): the
+    batch engine must start fresh over it, CONTINUING the shared round
+    numbering instead of KeyError-ing on missing seeds — and the
+    streamed URLs must actually get fetched (they sit in frontier, not
+    in seen)."""
+    import json as _json
+
+    from olx_spark.fixtures import make_crawl_graph
+    from olx_spark.plans.crawl import CrawlConfig
+    from olx_spark.plans.scaled import ScaledCrawlEngine
+    from olx_spark.plans.snapshot import SnapshotStore
+    from olx_spark.streaming.stream import start_frontier_stream
+
+    g = make_crawl_graph(n_hosts=2, pages_per_host=2, hot_host_factor=1)
+    store_dir = str(tmp_path / "snap")
+    store = SnapshotStore(store_dir, spark)
+    # stream two ad URLs that exist in the fixture graph, addressed to
+    # a real crawl job (budgets join on name — a name no job owns has
+    # no download budget, matching the reference's Search-scoped model)
+    ads = [a for a in g.ad_pages][:2]
+    job = g.seeds[0]["name"]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "b.json", "w") as f:
+        for a in ads:
+            f.write(_json.dumps({
+                "name": job, "base_url": f"https://{a['host']}/l/",
+                "href": a["path"], "priority": 9,
+            }) + "\n")
+    q = start_frontier_stream(spark, str(drop), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert store.committed_rounds() == [0]
+
+    cfg = CrawlConfig(
+        mode="scaled", dedup_scope="global_exact",
+        checkpoint_dir=store_dir, max_rounds=40, with_payload=False,
+    )
+    eng = ScaledCrawlEngine(spark, g, cfg)
+    eng.run([dict(s, count=10) for s in g.seeds])
+    fetched = {r["url"] for r in eng.fetch_log().collect()}
+    for a in ads:
+        assert a["url"] in fetched, f"streamed URL never fetched: {a['url']}"
+
+
+def test_batch_resume_after_stream_batch(spark, tmp_path):
+    """Engine rounds -> stream batch -> engine RESUME must continue
+    cleanly past the stream's round (shared numbering, merged state)."""
+    import json as _json
+
+    from olx_spark.fixtures import make_crawl_graph
+    from olx_spark.plans.crawl import CrawlConfig
+    from olx_spark.plans.scaled import ScaledCrawlEngine
+    from olx_spark.plans.snapshot import SnapshotStore
+    from olx_spark.streaming.stream import start_frontier_stream
+
+    g = make_crawl_graph(n_hosts=2, pages_per_host=2, hot_host_factor=1)
+    store_dir = str(tmp_path / "snap")
+    cfg = dict(
+        mode="scaled", dedup_scope="global_exact",
+        checkpoint_dir=store_dir, with_payload=False,
+    )
+    # phase 1: two engine rounds, then stop
+    eng1 = ScaledCrawlEngine(spark, g, CrawlConfig(max_rounds=2, **cfg))
+    eng1.run([dict(s, count=20) for s in g.seeds])
+    done_rounds = eng1.store.committed_rounds()
+    # phase 2: a stream batch drops a fresh URL into the shared store
+    store = SnapshotStore(store_dir, spark)
+    a = g.ad_pages[-1]
+    job = g.seeds[0]["name"]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "b.json", "w") as f:
+        f.write(_json.dumps({
+            "name": job, "base_url": f"https://{a['host']}/l/",
+            "href": a["path"], "priority": 9,
+        }) + "\n")
+    q = start_frontier_stream(spark, str(drop), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert len(store.committed_rounds()) == len(done_rounds) + 1
+    # phase 3: resume the engine — must not collide with the stream round
+    eng2 = ScaledCrawlEngine(spark, g, CrawlConfig(max_rounds=40, **cfg))
+    eng2.run([dict(s, count=20) for s in g.seeds])
+    urls = [r["url"] for r in eng2.fetch_log().collect()]
+    assert len(urls) == len(set(urls))  # still globally deduped
+    assert a["url"] in set(urls)  # the streamed URL was crawled
