@@ -392,6 +392,51 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_multi_join(spark, sf):
+    # TPC-H Q5-shaped 6-table join (lineitem-orders-customer-supplier-
+    # nation-region, local-supplier predicate c_nationkey=s_nationkey):
+    # exercises Catalyst join reordering with a mix of broadcast dims
+    # (region/nation/supplier) and shuffled facts
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                DEC,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select("n_name", "revenue", "n_lines")
+    )
+
+
+def q_winnow_fingerprint(spark, sf):
+    # winnowing rolling-hash fingerprints (MOSS), exploded to rows so
+    # the value hash compares scalars
+    from olx_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", winnow_fingerprints("text", k=3, w=4).alias("fps")
+    )
+    return d.select("doc_id", F.posexplode("fps").alias("pos", "fp"))
+
+
 def q_embed_cosine_topk(spark, sf):
     # brute-force cosine top-k (similarity-search baseline); double math
     from olx_spark.operators.similarity import brute_force_topk
@@ -574,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
+        "q_multi_join": q_multi_join,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_ann_lsh": q_ann_lsh,
@@ -1040,6 +1087,37 @@ def oracle_sql() -> dict[str, str]:
             )
             select id_a, id_b, round(cs, 6) as cos_sim
             from pairs where cs >= 0.3
+        """,
+        "q_multi_join": """
+            select n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) as revenue,
+                   count(*) as n_lines
+            from customer
+            join orders   on c_custkey = o_custkey
+            join lineitem on o_orderkey = l_orderkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation   on s_nationkey = n_nationkey
+            join region   on n_regionkey = r_regionkey
+            where r_name = 'ASIA'
+            group by n_name
+        """,
+        "q_winnow_fingerprint": f"""
+            with sh as (
+                select doc_id, {_sql_shingles(3)} as s from documents
+            ), hs as (
+                select doc_id, [{_sql_md5_60('g')} for g in s] as h from sh
+            ), fps as (
+                select doc_id,
+                       case when len(h) = 0 then []::bigint[]
+                            when len(h) < 4 then [list_min(h)]
+                            else list_sort(list_distinct(
+                                [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
+                            )) end as f
+                from hs
+            )
+            select doc_id, u.i::int - 1 as pos, f[u.i] as fp
+            from fps cross join lateral
+                 (select unnest(range(1, len(f) + 1)) as i) u
         """,
         "q_embed_cosine_topk": """
             with c as (select vec_id, [x::double for x in embedding] as v from embeddings),

@@ -186,3 +186,30 @@ def simhash_wide(col: Column | str, nbits: int = 60) -> Column:
 def simhash16(col: Column | str) -> Column:
     """16-bit SimHash (oracle-checkable width) — see simhash_wide."""
     return simhash_wide(col, 16)
+
+
+def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every word k-gram
+    (md5-60), slide a window of ``w`` consecutive hashes, keep each
+    window's minimum. Guarantees any shared run of >= w+k-1 tokens
+    between two documents shares at least one selected fingerprint,
+    while storing ~2/(w+1) of the hashes. Pure JVM Column expression
+    (shingles -> transform -> sequence/slice/array_min), exact DuckDB
+    twin in ``oracle_sql()['q_winnow_fingerprint']``.
+
+    Returns the selected fingerprints sorted + deduped
+    (array<bigint>); empty array for docs with < k tokens."""
+    sh = word_shingles(col, k)
+    hs = F.transform(sh, lambda s: md5_60(s))
+    n = F.size(hs)
+    empty = F.array().cast("array<bigint>")
+    windows = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return (
+        F.when(n == 0, empty)
+        .when(n < w, F.array(F.array_min(hs)))
+        .otherwise(F.array_sort(F.array_distinct(windows)))
+    )

@@ -118,3 +118,31 @@ def test_duration_ago_seconds_reference_semantics(spark):
     df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
     got = [r["v"] for r in df.select(duration_ago_seconds("s").alias("v")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Winnowing guarantee (SIGMOD'03): two docs sharing a run of at
+    least w+k-1 tokens share at least one selected fingerprint; and
+    selection keeps ~2/(w+1) of the hashes."""
+    from olx_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens >= w+k-1=6
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"one two three four five {shared} six seven"),
+        (3, "completely unrelated content with different words entirely here now"),
+        (4, "xy"),  # < k tokens -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=3, w=4).alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], "shared passage produced no shared fingerprint"
+    assert not (got[1] & got[3])
+    assert got[4] == set()
+    # sparsity: far fewer fingerprints than shingles
+    n_shingles_1 = len(rows[0][1].split()) - 2
+    assert 0 < len(got[1]) < n_shingles_1
