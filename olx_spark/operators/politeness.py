@@ -24,10 +24,96 @@ makes the budget explicit and distributed:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olx_spark.operators.ranking import frontier_order_cols
+
+
+def robots_disallow_prefixes(col: Column | str) -> Column:
+    """Parse a raw robots.txt body into the disallow-prefix array that
+    applies to this crawler (``User-agent: *`` groups), entirely as a
+    JVM expression (split + aggregate over struct state — no Python).
+
+    Standard grouping semantics (RFC 9309 §2.1): a record is one or
+    more consecutive ``User-agent`` lines followed by rules; a rule
+    line closes the user-agent run, so the next UA line starts a NEW
+    group. ``Disallow:`` with an empty value allows everything (the
+    line is skipped). Field names are case-insensitive; ``#`` comments
+    and blank lines are ignored (blank lines do NOT end a group —
+    grouping is driven by the UA/rule alternation).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\r?\n")
+    # strip comments + whitespace once
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, "#.*$", ""))
+    )
+    is_ua = lambda ln: F.lower(ln).startswith("user-agent:")
+    is_dis = lambda ln: F.lower(ln).startswith("disallow:")
+    # split on the FIRST colon only (paths may contain colons)
+    val = lambda ln: F.trim(F.element_at(F.split(ln, ":", 2), 2))
+    ua_val = lambda ln: F.trim(F.element_at(F.split(F.lower(ln), ":", 2), 2))
+    init = F.struct(
+        F.lit(False).alias("star"),       # current group applies to us
+        F.lit(True).alias("closed"),      # UA run closed by a rule line
+        F.array().cast("array<string>").alias("prefixes"),
+    )
+
+    def step(acc, ln):
+        new_group_star = ua_val(ln) == "*"
+        star_on_ua = F.when(acc["closed"], new_group_star).otherwise(
+            acc["star"] | new_group_star
+        )
+        dis_prefix = val(ln)
+        keep = acc["star"] & (dis_prefix != "")
+        return (
+            F.when(
+                is_ua(ln),
+                F.struct(
+                    star_on_ua.alias("star"),
+                    F.lit(False).alias("closed"),
+                    acc["prefixes"].alias("prefixes"),
+                ),
+            )
+            .when(
+                is_dis(ln),
+                F.struct(
+                    acc["star"].alias("star"),
+                    F.lit(True).alias("closed"),
+                    F.when(
+                        keep, F.array_append(acc["prefixes"], dis_prefix)
+                    ).otherwise(acc["prefixes"]).alias("prefixes"),
+                ),
+            )
+            # any other non-empty rule line (Allow, Crawl-delay, …)
+            # closes the UA run too; blank lines change nothing
+            .when(
+                ln != "",
+                F.struct(
+                    acc["star"].alias("star"),
+                    F.lit(True).alias("closed"),
+                    acc["prefixes"].alias("prefixes"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    return F.aggregate(cleaned, init, step, lambda acc: acc["prefixes"])
+
+
+def hosts_from_robots(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Build the engine's hosts dimension from RAW robots.txt bodies:
+    rows = [(host, crawl_delay_ms, robots_txt)]. The disallow arrays
+    are parsed by :func:`robots_disallow_prefixes` at plan time."""
+    df = spark.createDataFrame(
+        rows, "host string, crawl_delay_ms int, robots_txt string"
+    )
+    return df.select(
+        "host",
+        "crawl_delay_ms",
+        robots_disallow_prefixes("robots_txt").alias("robots_disallow"),
+    )
 
 
 def robots_flag(frontier: DataFrame, hosts: DataFrame) -> DataFrame:

@@ -156,3 +156,63 @@ def test_host_salt_spreads_but_keeps_host(spark):
     salts = {r["salted"] for r in df.collect()}
     assert len(salts) == 8
     assert all(s.startswith("hot.example#") for s in salts)
+
+
+def test_robots_txt_parse_rfc_grouping(spark):
+    """robots_disallow_prefixes: RFC 9309 grouping — consecutive UA
+    lines share a group; a rule line closes the UA run; empty Disallow
+    skipped; comments/case/blank lines handled; non-star groups
+    ignored. Pure JVM plan (no Python)."""
+    from olx_spark.operators.politeness import robots_disallow_prefixes
+
+    bodies = {
+        "basic": ("User-agent: *\nDisallow: /private/\nDisallow: /tmp/", ["/private/", "/tmp/"]),
+        "other_ua_only": ("User-agent: googlebot\nDisallow: /g/", []),
+        "grouped_ua": ("User-agent: googlebot\nUser-agent: *\nDisallow: /x/", ["/x/"]),
+        "rule_closes_group": (
+            "User-agent: googlebot\nDisallow: /g/\nUser-agent: *\nDisallow: /y/",
+            ["/y/"],
+        ),
+        "star_then_specific": (
+            "User-agent: *\nDisallow: /a/\n\nUser-agent: bot\nDisallow: /b/",
+            ["/a/"],
+        ),
+        "empty_disallow_allows": ("User-agent: *\nDisallow:", []),
+        "comments_and_case": (
+            "# robots\nUSER-AGENT: *  # us\nDISALLOW: /c/  # hidden",
+            ["/c/"],
+        ),
+        "crawl_delay_closes": (
+            "User-agent: *\nCrawl-delay: 10\nUser-agent: bot\nDisallow: /z/",
+            [],
+        ),
+        "path_with_colon": ("User-agent: *\nDisallow: /a:b/", ["/a:b/"]),
+        "empty_body": ("", []),
+    }
+    rows = [(k, v[0]) for k, v in bodies.items()]
+    df = spark.createDataFrame(rows, "k string, body string").select(
+        "k", robots_disallow_prefixes("body").alias("p")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = {r["k"]: list(r["p"]) for r in df.collect()}
+    for k, (_, want) in bodies.items():
+        assert got[k] == want, f"{k}: {got[k]} != {want}"
+
+
+def test_hosts_from_robots_feeds_robots_filter(spark):
+    """Raw robots bodies -> hosts dim -> robots_filter end-to-end."""
+    from olx_spark.operators.politeness import hosts_from_robots
+
+    hosts = hosts_from_robots(
+        spark,
+        [
+            ("h0.example", 0, "User-agent: *\nDisallow: /a/1"),
+            ("h1.example", 100, "User-agent: other\nDisallow: /"),
+        ],
+    )
+    f = _frontier(spark)
+    kept = {(r["host"], r["url"]) for r in robots_filter(f, hosts).collect()}
+    assert ("h0.example", "https://h0.example/a/1/") not in kept
+    assert ("h0.example", "https://h0.example/a/0/") in kept
+    assert sum(1 for h, _ in kept if h == "h1.example") == 5
