@@ -42,6 +42,8 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_embed_cosine_topk",
     "q_ann_lsh",
+    "q_ivf_ann",
+    "q_multi_join",
     "q_politeness_budget",
 ]
 
