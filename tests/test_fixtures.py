@@ -93,3 +93,28 @@ def test_simulator_truncation_and_duplicates(crawl_graph):
     assert len(r.seen_urls) < 20  # duplicates across rounds
     assert [row["seq"] for row in r.crawl_order] == list(range(20))
     assert all(row["description"] == row["title"] for row in r.results)
+
+
+def test_dctq_roundtrip_lossy_within_psnr():
+    """dctq (quantized-DCT) codec: shape-exact, >= 40 dB (input_hint's
+    lossy floor), genuinely lossy, and smaller than raw for every
+    fixture-shaped image incl. non-multiple-of-8 dims."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        dctq_decode,
+        dctq_encode,
+        make_image_array,
+        psnr,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((32, 32), (96, 64), (33, 47)):  # incl. non-8-aligned
+        arr = make_image_array(rng, w, h)
+        data = dctq_encode(arr)
+        back = dctq_decode(data)
+        assert back.shape == arr.shape and back.dtype == np.uint8
+        p = psnr(arr, back)
+        assert 40.0 <= p < float("inf"), (h, w, p)
+        assert not np.array_equal(arr, back)
+        assert len(data) < arr.nbytes
