@@ -11,11 +11,17 @@ makes the budget explicit and distributed:
 - disallow matching is a JVM-side expression (``exists(prefixes,
   p -> startswith(path, p))``) — no Python in the hot path;
 - the per-round per-host budget is ``floor(round_budget_ms /
-  crawl_delay_ms)`` requests; enforcement is a window
-  ``row_number() over (partition by host order by priority desc, ...)``
-  -> rank-then-filter. One shuffle on host; hot hosts are handled by
-  AQE skew splitting plus explicit salting of the *fetch* fan-out
-  (politeness accounting always uses the unsalted host).
+  crawl_delay_ms)`` requests; enforcement is a TWO-PHASE salted top-k
+  (rank within ``(host, salt)`` first, cut to the budget per salt
+  partition, then rank the <= budget x salts survivors per host). A
+  single ``row_number() over (partition by host ...)`` would sort one
+  hot host's entire frontier slice in ONE task — AQE skew-split does
+  not apply to window partitions, only joins — so at a 10^10 frontier
+  a 10^8-URL host serializes the round. The salted pre-rank spreads
+  that sort over ``salt_buckets`` tasks and is exactly equivalent: any
+  row in a host's true top-``budget`` is necessarily in the
+  top-``budget`` of its own salt bucket (each bucket is a subset of
+  the host's rows under the same total order).
 - ``per_host_budget`` additionally assigns each kept URL a
   deterministic ``not_before_ms`` offset inside the round (host_rank x
   crawl_delay), which a real fetcher sleeps to; the sandbox fetcher
@@ -143,24 +149,8 @@ def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     return robots_flag(frontier, hosts).filter(~F.col("disallowed")).drop("disallowed")
 
 
-def per_host_budget(
-    frontier: DataFrame,
-    round_budget_ms: int = 60_000,
-    default_per_round: int = 100,
-    order_cols: list | None = None,
-) -> DataFrame:
-    """Rank frontier rows per host and keep the round's budget:
-    budget = round_budget_ms / crawl_delay_ms (or default when delay=0).
-    Adds ``host_rank`` (0-based) and ``not_before_ms``.
-
-    The default order includes the frontier fingerprint tie-breaks
-    (parent_fp, url_fp when present): (priority, round, pos) alone is
-    not a total order — two listing pages of one host fetched in the
-    same round yield identical triples, and the budget cut would then
-    depend on partition iteration order."""
-    order_cols = order_cols or frontier_order_cols(frontier)
-    w = Window.partitionBy("host").orderBy(*order_cols)
-    budget = F.when(
+def _budget_expr(round_budget_ms: int, default_per_round: int) -> Column:
+    return F.when(
         F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,
         # a host is always allowed >=1 fetch per round, else it starves
         F.greatest(
@@ -168,8 +158,53 @@ def per_host_budget(
             F.floor(F.lit(round_budget_ms) / F.col("crawl_delay_ms")),
         ),
     ).otherwise(F.lit(default_per_round))
+
+
+def per_host_budget(
+    frontier: DataFrame,
+    round_budget_ms: int = 60_000,
+    default_per_round: int = 100,
+    order_cols: list | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Rank frontier rows per host and keep the round's budget:
+    budget = round_budget_ms / crawl_delay_ms (or default when delay=0).
+    Adds ``host_rank`` (0-based) and ``not_before_ms``.
+
+    TWO-PHASE top-k (module docstring): phase 1 ranks within
+    ``(host, salt)`` — salt derived from the URL fingerprint, so a hot
+    host's sort spreads over ``salt_buckets`` tasks — and cuts each
+    salt partition to the budget; phase 2 ranks the <= budget x
+    salt_buckets survivors per host. The result is row-for-row
+    identical to a single per-host window (each salt bucket is a
+    subset of the host's rows under the same total order, so the true
+    per-host top-``budget`` rows all survive phase 1), but no task
+    ever sorts more than one salt slice. ``salt_buckets=1`` falls back
+    to the single-phase window (no pre-cut shuffle).
+
+    The default order includes the frontier fingerprint tie-breaks
+    (parent_fp, url_fp when present): (priority, round, pos) alone is
+    not a total order — two listing pages of one host fetched in the
+    same round yield identical triples, and the budget cut would then
+    depend on partition iteration order."""
+    order_cols = order_cols or frontier_order_cols(frontier)
+    budget = _budget_expr(round_budget_ms, default_per_round)
+    pre = frontier
+    if salt_buckets > 1:
+        salt_src = (
+            F.col("url_fp") if "url_fp" in frontier.columns else F.xxhash64("url")
+        )
+        w_salt = Window.partitionBy(
+            "host", F.pmod(salt_src, F.lit(salt_buckets))
+        ).orderBy(*order_cols)
+        pre = (
+            frontier.withColumn("__salt_rank", F.row_number().over(w_salt) - 1)
+            .filter(F.col("__salt_rank") < budget)
+            .drop("__salt_rank")
+        )
+    w = Window.partitionBy("host").orderBy(*order_cols)
     return (
-        frontier.withColumn("host_rank", F.row_number().over(w) - 1)
+        pre.withColumn("host_rank", F.row_number().over(w) - 1)
         .filter(F.col("host_rank") < budget)
         .withColumn(
             "not_before_ms",

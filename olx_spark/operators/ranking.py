@@ -58,13 +58,44 @@ def constant_partitioned_window(order_cols: list) -> Window:
     return Window.partitionBy(const_key).orderBy(*order_cols)
 
 
-def frontier_rank(frontier: DataFrame) -> DataFrame:
+def frontier_rank(
+    frontier: DataFrame, top_n: int | None = None, salt_buckets: int = 8
+) -> DataFrame:
     """Per-host priority queue: rank by (priority desc, discovery_round,
     parent_fp, discovery_pos, url_fp) within host — the window-function
     heart of the scheduler (north_star). The fingerprint tie-breaks make
-    the order total, so ranks are identical at any parallelism."""
-    w = Window.partitionBy("host").orderBy(*frontier_order_cols(frontier))
-    return frontier.withColumn("host_rank", F.row_number().over(w) - 1)
+    the order total, so ranks are identical at any parallelism.
+
+    With ``top_n`` set, only the first ``top_n`` rows per host are
+    returned, computed as a TWO-PHASE salted top-k: rank within
+    ``(host, salt)`` first (salt from url_fp), cut each salt partition
+    to ``top_n``, then rank the <= top_n x salt_buckets survivors per
+    host. Identical output to the single window (each salt bucket is a
+    subset of its host under the same total order), but a hot host's
+    sort spreads over ``salt_buckets`` tasks instead of serializing in
+    one — the scale path for skewed frontiers, since AQE skew-split
+    does not apply to window partitions. Without ``top_n`` a full
+    per-host rank has no cut to exploit, so it stays single-phase —
+    callers ranking a skewed full frontier should pass the budget."""
+    order_cols = frontier_order_cols(frontier)
+    pre = frontier
+    if top_n is not None and salt_buckets > 1:
+        salt_src = (
+            F.col("url_fp") if "url_fp" in frontier.columns else F.xxhash64("url")
+        )
+        w_salt = Window.partitionBy(
+            "host", F.pmod(salt_src, F.lit(salt_buckets))
+        ).orderBy(*order_cols)
+        pre = (
+            frontier.withColumn("__salt_rank", F.row_number().over(w_salt) - 1)
+            .filter(F.col("__salt_rank") < top_n)
+            .drop("__salt_rank")
+        )
+    w = Window.partitionBy("host").orderBy(*order_cols)
+    ranked = pre.withColumn("host_rank", F.row_number().over(w) - 1)
+    if top_n is not None:
+        ranked = ranked.filter(F.col("host_rank") < top_n)
+    return ranked
 
 
 def ordered_limit(df: DataFrame, n: int, order_cols: list, partition_cols: list | None = None) -> DataFrame:

@@ -235,6 +235,7 @@ class ScaledCrawlEngine:
             polite,
             round_budget_ms=cfg.round_budget_ms,
             default_per_round=cfg.per_host_per_round,
+            salt_buckets=cfg.host_salt_buckets,
         ).cache()
 
         # per-seed remaining ad budget (listing fetches are not counted —
@@ -413,19 +414,33 @@ class ScaledCrawlEngine:
         # bound per-round read fan-in: merge accumulated deltas so a
         # long crawl's pending-scan opens O(1) dirs, not O(rounds)
         if cfg.compact_every and rnd % cfg.compact_every == 0 and rnd > 0:
-            self.store.compact_table(
-                "frontier",
-                lambda df: first_seen_dedup(
-                    df, ["url_fp"], ["discovery_round", "parent_fp", "discovery_pos"]
-                ),
-            )
-            self.store.compact_table("seen", lambda df: df.distinct())
-            # OR-merge accumulated shard deltas down to 1 row/shard so
-            # probe tasks read O(1) rows per shard, not O(rounds)
-            if use_bloom:
-                self.store.compact_table("seen_shards", merge_shard_deltas)
-                self.bloom.set_state(self.store.read_table("seen_shards"))
+            self.compact_now()
         return progressed
+
+    def compact_now(self) -> None:
+        """Merge accumulated state deltas. The frontier is compacted
+        down to the PENDING set: subtract the exact seen table
+        (committed in both dedup modes) while dedup-merging deltas.
+        Without the subtraction the per-round pending scan re-probes
+        every URL ever discovered, every round — O(total frontier)
+        instead of O(pending). Exact anti-join is safe under
+        global_bloom too: any row it removes would probe maybe_seen
+        anyway (the filter has no false negatives)."""
+        seen_now = self.store.read_table("seen")
+        self.store.compact_table(
+            "frontier",
+            lambda df: first_seen_dedup(
+                anti_join_unseen(df, seen_now) if seen_now is not None else df,
+                ["url_fp"],
+                ["discovery_round", "parent_fp", "discovery_pos"],
+            ),
+        )
+        self.store.compact_table("seen", lambda df: df.distinct())
+        # OR-merge accumulated shard deltas down to 1 row/shard so
+        # probe tasks read O(1) rows per shard, not O(rounds)
+        if self.config.dedup_scope == "global_bloom" and self.bloom is not None:
+            self.store.compact_table("seen_shards", merge_shard_deltas)
+            self.bloom.set_state(self.store.read_table("seen_shards"))
 
 
 def _frontier_cols():

@@ -114,6 +114,55 @@ def test_pagination_sentinel_outranks_ads_across_parents(spark):
     assert len(out) == 1 and out[0]["url"].endswith("page=1")
 
 
+def test_two_phase_budget_equals_single_phase_on_hot_host(spark):
+    """One host holding ~100x the frontier of the rest: the two-phase
+    salted cut must be row-for-row identical to the single-phase
+    per-host window (host_rank AND not_before_ms included), while
+    spreading the hot host's pre-rank over salt_buckets tasks."""
+    rows = [
+        (f"https://hot.example/ad/{i}/", "hot.example", i % 7, i % 3, i, i % 13)
+        for i in range(1000)
+    ] + [
+        (f"https://h{h}.example/ad/{i}/", f"h{h}.example", i % 5, 0, i, 1)
+        for h in range(3)
+        for i in range(10)
+    ]
+    schema = (
+        "url string, host string, priority int, discovery_round int, "
+        "discovery_pos long, parent_fp long"
+    )
+    f = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("url_fp", F.xxhash64("url"))
+        .withColumn(
+            "crawl_delay_ms",
+            F.when(F.col("host") == "hot.example", 50).otherwise(0),
+        )
+    )
+    kw = dict(round_budget_ms=600, default_per_round=4)  # hot budget = 12
+    two_phase = per_host_budget(f, salt_buckets=8, **kw)
+    single = per_host_budget(f, salt_buckets=1, **kw)
+    key = lambda r: (r["host"], r["host_rank"], r["url"], r["not_before_ms"])
+    got, want = sorted(map(key, two_phase.collect())), sorted(map(key, single.collect()))
+    assert got == want and len(got) == 12 + 3 * 4
+
+
+def test_frontier_rank_top_n_two_phase_equals_full_rank(spark):
+    """frontier_rank(top_n): salted two-phase cut == head of the full
+    single-phase rank, per host, on a skewed frontier."""
+    rows = [
+        (f"https://hot.example/a/{i}/", "hot.example", i % 9, i % 2, i)
+        for i in range(500)
+    ] + [(f"https://cold.example/a/{i}/", "cold.example", 1, 0, i) for i in range(5)]
+    f = spark.createDataFrame(rows, FRONTIER).withColumn(
+        "url_fp", F.xxhash64("url")
+    )
+    top = frontier_rank(f, top_n=7, salt_buckets=8)
+    full = frontier_rank(f).filter(F.col("host_rank") < 7)
+    key = lambda r: (r["host"], r["host_rank"], r["url"])
+    assert sorted(map(key, top.collect())) == sorted(map(key, full.collect()))
+
+
 def test_robots_flag_splits_one_scan(spark):
     """robots_flag returns a disallowed column so allowed/excluded are
     two filters of one scan — no exceptAll set-difference in the plan."""

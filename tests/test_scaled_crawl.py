@@ -127,6 +127,26 @@ def test_compaction_preserves_crawl(spark, graph, tmp_path_factory, exact_run):
     assert eng.seen_fps().count() > 0
 
 
+def test_compaction_makes_frontier_the_pending_set(spark, graph, tmp_path_factory, exact_run):
+    """Compaction subtracts ``seen`` from the frontier, so after it the
+    stored frontier table IS the pending set — the per-round pending
+    scan is O(pending), not O(all-ever-discovered)."""
+    eng = _run(spark, graph, tmp_path_factory, "global_exact", "compact_pending")
+    before = eng.store.read_table("frontier").count()
+    eng.compact_now()
+    pending = eng._pending()
+    n_pending = pending.count() if pending is not None else 0
+    after = eng.store.read_table("frontier").count()
+    assert after == n_pending
+    # a finished crawl's frontier is almost entirely seen: the compacted
+    # table must actually have shrunk, not just been rewritten
+    assert after < before
+    # and compaction must not have changed what is pending
+    a = {r["url"] for r in eng.fetch_log().collect()}
+    b = {r["url"] for r in exact_run.fetch_log().collect()}
+    assert a == b
+
+
 def test_partial_failure_keeps_round_and_rows(spark, tmp_path_factory):
     """Reference error semantics (OlxServer.scala:56-59): one failed ad
     fetch kills the whole job fiber, keeping only already-inserted rows.
