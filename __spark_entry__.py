@@ -557,9 +557,10 @@ def q_ann_lsh(spark, sf):
 
 def q_ivf_ann(spark, sf):
     # IVF-style ANN (second scale path next to q_ann_lsh): seeded
-    # random unit centroids, zero-shuffle cell assignment (array_max
-    # over (dot, cid) structs), nprobe nearest cells per query,
-    # exact-cosine rescoring. Centroids are constants -> full oracle.
+    # random unit centroids, zero-shuffle cell assignment (vectorized
+    # pandas UDF, one numpy matmul/argmax per Arrow batch), nprobe
+    # nearest cells per query, exact-cosine rescoring (pure JVM).
+    # Centroids are constants -> full oracle.
     from olx_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings").select(

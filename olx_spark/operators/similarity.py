@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from olx_spark.functions.text import minhash_signature, norm_text, word_shingles
 
@@ -380,18 +380,48 @@ def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[f
     return c.tolist()
 
 
-def _cell_structs(vec_col, centroids: list[list[float]]):
-    """array<struct<d: double, c: int>> of (dot, centroid-id) pairs —
-    one JVM expression, no Python, no shuffle."""
-    return F.array(
-        *[
-            F.struct(
-                _dot(vec_col, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
-                F.lit(ci).alias("c"),
-            )
-            for ci, cv in enumerate(centroids)
-        ]
-    )
+def _cell_assigner(centroids: list[list[float]]):
+    """Scalar pandas UDF: nearest-centroid cell id per vector, one
+    numpy ``batch @ centroids.T`` argmax per Arrow batch (centroids are
+    a closure constant shipped once per executor). Ties break to the
+    LARGER centroid id — same as the previous struct-max expression and
+    the DuckDB oracle's ``order by d desc, cid desc``. Replaces a
+    codegen-hostile inline expression of n_centroids x dim literals
+    that was evaluated per row (the r2 bench's slowest plan)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_c = cents.shape[0]
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        dots = np.stack(vecs.to_numpy()) @ cents.T
+        # argmax returns the FIRST max; reversing columns makes that
+        # the largest original centroid id among ties
+        idx = dots[:, ::-1].argmax(axis=1)
+        return pd.Series((n_c - 1 - idx).astype(np.int32))
+
+    return assign
+
+
+def _cell_prober(centroids: list[list[float]], nprobe: int):
+    """Scalar pandas UDF: the ``nprobe`` nearest cell ids per query
+    vector (order: dot desc, cid desc — matching the oracle), one
+    numpy matmul + argsort per Arrow batch."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_c = cents.shape[0]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        dots = np.stack(vecs.to_numpy()) @ cents.T
+        # stable argsort over reversed columns: desc by dot, ties to
+        # the larger original centroid id
+        order = np.argsort(-dots[:, ::-1], axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list((n_c - 1 - order).astype(np.int32)))
+
+    return probe
 
 
 def ivf_topk(
@@ -407,24 +437,23 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate cosine top-k (the second scale path next
     to sign-LSH): corpus vectors are assigned to their nearest centroid
-    CELL with a single argmax expression (array_max over (dot, cid)
-    structs — zero shuffle, whole-stage codegen); each query probes its
-    ``nprobe`` nearest cells. Candidates = broadcast join on cell;
-    exact cosine rescoring + per-query rank. Ties in cell assignment
-    break to the larger centroid id (struct max), mirrored by the SQL
-    oracle."""
+    CELL by a vectorized pandas UDF (one numpy matmul+argmax per Arrow
+    batch — zero shuffle, centroids a broadcast closure constant); each
+    query probes its ``nprobe`` nearest cells. Candidates = broadcast
+    join on cell; exact cosine rescoring (pure JVM) + per-query rank.
+    Ties in cell assignment break to the larger centroid id, mirrored
+    by the SQL oracle."""
     cents = ivf_centroids(dim, n_centroids, seed)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cell", F.array_max(_cell_structs(F.col("cvec"), cents))["c"])
-    # top-nprobe cells per query: sort the 16 structs desc, slice, project c
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_structs(F.col("qvec"), cents))), 1, nprobe),
-        lambda s: s["c"],
-    )
+    ).withColumn("cell", _cell_assigner(cents)(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).select("query_id", "qvec", F.explode(probes).alias("cell"))
+    ).select(
+        "query_id",
+        "qvec",
+        F.explode(_cell_prober(cents, nprobe)(F.col("qvec"))).alias("cell"),
+    )
     cand = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
