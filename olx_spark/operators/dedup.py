@@ -97,6 +97,12 @@ def _or_rows(bits_col) -> np.ndarray | None:
     out: np.ndarray | None = None
     for b in bits_col:
         arr = np.frombuffer(b, dtype=np.uint8)
+        if out is not None and len(arr) != len(out):
+            raise ValueError(
+                f"bloom shard geometry mismatch: rows of one shard have "
+                f"{len(out) * 8} and {len(arr) * 8} bits — the store was "
+                "written under a different (n_shards, m_bits) configuration"
+            )
         out = arr.copy() if out is None else (out | arr)
     return out
 
@@ -216,6 +222,15 @@ class BloomSeenFilter:
                 out["maybe_seen"] = False
                 return out
             bits = _or_rows(right["bits"])
+            if len(bits) * 8 != m_bits:
+                # fail LOUDLY: probing committed shards under a different
+                # m_bits silently yields false negatives (duplicate
+                # fetches) — the one invariant the filter must never break
+                raise ValueError(
+                    f"bloom geometry mismatch: shard row has {len(bits) * 8} "
+                    f"bits but the filter is configured m_bits={m_bits}; "
+                    "resume must reuse the committed geometry"
+                )
             fps = out[fp_col].to_numpy(dtype=np.int64)
             pos = _bloom_positions(fps, k, m_bits)
             hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)

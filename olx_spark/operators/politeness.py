@@ -166,6 +166,7 @@ def per_host_budget(
     default_per_round: int = 100,
     order_cols: list | None = None,
     salt_buckets: int = 8,
+    max_precut_budget: int = 1 << 17,
 ) -> DataFrame:
     """Rank frontier rows per host and keep the round's budget:
     budget = round_budget_ms / crawl_delay_ms (or default when delay=0).
@@ -182,6 +183,17 @@ def per_host_budget(
     ever sorts more than one salt slice. ``salt_buckets=1`` falls back
     to the single-phase window (no pre-cut shuffle).
 
+    The pre-cut only pays when the budget actually CUTS: with an
+    effectively unbounded budget (politeness disabled — throughput
+    benches set per-round budgets in the millions) phase 1 keeps every
+    row, a pure extra shuffle that fixes nothing (phase 2 still sorts
+    the full slice — two-phase cannot help the unbounded case by
+    construction). The budget expression's static ceiling is
+    ``max(default_per_round, round_budget_ms)`` (delay >= 1ms implies
+    floor(budget_ms/delay) <= budget_ms); above ``max_precut_budget``
+    the pre-cut is skipped. Configs that disable politeness lean on the
+    fetch-side host salting as the skew defense instead.
+
     The default order includes the frontier fingerprint tie-breaks
     (parent_fp, url_fp when present): (priority, round, pos) alone is
     not a total order — two listing pages of one host fetched in the
@@ -189,8 +201,9 @@ def per_host_budget(
     depend on partition iteration order."""
     order_cols = order_cols or frontier_order_cols(frontier)
     budget = _budget_expr(round_budget_ms, default_per_round)
+    budget_ceiling = max(default_per_round, round_budget_ms)
     pre = frontier
-    if salt_buckets > 1:
+    if salt_buckets > 1 and budget_ceiling <= max_precut_budget:
         salt_src = (
             F.col("url_fp") if "url_fp" in frontier.columns else F.xxhash64("url")
         )

@@ -121,11 +121,19 @@ class ScaledCrawlEngine:
             # construct the filter UNCONDITIONALLY: a run killed before
             # the first seen_shards delta was committed (or a store a
             # stream initialized) must not silently downgrade the whole
-            # resumed crawl to the exact anti-join path
+            # resumed crawl to the exact anti-join path.
+            # Geometry (n_shards, m_bits) comes from the COMMITTED state
+            # when present, never from config: a resumed run with a
+            # changed bloom config would otherwise silently reinterpret
+            # shard rows under the new geometry (fps hash to different
+            # shards/bit positions), breaking the no-false-negative
+            # invariant with no error.
             self.bloom = BloomSeenFilter(
                 self.spark,
-                n_shards=self.config.bloom_shards,
-                m_bits_per_shard=self.config.bloom_bits_per_shard,
+                n_shards=int(saved.get("bloom_shards") or self.config.bloom_shards),
+                m_bits_per_shard=int(
+                    saved.get("bloom_bits") or self.config.bloom_bits_per_shard
+                ),
                 k_hashes=saved.get("bloom_k"),
             )
             shards = self.store.read_table("seen_shards") if committed else None
@@ -171,10 +179,22 @@ class ScaledCrawlEngine:
                 **saved,
                 "seeds": state,
                 "next_round": seed_round + 1,
-                "bloom_k": self.bloom.k if self.bloom else None,
+                **self._bloom_state(),
             },
         )
         return state, seed_round + 1
+
+    def _bloom_state(self) -> dict:
+        """Bloom filter identity persisted with every commit: k AND the
+        shard geometry, so a resume can never reinterpret committed
+        shard rows under a different (n_shards, m_bits)."""
+        if self.bloom is None:
+            return {"bloom_k": None, "bloom_shards": None, "bloom_bits": None}
+        return {
+            "bloom_k": self.bloom.k,
+            "bloom_shards": self.bloom.n_shards,
+            "bloom_bits": self.bloom.m_bits,
+        }
 
     def _pending(self) -> DataFrame | None:
         frontier = self.store.read_table("frontier")
@@ -382,18 +402,26 @@ class ScaledCrawlEngine:
         # canonicalize+dedup window) to that many tasks — measured 21s
         # frontier writes at 32 cores. Compaction merges small files.
         use_bloom = cfg.dedup_scope == "global_bloom" and self.bloom is not None
+        # Bloom shard state is committed MERGED (one row per shard) every
+        # round: the round's delta rows (built per shard in executors,
+        # never on the driver) are OR-folded with the previous committed
+        # state inside the same distributed write job. Probe tasks then
+        # read exactly one row per shard every round instead of O(rounds)
+        # delta rows — the r2 fixed cost the 2->8 scaling residual paid.
+        shards_tbl = None
+        if use_bloom and progressed:
+            delta = self.bloom.build_deltas(seen_delta)
+            prev = self.bloom.to_df()
+            shards_tbl = (
+                merge_shard_deltas(prev.unionByName(delta))
+                if prev is not None
+                else delta
+            )
         tables = {
             "parsed": parsed if n_ads else None,
             "frontier": discovered if n_listings else None,
             "seen": seen_delta if progressed else None,
-            # Bloom shard DELTAS are a normal distributed table commit:
-            # built per shard in executors, appended like any other
-            # round delta — never collected to or held on the driver
-            "seen_shards": (
-                self.bloom.build_deltas(seen_delta)
-                if use_bloom and progressed
-                else None
-            ),
+            "seen_shards": shards_tbl,
         }
         self.store.commit_round(
             rnd,
@@ -401,8 +429,9 @@ class ScaledCrawlEngine:
             {
                 "seeds": state,
                 "next_round": rnd + 1,
-                "bloom_k": self.bloom.k if self.bloom else None,
+                **self._bloom_state(),
             },
+            replace={"seen_shards"},
         )
         if use_bloom and progressed:
             # next round's probe cogroups against the COMMITTED rows
@@ -436,11 +465,8 @@ class ScaledCrawlEngine:
             ),
         )
         self.store.compact_table("seen", lambda df: df.distinct())
-        # OR-merge accumulated shard deltas down to 1 row/shard so
-        # probe tasks read O(1) rows per shard, not O(rounds)
-        if self.config.dedup_scope == "global_bloom" and self.bloom is not None:
-            self.store.compact_table("seen_shards", merge_shard_deltas)
-            self.bloom.set_state(self.store.read_table("seen_shards"))
+        # seen_shards needs no compaction: every round commits the
+        # OR-merged one-row-per-shard state (replace semantics)
 
 
 def _frontier_cols():

@@ -58,16 +58,25 @@ class SnapshotStore:
         round_no: int,
         tables: dict[str, DataFrame | None],
         state: dict,
+        replace: set[str] | None = None,
     ) -> None:
         """Write each table's round delta, then atomically publish the
         manifest. Uncommitted delta dirs from a crashed run are
         invisible (not in the manifest) and get cleaned lazily.
+
+        Tables named in ``replace`` REPLACE the table's full content
+        instead of appending a delta (Iceberg overwrite analog): used
+        for small merged-state tables like Bloom ``seen_shards`` where
+        the round's write already folds in all prior state, so readers
+        should see exactly one directory. Old dirs become unreferenced
+        (vacuum cleans them; in-flight readers stay consistent).
 
         Every table — including Bloom ``seen_shards`` — is a
         distributed Spark write; no driver-side state round-trips
         through here (the round-1 pyarrow driver-table path is gone
         with the driver-resident Bloom it served).
         """
+        replace = replace or set()
         manifest = self.read_manifest()
         if round_no in manifest["rounds"]:
             raise ValueError(f"round {round_no} already committed")
@@ -79,9 +88,11 @@ class SnapshotStore:
                 continue
             path = os.path.join(rdir, name)
             df.write.mode("overwrite").parquet(path)
-            manifest["tables"].setdefault(name, []).append(
-                os.path.relpath(path, self.root)
-            )
+            rel = os.path.relpath(path, self.root)
+            if name in replace:
+                manifest["tables"][name] = [rel]
+            else:
+                manifest["tables"].setdefault(name, []).append(rel)
         manifest["rounds"].append(round_no)
         manifest["state"] = state
         tmp = self._manifest_path + ".tmp"

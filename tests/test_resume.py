@@ -123,3 +123,42 @@ def test_bloom_survives_resume_before_first_shard_commit(
     assert resumed.store.read_table("seen_shards") is not None
     urls = [r["url"] for r in resumed.fetch_log().collect()]
     assert urls and len(urls) == len(set(urls))
+
+
+def test_bloom_geometry_persisted_over_changed_config(spark, graph, tmp_path_factory):
+    """Shard geometry (n_shards, m_bits) is part of the committed state:
+    a resume with a CHANGED bloom config must keep the committed
+    geometry — reinterpreting shard rows under a new geometry silently
+    breaks the no-false-negative invariant (ADVICE r2, medium)."""
+    d = str(tmp_path_factory.mktemp("bloom_geom"))
+    seeds = [dict(s, count=30) for s in graph.seeds]
+
+    def cfg(shards, bits, **kw):
+        return CrawlConfig(
+            mode="scaled", dedup_scope="global_bloom", checkpoint_dir=d,
+            bloom_shards=shards, bloom_bits_per_shard=bits,
+            with_payload=False, **kw,
+        )
+
+    ScaledCrawlEngine(spark, graph, cfg(8, 1 << 17, max_rounds=3)).run(seeds)
+    # resume with a DIFFERENT configured geometry: committed state wins
+    resumed = ScaledCrawlEngine(spark, graph, cfg(4, 1 << 15))
+    resumed.run(seeds)
+    assert resumed.bloom.n_shards == 8
+    assert resumed.bloom.m_bits == 1 << 17
+    urls = [r["url"] for r in resumed.fetch_log().collect()]
+    assert urls and len(urls) == len(set(urls))
+
+
+def test_bloom_probe_rejects_mismatched_geometry(spark):
+    """Probing committed shard rows under a different m_bits must fail
+    LOUDLY, never silently return false negatives."""
+    from olx_spark.operators.dedup import BloomSeenFilter
+
+    df = spark.range(100).selectExpr("xxhash64(cast(id as string)) as url_fp")
+    f = BloomSeenFilter(spark, n_shards=4, m_bits_per_shard=1 << 12)
+    f.add_round(df)
+    wrong = BloomSeenFilter(spark, n_shards=4, m_bits_per_shard=1 << 13)
+    wrong.set_state(f.to_df())
+    with pytest.raises(Exception, match="geometry mismatch"):
+        wrong.probe(df).collect()
