@@ -34,22 +34,6 @@ from olx_spark.functions.text import minhash_signature, norm_text, word_shingles
 
 logger = logging.getLogger(__name__)
 
-# one-slot cache pool for lsh_candidate_pairs' bucket-size table: the
-# count-then-join pattern wants the sizes agg materialized once per
-# call, but a bare .cache() would pin one table per call for the whole
-# session — so each call releases the previous call's pin
-_sizes_cache_slot: list = []
-
-
-def _swap_sizes_cache(df: DataFrame) -> None:
-    while _sizes_cache_slot:
-        try:
-            _sizes_cache_slot.pop().unpersist()
-        except Exception:  # session gone / already unpersisted
-            pass
-    df.persist()
-    _sizes_cache_slot.append(df)
-
 
 # --------------------------------------------------------------- MinHash LSH
 def minhash_docs(
@@ -116,13 +100,15 @@ def lsh_candidate_pairs(
     # only productive, non-degenerate buckets
     sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     if log_dropped:
-        # the dropped-count job doubles as the cache materializer: the
-        # pair self-join below reuses the cached sizes instead of
-        # recomputing the (md5-heavy) banding agg — measured 6s -> <1s
-        # per call at sf0.01. The pin is BOUNDED: one sizes table at a
-        # time, the previous call's released here (no session-lifetime
-        # accumulation).
-        _swap_sizes_cache(sizes)
+        # materialize the sizes agg ONCE on the executors and truncate
+        # its lineage: the dropped-count job and the pair self-join
+        # below both reuse the checkpointed rows instead of recomputing
+        # the (md5-heavy) banding agg. localCheckpoint is scoped to the
+        # returned plan — no module-global cache slot, nothing another
+        # concurrent call can unpersist out from under this one, and
+        # the blocks are dropped with the DataFrame (r2 ADVICE items on
+        # the one-slot cache's thread-safety/lifetime)
+        sizes = sizes.localCheckpoint(eager=True)
         n_dropped = sizes.filter(F.col("n") > max_bucket).count()
         if n_dropped:
             logger.warning(

@@ -216,9 +216,13 @@ class CrawlEngine:
                 with_payload=self.config.with_payload,
             )
         )
+        # repartition, NOT coalesce: coalesce is a narrow dependency that
+        # would collapse the producing pipeline (fetch UDF, parse) to
+        # delta_write_partitions tasks — the exact anti-pattern the
+        # scaled engine removed (BENCH.md optimization log; repo rule)
         self.store.commit_round(
             rnd,
-            {"parsed": parsed.coalesce(self.config.delta_write_partitions)},
+            {"parsed": parsed.repartition(self.config.delta_write_partitions)},
             {"seeds": state, "next_round": rnd + 1},
         )
         distinct.unpersist()
