@@ -6,10 +6,11 @@ per job, no robots.txt, no delay (``DownloadAds.scala:28``). The engine
 makes the budget explicit and distributed:
 
 - robots rules live in a small ``hosts`` dimension (host,
-  crawl_delay_ms, disallow prefixes) that is BROADCAST-joined to the
-  frontier — never shuffled;
-- disallow matching is a JVM-side expression (``exists(prefixes,
-  p -> startswith(path, p))``) — no Python in the hot path;
+  crawl_delay_ms, allow/disallow prefixes) that is BROADCAST-joined to
+  the frontier — never shuffled;
+- rule matching is a JVM-side fold with RFC 9309 §2.2.2 precedence
+  (longest matching Allow/Disallow prefix wins, Allow wins ties) — no
+  Python in the hot path;
 - the per-round per-host budget is ``floor(round_budget_ms /
   crawl_delay_ms)`` requests; enforcement is a TWO-PHASE salted top-k
   (rank within ``(host, salt)`` first, cut to the budget per salt
@@ -36,18 +37,26 @@ from pyspark.sql import functions as F
 from olx_spark.operators.ranking import frontier_order_cols
 
 
-def robots_disallow_prefixes(col: Column | str) -> Column:
-    """Parse a raw robots.txt body into the disallow-prefix array that
-    applies to this crawler (``User-agent: *`` groups), entirely as a
-    JVM expression (split + aggregate over struct state — no Python).
+def robots_rules(col: Column | str) -> Column:
+    """Parse a raw robots.txt body into the Allow/Disallow prefix
+    arrays that apply to this crawler (``User-agent: *`` groups),
+    entirely as a JVM expression (split + aggregate over struct state —
+    no Python). Returns ``struct<allow: array<string>, disallow:
+    array<string>>``.
 
     Standard grouping semantics (RFC 9309 §2.1): a record is one or
     more consecutive ``User-agent`` lines followed by rules; a rule
     line closes the user-agent run, so the next UA line starts a NEW
-    group. ``Disallow:`` with an empty value allows everything (the
-    line is skipped). Field names are case-insensitive; ``#`` comments
-    and blank lines are ignored (blank lines do NOT end a group —
-    grouping is driven by the UA/rule alternation).
+    group. ``Allow:``/``Disallow:`` with an empty value match nothing
+    (the line is skipped). Field names are case-insensitive; ``#``
+    comments and blank lines are ignored (blank lines do NOT end a
+    group — grouping is driven by the UA/rule alternation).
+
+    Scope: prefix rules only — the RFC's optional ``*`` wildcards and
+    ``$`` end-anchors are not interpreted (a pattern containing them is
+    treated as a literal prefix). Precedence is applied at match time
+    by :func:`robots_flag` (longest-match, Allow wins ties — RFC 9309
+    §2.2.2).
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, "\r?\n")
@@ -57,13 +66,15 @@ def robots_disallow_prefixes(col: Column | str) -> Column:
     )
     is_ua = lambda ln: F.lower(ln).startswith("user-agent:")
     is_dis = lambda ln: F.lower(ln).startswith("disallow:")
+    is_alw = lambda ln: F.lower(ln).startswith("allow:")
     # split on the FIRST colon only (paths may contain colons)
     val = lambda ln: F.trim(F.element_at(F.split(ln, ":", 2), 2))
     ua_val = lambda ln: F.trim(F.element_at(F.split(F.lower(ln), ":", 2), 2))
     init = F.struct(
         F.lit(False).alias("star"),       # current group applies to us
         F.lit(True).alias("closed"),      # UA run closed by a rule line
-        F.array().cast("array<string>").alias("prefixes"),
+        F.array().cast("array<string>").alias("allow"),
+        F.array().cast("array<string>").alias("disallow"),
     )
 
     def step(acc, ln):
@@ -71,62 +82,103 @@ def robots_disallow_prefixes(col: Column | str) -> Column:
         star_on_ua = F.when(acc["closed"], new_group_star).otherwise(
             acc["star"] | new_group_star
         )
-        dis_prefix = val(ln)
-        keep = acc["star"] & (dis_prefix != "")
+        prefix = val(ln)
+        keep = acc["star"] & (prefix != "")
+
+        def rule_state(allow, disallow):
+            return F.struct(
+                acc["star"].alias("star"),
+                F.lit(True).alias("closed"),
+                allow.alias("allow"),
+                disallow.alias("disallow"),
+            )
+
         return (
             F.when(
                 is_ua(ln),
                 F.struct(
                     star_on_ua.alias("star"),
                     F.lit(False).alias("closed"),
-                    acc["prefixes"].alias("prefixes"),
+                    acc["allow"].alias("allow"),
+                    acc["disallow"].alias("disallow"),
                 ),
             )
             .when(
                 is_dis(ln),
-                F.struct(
-                    acc["star"].alias("star"),
-                    F.lit(True).alias("closed"),
-                    F.when(
-                        keep, F.array_append(acc["prefixes"], dis_prefix)
-                    ).otherwise(acc["prefixes"]).alias("prefixes"),
+                rule_state(
+                    acc["allow"],
+                    F.when(keep, F.array_append(acc["disallow"], prefix)).otherwise(
+                        acc["disallow"]
+                    ),
                 ),
             )
-            # any other non-empty rule line (Allow, Crawl-delay, …)
-            # closes the UA run too; blank lines change nothing
             .when(
-                ln != "",
-                F.struct(
-                    acc["star"].alias("star"),
-                    F.lit(True).alias("closed"),
-                    acc["prefixes"].alias("prefixes"),
+                is_alw(ln),
+                rule_state(
+                    F.when(keep, F.array_append(acc["allow"], prefix)).otherwise(
+                        acc["allow"]
+                    ),
+                    acc["disallow"],
                 ),
             )
+            # any other non-empty rule line (Crawl-delay, Sitemap, …)
+            # closes the UA run too; blank lines change nothing
+            .when(ln != "", rule_state(acc["allow"], acc["disallow"]))
             .otherwise(acc)
         )
 
-    return F.aggregate(cleaned, init, step, lambda acc: acc["prefixes"])
+    return F.aggregate(
+        cleaned,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["allow"].alias("allow"), acc["disallow"].alias("disallow")
+        ),
+    )
+
+
+def robots_disallow_prefixes(col: Column | str) -> Column:
+    """Disallow-prefix projection of :func:`robots_rules` (back-compat
+    for callers that only gate on Disallow)."""
+    return robots_rules(col)["disallow"]
 
 
 def hosts_from_robots(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     """Build the engine's hosts dimension from RAW robots.txt bodies:
-    rows = [(host, crawl_delay_ms, robots_txt)]. The disallow arrays
-    are parsed by :func:`robots_disallow_prefixes` at plan time."""
+    rows = [(host, crawl_delay_ms, robots_txt)]. The allow/disallow
+    arrays are parsed by :func:`robots_rules` at plan time."""
     df = spark.createDataFrame(
         rows, "host string, crawl_delay_ms int, robots_txt string"
     )
+    rules = robots_rules("robots_txt")
     return df.select(
         "host",
         "crawl_delay_ms",
-        robots_disallow_prefixes("robots_txt").alias("robots_disallow"),
+        rules["disallow"].alias("robots_disallow"),
+        rules["allow"].alias("robots_allow"),
+    )
+
+
+def _longest_match_len(prefixes: Column, path: Column) -> Column:
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (0 when none match) — pure JVM fold."""
+    return F.aggregate(
+        F.coalesce(prefixes, F.array().cast("array<string>")),
+        F.lit(0),
+        lambda acc, p: F.greatest(
+            acc, F.when(path.startswith(p), F.length(p)).otherwise(F.lit(0))
+        ),
     )
 
 
 def robots_flag(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     """Broadcast-join the hosts dimension and add a boolean
-    ``disallowed`` column (path matches a disallow prefix of its host).
-    ``hosts``: (host, crawl_delay_ms, robots_disallow array).
-    JVM ``exists`` — zero Python.
+    ``disallowed`` column with RFC 9309 §2.2.2 precedence: the most
+    specific (longest) matching Allow/Disallow prefix wins, Allow wins
+    exact-length ties, no match means allowed. ``hosts``: (host,
+    crawl_delay_ms, robots_disallow array[, robots_allow array]) — a
+    dimension without Allow rules degrades to pure Disallow-prefix
+    gating. All matching is a JVM fold — zero Python.
 
     Returning a flag instead of filtering lets callers split ONE cached
     scan into allowed/excluded with two cheap filters — the previous
@@ -134,13 +186,13 @@ def robots_flag(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     round that had any disallow rule."""
     joined = frontier.join(F.broadcast(hosts), on="host", how="left")
     path = F.parse_url(F.col("url"), F.lit("PATH"))
-    return joined.withColumn(
-        "disallowed",
-        F.exists(
-            F.coalesce(F.col("robots_disallow"), F.array()),
-            lambda p: path.startswith(p),
-        ),
+    dis_len = _longest_match_len(F.col("robots_disallow"), path)
+    alw_len = (
+        _longest_match_len(F.col("robots_allow"), path)
+        if "robots_allow" in hosts.columns
+        else F.lit(0)
     )
+    return joined.withColumn("disallowed", dis_len > alw_len)
 
 
 def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:

@@ -73,10 +73,16 @@ class ScaledCrawlEngine:
         self.store = SnapshotStore(self.config.checkpoint_dir, spark)
         self.hosts_df = spark.createDataFrame(
             [
-                (h["host"], h["crawl_delay_ms"], h["robots_disallow"])
+                (
+                    h["host"],
+                    h["crawl_delay_ms"],
+                    h["robots_disallow"],
+                    h.get("robots_allow", []),
+                )
                 for h in graph.hosts
             ],
-            "host string, crawl_delay_ms int, robots_disallow array<string>",
+            "host string, crawl_delay_ms int, robots_disallow array<string>, "
+            "robots_allow array<string>",
         )
         self._has_robots = any(h["robots_disallow"] for h in graph.hosts)
         self.bloom: BloomSeenFilter | None = None

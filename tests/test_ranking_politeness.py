@@ -249,6 +249,121 @@ def test_robots_txt_parse_rfc_grouping(spark):
         assert got[k] == want, f"{k}: {got[k]} != {want}"
 
 
+def test_robots_allow_precedence_rfc9309(spark):
+    """RFC 9309 §2.2.2: most specific (longest) matching rule wins,
+    Allow wins exact ties, no match -> allowed."""
+    from olx_spark.operators.politeness import hosts_from_robots, robots_flag
+
+    hosts = hosts_from_robots(
+        spark,
+        [
+            ("h.example", 0, "User-agent: *\nAllow: /public/\nDisallow: /"),
+            # exact tie: Allow and Disallow on the same prefix -> allowed
+            ("t.example", 0, "User-agent: *\nAllow: /p/\nDisallow: /p/"),
+            # longer Disallow beats shorter Allow
+            ("d.example", 0, "User-agent: *\nAllow: /a/\nDisallow: /a/secret/"),
+        ],
+    )
+    f = spark.createDataFrame(
+        [
+            ("https://h.example/public/x/", "h.example"),
+            ("https://h.example/private/x/", "h.example"),
+            ("https://t.example/p/x/", "t.example"),
+            ("https://d.example/a/ok/", "d.example"),
+            ("https://d.example/a/secret/x/", "d.example"),
+        ],
+        "url string, host string",
+    )
+    got = {r["url"]: r["disallowed"] for r in robots_flag(f, hosts).collect()}
+    assert got == {
+        "https://h.example/public/x/": False,
+        "https://h.example/private/x/": True,
+        "https://t.example/p/x/": False,
+        "https://d.example/a/ok/": False,
+        "https://d.example/a/secret/x/": True,
+    }
+
+
+def _py_robots_rules(body: str) -> tuple[list[str], list[str]]:
+    """Independent 20-line reference parser (RFC 9309 grouping) the
+    JVM-expression parser is property-tested against."""
+    allow: list[str] = []
+    disallow: list[str] = []
+    star, closed = False, True
+    for raw in body.replace("\r\n", "\n").split("\n"):
+        ln = raw.split("#", 1)[0].strip()
+        if not ln:
+            continue
+        low = ln.lower()
+        if low.startswith("user-agent:"):
+            ua = ln.split(":", 1)[1].strip().lower()
+            star = (ua == "*") if closed else (star or ua == "*")
+            closed = False
+        elif low.startswith("disallow:") or low.startswith("allow:"):
+            v = ln.split(":", 1)[1].strip()
+            closed = True
+            if star and v:
+                (disallow if low.startswith("disallow:") else allow).append(v)
+        else:
+            closed = True
+    return allow, disallow
+
+
+def test_robots_parser_property_vs_reference(spark):
+    """Property test: 250 seeded-random adversarial robots bodies
+    (UA/rule/comment/blank interleavings, case noise, colons in paths,
+    leading rules before any UA, UA runs split by comments) parsed by
+    the JVM expression must equal the independent Python parser."""
+    import random
+
+    from olx_spark.operators.politeness import robots_rules
+
+    ua_vals = ["*", "googlebot", "Bot-X", "*", "other-bot"]
+    paths = ["/a/", "/b:c/", "", "/p/q", "/a/", "/x", "/public/", "/a/secret/"]
+    bodies = []
+    for seed in range(250):
+        rng = random.Random(seed)
+        lines = []
+        for _ in range(rng.randrange(0, 16)):
+            kind = rng.randrange(8)
+            if kind in (0, 1):
+                lines.append(f"User-agent: {rng.choice(ua_vals)}")
+            elif kind in (2, 3):
+                lines.append(f"Disallow: {rng.choice(paths)}")
+            elif kind == 4:
+                lines.append(f"Allow: {rng.choice(paths)}")
+            elif kind == 5:
+                lines.append(rng.choice(["", "# a comment", "   "]))
+            elif kind == 6:
+                lines.append(
+                    rng.choice(["Crawl-delay: 10", "Sitemap: https://x/m.xml"])
+                )
+            else:  # case noise + trailing comments
+                lines.append(
+                    rng.choice(
+                        [
+                            "DISALLOW: /c/  # hidden",
+                            "user-AGENT: *",
+                            "ALLOW: /ok/",
+                            "diSallow: /Mix/",
+                        ]
+                    )
+                )
+            if rng.random() < 0.15:
+                lines[-1] += "  # trailing"
+        bodies.append((seed, "\n".join(lines)))
+
+    df = spark.createDataFrame(bodies, "seed int, body string").select(
+        "seed", robots_rules("body").alias("r")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # parser stays a pure JVM expression
+    got = {r["seed"]: (list(r["r"]["allow"]), list(r["r"]["disallow"])) for r in df.collect()}
+    for seed, body in bodies:
+        want = _py_robots_rules(body)
+        assert got[seed] == want, f"seed {seed}: {got[seed]} != {want}\n{body}"
+
+
 def test_hosts_from_robots_feeds_robots_filter(spark):
     """Raw robots bodies -> hosts dim -> robots_filter end-to-end."""
     from olx_spark.operators.politeness import hosts_from_robots
