@@ -30,11 +30,20 @@ Manifest::
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class StaleStateError(RuntimeError):
+    """A concurrent writer advanced the store since this writer read
+    its state: the attempted commit was built from a stale snapshot of
+    ``state`` and must not be published (last-writer-wins would clobber
+    the other writer's bookkeeping). Re-read and rebuild to retry."""
 
 
 class SnapshotStore:
@@ -52,6 +61,40 @@ class SnapshotStore:
             return {"rounds": [], "tables": {}, "state": {}}
         with open(self._manifest_path) as f:
             return json.load(f)
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout_s: float = 60.0):
+        """Serialize manifest read-modify-write across writers sharing
+        one filesystem (a concurrent stream + batch engine): O_EXCL
+        lock file with retry. On a real cluster this is the catalog's
+        optimistic-commit CAS (Iceberg snapshot swap); here a lock file
+        is the single-node analog."""
+        lock = os.path.join(self.root, ".commit.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:  # steal locks abandoned by a KILLED writer (north
+                    # rule: a killed run must stay resumable) — live
+                    # commits finish in seconds, so age >> that is stale
+                    if time.time() - os.path.getmtime(lock) > 300:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    pass  # lock released/stolen between stat and unlink
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"snapshot commit lock {lock} held past {timeout_s}s "
+                        "(stale lock from a killed writer? delete it to recover)"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def commit_round(
         self,
@@ -71,34 +114,56 @@ class SnapshotStore:
         should see exactly one directory. Old dirs become unreferenced
         (vacuum cleans them; in-flight readers stay consistent).
 
+        Concurrency (a frontier stream + a batch engine sharing one
+        store): the whole commit runs under a filesystem lock
+        (``_commit_lock``), and the round number is a compare-and-swap
+        against the committed ``state.next_round`` — a writer that
+        planned its round from a stale manifest read gets
+        ``StaleStateError`` (or ``ValueError`` if the exact round was
+        taken) instead of silently clobbering the other writer. The
+        published ``state`` is MERGED over the freshly-read manifest
+        state, so keys a writer does not own (e.g. the stream's
+        ``stream_batches`` vs the engine's ``seeds``) survive
+        interleaved commits. On a real cluster this maps to the
+        catalog's optimistic snapshot-swap CAS (Iceberg).
+
         Every table — including Bloom ``seen_shards`` — is a
         distributed Spark write; no driver-side state round-trips
         through here (the round-1 pyarrow driver-table path is gone
         with the driver-resident Bloom it served).
         """
         replace = replace or set()
-        manifest = self.read_manifest()
-        if round_no in manifest["rounds"]:
-            raise ValueError(f"round {round_no} already committed")
-        rdir = os.path.join(self.root, f"r{round_no:05d}")
-        if os.path.exists(rdir):  # leftovers from a crashed attempt
-            shutil.rmtree(rdir)
-        for name, df in tables.items():
-            if df is None:
-                continue
-            path = os.path.join(rdir, name)
-            df.write.mode("overwrite").parquet(path)
-            rel = os.path.relpath(path, self.root)
-            if name in replace:
-                manifest["tables"][name] = [rel]
-            else:
-                manifest["tables"].setdefault(name, []).append(rel)
-        manifest["rounds"].append(round_no)
-        manifest["state"] = state
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # the atomic commit point
+        with self._commit_lock():
+            manifest = self.read_manifest()
+            if round_no in manifest["rounds"]:
+                raise ValueError(f"round {round_no} already committed")
+            expected = manifest["state"].get("next_round")
+            if expected is not None and round_no != expected:
+                raise StaleStateError(
+                    f"commit of round {round_no} planned from a stale read: "
+                    f"the store's committed next_round is {expected} "
+                    "(a concurrent writer advanced the store) — re-read "
+                    "state and rebuild the round"
+                )
+            rdir = os.path.join(self.root, f"r{round_no:05d}")
+            if os.path.exists(rdir):  # leftovers from a crashed attempt
+                shutil.rmtree(rdir)
+            for name, df in tables.items():
+                if df is None:
+                    continue
+                path = os.path.join(rdir, name)
+                df.write.mode("overwrite").parquet(path)
+                rel = os.path.relpath(path, self.root)
+                if name in replace:
+                    manifest["tables"][name] = [rel]
+                else:
+                    manifest["tables"].setdefault(name, []).append(rel)
+            manifest["rounds"].append(round_no)
+            manifest["state"] = {**manifest["state"], **state}
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)  # the atomic commit point
 
     def read_table(self, name: str) -> DataFrame | None:
         """Union of all committed round deltas for ``name``."""
@@ -116,22 +181,23 @@ class SnapshotStore:
         analog). Bounds per-round read fan-in: without compaction a
         round-R scan opens R delta dirs. ``df_transform`` can dedup
         while compacting (e.g. distinct on url_fp for ``seen``)."""
-        manifest = self.read_manifest()
-        paths = manifest["tables"].get(name, [])
-        if len(paths) <= 1:
-            return
-        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
-        if df_transform is not None:
-            df = df_transform(df)
-        gen = sum(1 for p in paths if "compact" in p)
-        out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}"
-        out = os.path.join(self.root, out_rel)
-        df.write.mode("overwrite").parquet(out)
-        manifest["tables"][name] = [out_rel]
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        with self._commit_lock():
+            manifest = self.read_manifest()
+            paths = manifest["tables"].get(name, [])
+            if len(paths) <= 1:
+                return
+            df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+            if df_transform is not None:
+                df = df_transform(df)
+            gen = sum(1 for p in paths if "compact" in p)
+            out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}"
+            out = os.path.join(self.root, out_rel)
+            df.write.mode("overwrite").parquet(out)
+            manifest["tables"][name] = [out_rel]
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)
         # old delta dirs are now unreferenced; leave them for vacuum()
         # (readers that already opened them stay consistent)
 

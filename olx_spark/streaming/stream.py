@@ -25,7 +25,12 @@ Table semantics (shared store contract):
 
 The manifest ``state`` dict is MERGED (stream keys added), never
 replaced — clobbering it destroyed the batch engine's ``seeds`` /
-``next_round`` and broke resume.
+``next_round`` and broke resume. Interleaved writers are additionally
+safe at the store level: ``commit_round`` serializes commits under a
+lock file and CAS-rejects a round planned from a stale manifest read
+(``StaleStateError``), so a stream batch racing an engine round fails
+loudly instead of clobbering — the batch retries on the stream's next
+trigger.
 """
 
 from __future__ import annotations

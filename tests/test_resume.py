@@ -150,6 +150,34 @@ def test_bloom_geometry_persisted_over_changed_config(spark, graph, tmp_path_fac
     assert urls and len(urls) == len(set(urls))
 
 
+def test_commit_round_rejects_stale_writer_and_merges_state(spark, tmp_path_factory):
+    """Two writers sharing one store (frontier stream + batch engine):
+    a commit planned from a stale manifest read is REJECTED (CAS on
+    next_round / round-taken), and committed state is merged so keys a
+    writer does not own survive interleaved commits (ADVICE r2)."""
+    from olx_spark.plans.snapshot import SnapshotStore, StaleStateError
+
+    d = str(tmp_path_factory.mktemp("cas"))
+    a = SnapshotStore(d, spark)
+    b = SnapshotStore(d, spark)
+    df = spark.range(3)
+    a.commit_round(0, {"t": df}, {"next_round": 1})
+    # writer A wins round 1 while B planned the same round from an
+    # earlier read: B's attempt must fail loudly, not clobber
+    a.commit_round(1, {"t": df}, {"next_round": 2, "seeds": {"x": 1}})
+    with pytest.raises(ValueError):
+        b.commit_round(1, {"t": df}, {"next_round": 2})
+    # a round number planned past the committed next_round is stale too
+    with pytest.raises(StaleStateError):
+        b.commit_round(3, {"t": df}, {"next_round": 4})
+    # a correctly re-planned commit merges: A's 'seeds' key survives
+    b.commit_round(2, {"t": df}, {"next_round": 3, "stream_batches": [7]})
+    st = a.last_state()
+    assert st["seeds"] == {"x": 1}
+    assert st["stream_batches"] == [7]
+    assert st["next_round"] == 3
+
+
 def test_bloom_probe_rejects_mismatched_geometry(spark):
     """Probing committed shard rows under a different m_bits must fail
     LOUDLY, never silently return false negatives."""
