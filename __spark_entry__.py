@@ -6,13 +6,17 @@ DuckDB-equivalent ANSI SQL. Column names + float rounding are aligned
 on both sides (the driver compares row-count + schema + order-
 insensitive value hash).
 
-Keys without an oracle entry (genuinely non-SQL ops) are checked
-rows-only by the driver and exactly in tests/: crawl-engine equality vs
-the reference simulator (tests/test_crawl_order.py) and binary image
-decode (tests/test_multimodal.py — no pixel codec in SQL). Everything
-else, including the probabilistic MinHash/SimHash/sign-LSH pipelines,
-carries a full DuckDB twin (portable md5-60 hashes + seeded-constant
-hyperplanes make even the approximate paths exactly recomputable).
+EVERY key carries a DuckDB twin — including the probabilistic
+MinHash/SimHash/sign-LSH/IVF pipelines (portable md5-60 hashes +
+seeded-constant hyperplanes/centroids make the approximate paths
+exactly recomputable), the flagship crawl (the reference's
+unfold/graft/per-page-dedup/take/brief semantics re-derived from the
+raw fixture graph in pure SQL over inline VALUES), and the binary
+image decode (expected features computed independently of Spark in
+driver-side numpy, inlined as VALUES; the oracle checks the
+distributed plumbing). The crawl and image keys are additionally
+pinned by exact pytests (tests/test_crawl_order.py,
+tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -502,11 +506,13 @@ def q_embed_near_dup(spark, sf):
     return pairs
 
 
-# ----------------------- rows-only keys (no SQL equivalent) ---------------
-
 def q_crawl_reference(spark, sf):
-    # flagship crawl: reference-exact engine over the fixture graph
-    # (equality vs the simulator asserted in tests/test_crawl_order.py)
+    # flagship crawl: reference-exact engine over the fixture graph.
+    # Checked THREE ways: simulator-equality pytest
+    # (tests/test_crawl_order.py), and a full DuckDB oracle that
+    # re-derives the reference's unfold/graft/per-page-dedup/take/brief
+    # semantics from the RAW fixture graph in pure SQL
+    # (_sql_crawl_reference).
     from olx_spark.fixtures import make_crawl_graph
     from olx_spark.plans.crawl import CrawlConfig, CrawlEngine
 
@@ -573,7 +579,12 @@ def q_ivf_ann(spark, sf):
 
 
 def q_image_features(spark, sf):
-    # multimodal plumbing: decode + features over binary image column
+    # multimodal plumbing: decode + features over a binary image column
+    # (Arrow-batched mapInPandas). The DuckDB twin
+    # (_sql_image_features) carries the expected features computed
+    # INDEPENDENTLY of Spark (driver-side numpy over the same
+    # deterministic corpus), so the oracle checks the distributed
+    # plumbing — schema, batch boundaries, value transport — end to end.
     from olx_spark.fixtures.images import make_image_corpus
     from olx_spark.operators.multimodal import image_features
 
@@ -626,7 +637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_ann_lsh": q_ann_lsh,
         "q_ivf_ann": q_ivf_ann,
-        # rows-only (no SQL equivalent; exact tests live in tests/)
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
     }
@@ -848,6 +858,143 @@ def _sql_ivf_ann(n_centroids: int = 16, dim: int = 64, k: int = 5, nprobe: int =
     """
 
 
+def _sql_escape(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_crawl_reference() -> str:
+    """DuckDB twin of the reference-exact crawl engine: the RAW fixture
+    graph (seed listing pages with hrefs in page order incl.
+    duplicates; ad pages with raw brief items) is inlined as VALUES,
+    and the reference's semantics are re-derived in SQL —
+    path-graft canonicalization keeping the base query
+    (``DownloadLinks.scala:47-48``), per-page first-occurrence dedup
+    (``:49``), the count-based unfold re-fetching the SAME page each
+    round with ``left -= n_distinct`` termination (``:17-34``), exact
+    stream truncation at ``count`` (``DownloadAds.scala:26-27``), and
+    the brief split-colon micro-semantics with last-wins keys at
+    first-occurrence position (``:49-54``, ``H2.scala:60``). Closed
+    form: the page content is constant per seed, so round r schedules
+    pos 0..min(n, count - r*n)-1 with seq = r*n + pos for
+    r in 0..ceil(count/n)-1."""
+    from olx_spark.fixtures import make_crawl_graph
+
+    g = make_crawl_graph(hot_host_factor=2)  # same graph as q_crawl_reference
+    page_vals, ad_vals = [], []
+    for s in g.seeds:
+        page = g.store.get_listing(s["url"])
+        for i, href in enumerate(page["ad_hrefs"]):
+            page_vals.append(
+                f"('{_sql_escape(s['name'])}', {int(s['count'])}, "
+                f"'{_sql_escape(s['url'])}', {i}, '{_sql_escape(href)}')"
+            )
+    for a in g.ad_pages:
+        items = ", ".join(f"'{_sql_escape(it)}'" for it in a["brief_items"])
+        ad_vals.append(
+            f"('{_sql_escape(a['host'])}', '{_sql_escape(a['path'])}', "
+            f"'{_sql_escape(a['title'])}', '{_sql_escape(a['price'])}', [{items}])"
+        )
+    return f"""
+        with pages(name, cnt, base_url, pos_raw, href) as (values {", ".join(page_vals)}),
+        ads(host, path, title, price, brief_items) as (values {", ".join(ad_vals)}),
+        canon as (  -- reference graft: scheme://authority + href + base query
+            select name, cnt, pos_raw, href as path,
+                   regexp_extract(base_url, '^https?://([^/?#]+)', 1) as host,
+                   regexp_extract(base_url, '^(https?://[^/?#]+)', 1) || href ||
+                     case when contains(base_url, '?')
+                          then '?' || regexp_extract(base_url, '\\?([^#]*)', 1)
+                          else '' end as url
+            from pages
+        ),
+        distinct_ads as (  -- per-page first-occurrence dedup -> pos
+            select name, cnt, host, path, url,
+                   row_number() over (partition by name order by pos_raw) - 1 as pos
+            from (select *, row_number() over (partition by name, url
+                                               order by pos_raw) as rn
+                  from canon)
+            where rn = 1
+        ),
+        counts as (
+            select name, any_value(cnt) as cnt, count(*) as n
+            from distinct_ads group by name
+        ),
+        rounds as (  -- unfold: ceil(count/n) refetches of the same page
+            select name, u.i::int as rnd
+            from counts cross join lateral
+                 (select unnest(range(0, (cnt + n - 1) // n)) as i) u
+        ),
+        flat as (  -- truncate the flattened stream exactly at count
+            select d.name, r.rnd as round, d.pos, d.url, d.host, d.path,
+                   r.rnd * c.n + d.pos as seq
+            from rounds r
+            join counts c using (name)
+            join distinct_ads d using (name)
+            where d.pos < least(c.n, c.cnt - r.rnd * c.n)
+        ),
+        brief_kv as (  -- scala split(':') with trailing empties dropped
+            select host, path, i,
+                   string_split(rtrim(item, ':'), ':')[1] as k,
+                   case when len(string_split(rtrim(item, ':'), ':')) >= 2
+                        then string_split(rtrim(item, ':'), ':')[2]
+                        else 'true' end as v
+            from (select host, path,
+                         unnest(brief_items) as item,
+                         unnest(range(1, len(brief_items) + 1)) as i
+                  from ads)
+        ),
+        brief as (  -- duplicate keys last-wins at first-occurrence position
+            select host, path,
+                   string_agg(k || ' -> ' || v, '; ' order by first_pos) as brief_flat
+            from (select host, path, k, arg_max(v, i) as v, min(i) as first_pos
+                  from brief_kv where k != '' and v != ''
+                  group by host, path, k)
+            group by host, path
+        )
+        select f.name, f.seq::bigint as seq, f.round::int as round,
+               f.pos::int as pos, f.url as href, a.title, a.price,
+               coalesce(b.brief_flat, '') as brief_flat
+        from flat f
+        join ads a on a.host = f.host and a.path = f.path
+        left join brief b on b.host = f.host and b.path = f.path
+    """
+
+
+def _sql_image_features() -> str:
+    """DuckDB twin of q_image_features: the expected features are
+    computed INDEPENDENTLY of Spark (driver-side numpy over the same
+    deterministic corpus — encode, decode, channel means, gray stddev,
+    phash of the DECODED pixels) and inlined as VALUES; floats are
+    emitted via repr() so they round-trip to the identical double. The
+    oracle therefore checks the Spark-side plumbing (mapInPandas Arrow
+    batches, schema, value transport) end to end."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        original_pixels,
+        phash64,
+    )
+
+    vals = []
+    for i in range(64):
+        w, h, fmt, arr = original_pixels(i, seed=7)
+        dec = decode_image(encode_image(arr, fmt), fmt)
+        gray = dec.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        vals.append(
+            f"('img-{i % 4:03d}-{i:05d}', {dec.shape[1]}, {dec.shape[0]}, "
+            f"'{fmt}', {float(dec[..., 0].mean())!r}::double, "
+            f"{float(gray.std())!r}::double, {phash64(dec)}, 1)"
+        )
+    return f"""
+        select image_id, w::int as w, h::int as h, fmt,
+               round(mean_r, 4) as mean_r, round(std_gray, 4) as std_gray,
+               phash::bigint as phash, decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, w, h, fmt, mean_r, std_gray, phash, decode_ok)
+    """
+
+
 def _sql_simhash16() -> str:
     toks = f"string_split({_sql_norm('text')}, ' ')"
     hashes = f"[{_sql_md5_60('t')} for t in {toks}]"
@@ -1034,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh": _sql_ann_lsh(),
         "q_ivf_ann": _sql_ivf_ann(),
         "q_minhash_lsh": _sql_minhash_lsh(),
+        "q_crawl_reference": _sql_crawl_reference(),
+        "q_image_features": _sql_image_features(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh
