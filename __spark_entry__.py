@@ -377,6 +377,11 @@ def q_ngram_jaccard(spark, sf):
         .filter(F.col("doc_id") < 300)
         .select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh"))
         .filter(F.size("sh") > 0)
+        # materialize the shingle sets once (executor-resident, scoped
+        # to this plan): they feed BOTH sides of the self-join plus the
+        # size dimension — without this the md5-free but regex-heavy
+        # shingling runs ~4x per execution
+        .localCheckpoint(eager=True)
     )
     ex = d.select("doc_id", F.explode("sh").alias("s"))
     pairs = (

@@ -343,7 +343,11 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id from random hyperplanes, JVM-side."""
+    """Sign-bit bucket id from random hyperplanes, JVM-side. Kept as
+    the expression-form reference; the hot path (:func:`lsh_topk`) uses
+    the vectorized :func:`_bucket_assigner` — inlining n_planes x dim
+    float literals per row is the codegen-hostile pattern that made
+    q_ivf_ann 3x slower (BENCH.md round 3)."""
     bits = [
         F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1 << i).otherwise(0)
         for i, p in enumerate(planes)
@@ -352,6 +356,25 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     for b in bits:
         out = out + b
     return out
+
+
+def _bucket_assigner(planes: list[list[float]]):
+    """Scalar pandas UDF: sign-LSH bucket id per vector — one numpy
+    ``batch @ planes.T`` + sign-pack per Arrow batch (planes are a
+    closure constant). Same >= 0 sign convention as :func:`lsh_bucket`
+    and the DuckDB oracle."""
+    pl = np.asarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(pl.shape[0], dtype=np.int64)
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        dots = np.stack(vecs.to_numpy()) @ pl.T
+        out = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out.astype(np.int32))
+
+    return assign
 
 
 def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[float]]:
@@ -474,12 +497,13 @@ def lsh_topk(
     with ``queries.first()`` ran a Spark job inside plan construction —
     at scale the width comes from table metadata, never from data."""
     planes = hyperplanes(dim, n_planes, seed)
+    assign = _bucket_assigner(planes)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
+    ).withColumn("bucket", assign(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket0", lsh_bucket(F.col("qvec"), planes))
+    ).withColumn("bucket0", assign(F.col("qvec")))
     if multiprobe:
         probes = F.array(
             F.col("bucket0"),
