@@ -605,6 +605,23 @@ def q_image_features(spark, sf):
     )
 
 
+def q_phash_near_dup(spark, sf):
+    # image DEDUP: decode -> phash64 -> banded Hamming pairing (bands
+    # derived from max_dist => complete recall => equals brute force,
+    # which is exactly what the numpy-computed oracle VALUES hold).
+    # Corpus has planted near-dup pairs (odd index = perturbed copy of
+    # its predecessor).
+    from olx_spark.fixtures.images import make_near_dup_image_corpus
+    from olx_spark.operators.multimodal import phash_near_dups
+
+    rows = make_near_dup_image_corpus(96, seed=11)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return phash_near_dups(df, max_dist=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -644,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
+        "q_phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -1000,6 +1018,28 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
+    """DuckDB twin of q_phash_near_dup: expected phashes computed
+    independently of Spark (driver-side numpy decode+phash over the
+    same deterministic corpus) inlined as VALUES; the SQL does the
+    brute-force Hamming pairing, which the banded Spark pipeline
+    provably equals (bands = max_dist+1 -> complete recall)."""
+    from olx_spark.fixtures.images import decode_image, encode_image, near_dup_pixels, phash64
+
+    vals = []
+    for i in range(n):
+        fmt, arr = near_dup_pixels(i, seed)
+        dec = decode_image(encode_image(arr, fmt), fmt)
+        vals.append(f"('nd-{i:05d}', {phash64(dec)}::bigint)")
+    return f"""
+        with h(image_id, ph) as (values {", ".join(vals)})
+        select a.image_id as id_a, b.image_id as id_b,
+               bit_count(xor(a.ph, b.ph))::int as dist
+        from h a join h b on a.image_id < b.image_id
+        where bit_count(xor(a.ph, b.ph)) <= {max_dist}
+    """
+
+
 def _sql_simhash16() -> str:
     toks = f"string_split({_sql_norm('text')}, ' ')"
     hashes = f"[{_sql_md5_60('t')} for t in {toks}]"
@@ -1188,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),
+        "q_phash_near_dup": _sql_phash_near_dup(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh

@@ -298,3 +298,41 @@ def make_image_corpus(n: int = 100, seed: int = 42, n_hosts: int = 4) -> list[di
     """Rows for the ``images`` payload table (FIXTURES.md §1), schema
     (image_id, bytes, w, h, fmt, caption, phash) per input_hint."""
     return [make_image_row(i, seed=seed, n_hosts=n_hosts) for i in range(n)]
+
+
+def near_dup_pixels(i: int, seed: int = 11) -> tuple[str, np.ndarray]:
+    """(fmt, pixels) for the near-duplicate image corpus: even indices
+    are fresh images; each ODD index is its predecessor's pixels with
+    sparse small perturbations (~1% of pixels nudged ±<=4) — a visual
+    near-duplicate whose phash lands within a few bits, planting known
+    positive pairs for image-dedup operators. Derived from (seed, i)
+    alone, like :func:`original_pixels`."""
+    base_idx = i - 1 if i % 2 else i
+    rng = np.random.default_rng(
+        np.random.PCG64(np.random.SeedSequence([seed, base_idx]))
+    )
+    sizes = [32, 64, 96]
+    fmts = ["raw", "png", "dctq"]
+    w = int(rng.choice(sizes))
+    h = int(rng.choice(sizes))
+    fmt = fmts[int(rng.integers(0, len(fmts)))]
+    arr = make_image_array(rng, w, h)
+    if i % 2:
+        prng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i, 1])))
+        mask = prng.random((h, w, 3)) < 0.01
+        delta = prng.integers(-4, 5, size=(h, w, 3), dtype=np.int32)
+        arr = np.clip(arr.astype(np.int32) + mask * delta, 0, 255).astype(np.uint8)
+    return fmt, arr
+
+
+def make_near_dup_image_corpus(n: int = 96, seed: int = 11) -> list[dict]:
+    """Binary-image corpus with PLANTED near-duplicate pairs (each odd
+    index perturbs its predecessor): rows (image_id, bytes, fmt) for
+    phash-based image dedup tests and oracles."""
+    rows = []
+    for i in range(n):
+        fmt, arr = near_dup_pixels(i, seed)
+        rows.append(
+            {"image_id": f"nd-{i:05d}", "bytes": encode_image(arr, fmt), "fmt": fmt}
+        )
+    return rows

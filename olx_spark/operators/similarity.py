@@ -230,27 +230,29 @@ def _banded(sigs: DataFrame, sim_col: str, nbits: int, bands: int) -> DataFrame:
     )
 
 
-def simhash_near_dups(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
     id_col: str,
-    text_col: str,
+    hash_col: str,
     max_dist: int = 3,
     nbits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance <= max_dist.
+    """Near-dup pairs (id_a, id_b, dist) by Hamming distance over ANY
+    packed-bits integer column — text simhash, image phash64, audio
+    chromaprint-style hashes: anything whose similarity is bit
+    distance.
 
-    Banding is DERIVED from max_dist: the simhash is split into
-    ``max_dist + 1`` bands, so any pair within distance max_dist leaves
-    at least one band untouched (pigeonhole) — candidate recall is
-    complete for the advertised radius, whatever it is. (A fixed 4-band
-    split silently dropped pairs at distance 4+ when callers asked for
-    a larger radius.) One shuffle keyed by (band_id, band_val).
-    """
+    Banding is DERIVED from max_dist: the hash is split into
+    ``max_dist + 1`` bands, so any pair within distance max_dist
+    agrees on at least one whole band (pigeonhole) — candidate recall
+    is complete for the advertised radius, whatever it is, making the
+    banded result EQUAL to the brute-force pair set. One shuffle keyed
+    by (band_id, band_val); never an all-pairs join."""
     bands = max_dist + 1
     if bands > nbits:
         raise ValueError(f"max_dist={max_dist} needs {bands} bands > {nbits} bits")
-    s = simhash64(df, id_col, text_col) if nbits == 64 else simhash_portable(
-        df, id_col, text_col, nbits
+    s = hashed.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
     )
     banded = _banded(s, "simhash", nbits, bands)
     other = banded.select(
@@ -259,7 +261,7 @@ def simhash_near_dups(
         "band_id",
         "band_val",
     )
-    pairs = (
+    return (
         banded.join(other, ["band_id", "band_val"])
         .filter(F.col("doc_id") < F.col("doc_b"))
         .select(
@@ -270,7 +272,22 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("dist") <= max_dist)
     )
-    return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_dist
+    (:func:`hamming_near_dup_pairs` over the text simhash; banding
+    derived from max_dist for complete candidate recall)."""
+    s = simhash64(df, id_col, text_col) if nbits == 64 else simhash_portable(
+        df, id_col, text_col, nbits
+    )
+    return hamming_near_dup_pairs(s, "doc_id", "simhash", max_dist, nbits)
 
 
 def simhash_portable(df: DataFrame, id_col: str, text_col: str, nbits: int = 60) -> DataFrame:

@@ -471,8 +471,13 @@ class ScaledCrawlEngine:
             ),
         )
         self.store.compact_table("seen", lambda df: df.distinct())
-        # seen_shards needs no compaction: every round commits the
-        # OR-merged one-row-per-shard state (replace semantics)
+        # seen_shards needs no compaction (every round commits the
+        # OR-merged one-row-per-shard state, replace semantics) — but
+        # its superseded full copies must be RECLAIMED, or disk grows
+        # O(rounds x shard-state size) (12 GB/round at 10^10). Safe
+        # point: every per-round plan was consumed at its commit, and
+        # all live tables are re-read from the fresh manifest.
+        self.store.vacuum()
 
 
 def _frontier_cols():

@@ -202,21 +202,32 @@ class SnapshotStore:
         # (readers that already opened them stay consistent)
 
     def vacuum(self) -> None:
-        """Delete unreferenced top-level delta dirs (post-compaction
-        cleanup). A round dir survives if ANY of its per-table subdirs
-        is still referenced."""
+        """Delete unreferenced delta dirs (post-compaction cleanup) at
+        TABLE-SUBDIR granularity: a replace-committed table (Bloom
+        ``seen_shards`` writes a full merged copy every round) leaves
+        its stale copies inside round dirs whose OTHER tables are still
+        live — reclaiming only whole round dirs would let disk grow
+        O(rounds x state size). A subdir is deleted iff its relpath is
+        not referenced by the manifest; emptied round dirs go too."""
         manifest = self.read_manifest()
-        live = {
-            rel.split("/")[0] for rels in manifest["tables"].values() for rel in rels
-        }
+        live = {rel for rels in manifest["tables"].values() for rel in rels}
         for entry in os.listdir(self.root):
             full = os.path.join(self.root, entry)
-            if (
-                os.path.isdir(full)
-                and entry not in live
-                and (entry.startswith("compact-") or entry[0] == "r")
+            if not os.path.isdir(full) or not (
+                entry.startswith("compact-") or entry[0] == "r"
             ):
-                shutil.rmtree(full)
+                continue
+            if entry in live:  # compact-* dirs are referenced as a whole
+                continue
+            sub_live = False
+            for sub in os.listdir(full):
+                rel = f"{entry}/{sub}"
+                if rel in live:
+                    sub_live = True
+                elif os.path.isdir(os.path.join(full, sub)):
+                    shutil.rmtree(os.path.join(full, sub))
+            if not sub_live:
+                shutil.rmtree(full, ignore_errors=True)
 
     def last_state(self) -> dict:
         return self.read_manifest()["state"]

@@ -60,6 +60,48 @@ def test_resize_images(spark, images_df):
         assert np.array_equal(arr, src[np.ix_(ys, xs)])
 
 
+def test_phash_near_dups_finds_planted_pairs_and_equals_brute_force(spark):
+    """Image dedup: the banded phash pairing must equal the numpy
+    brute-force pair set (complete recall at the advertised radius)
+    and recover a healthy share of the PLANTED near-dup pairs (odd
+    index = perturbed copy of its predecessor)."""
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        make_near_dup_image_corpus,
+        near_dup_pixels,
+        phash64,
+    )
+    from olx_spark.operators.multimodal import phash_near_dups
+
+    n, seed, max_dist = 64, 11, 6
+    rows = make_near_dup_image_corpus(n, seed=seed)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in phash_near_dups(df, max_dist).collect()}
+
+    # independent numpy brute force over decoded pixels
+    ph = {}
+    for i in range(n):
+        fmt, arr = near_dup_pixels(i, seed)
+        ph[f"nd-{i:05d}"] = phash64(decode_image(encode_image(arr, fmt), fmt))
+    ids = sorted(ph)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin((ph[ids[x]] ^ ph[ids[y]]) & ((1 << 64) - 1)).count("1")
+            if d <= max_dist:
+                want.add((ids[x], ids[y], d))
+    assert got == want
+    planted = {(f"nd-{i - 1:05d}", f"nd-{i:05d}") for i in range(1, n, 2)}
+    found_planted = {(a, b) for a, b, _ in got} & planted
+    assert len(found_planted) >= len(planted) * 0.5, (
+        f"only {len(found_planted)}/{len(planted)} planted pairs found"
+    )
+
+
 def test_audio_video_stubs_raise():
     with pytest.raises(NotImplementedError):
         audio_sample_frames(None)

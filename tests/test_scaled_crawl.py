@@ -147,6 +147,31 @@ def test_compaction_makes_frontier_the_pending_set(spark, graph, tmp_path_factor
     assert a == b
 
 
+def test_vacuum_reclaims_superseded_shard_state(spark, graph, tmp_path_factory, exact_run):
+    """seen_shards commits a full merged copy every round (replace
+    semantics): periodic compaction+vacuum must reclaim the superseded
+    copies at table-subdir granularity — whole-round-dir vacuum cannot,
+    because the round dirs' parsed/frontier tables stay live — or disk
+    grows O(rounds x shard-state size) (12 GB/round at 10^10)."""
+    import glob
+    import os
+
+    eng = _run(
+        spark, graph, tmp_path_factory, "global_bloom", "vacuum",
+        compact_every=2,
+    )
+    d = eng.config.checkpoint_dir
+    n_rounds = len(eng.store.committed_rounds())
+    shard_dirs = glob.glob(os.path.join(d, "*", "seen_shards"))
+    # copies written since the last vacuum remain; everything older is gone
+    assert len(shard_dirs) < n_rounds - 2
+    # the one referenced copy is intact and the crawl result unchanged
+    assert eng.store.read_table("seen_shards").count() > 0
+    a = {r["url"] for r in eng.fetch_log().collect()}
+    b = {r["url"] for r in exact_run.fetch_log().collect()}
+    assert a == b
+
+
 def test_partial_failure_keeps_round_and_rows(spark, tmp_path_factory):
     """Reference error semantics (OlxServer.scala:56-59): one failed ad
     fetch kills the whole job fiber, keeping only already-inserted rows.
