@@ -45,6 +45,7 @@ HEADLINE = [
     "q_ivf_ann",
     "q_multi_join",
     "q_politeness_budget",
+    "q_phash_near_dup",
 ]
 
 REPS = 3
