@@ -42,6 +42,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_CORPUS_CACHE: dict = {}
+
+
+def _image_corpus_rows(kind: str, n: int, seed: int) -> list[tuple]:
+    """Driver-side image fixture rows, memoized: encoding ~100 images
+    (zlib/DCT) costs ~1 s of SERIAL driver Python per call — test
+    scaffolding, not the operator under measurement — so repeated
+    bench/parity invocations reuse the tuples (read-only)."""
+    key = (kind, n, seed)
+    if key not in _CORPUS_CACHE:
+        from olx_spark.fixtures.images import (
+            make_image_corpus,
+            make_near_dup_image_corpus,
+        )
+
+        maker = make_near_dup_image_corpus if kind == "near_dup" else make_image_corpus
+        _CORPUS_CACHE[key] = [
+            (r["image_id"], r["bytes"], r["fmt"]) for r in maker(n, seed=seed)
+        ]
+    return _CORPUS_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # flagship: frontier-style scheduling over the events stream — per-user
 # priority rank + politeness budget + inter-arrival gap (the engine's
@@ -590,12 +612,10 @@ def q_image_features(spark, sf):
     # INDEPENDENTLY of Spark (driver-side numpy over the same
     # deterministic corpus), so the oracle checks the distributed
     # plumbing — schema, batch boundaries, value transport — end to end.
-    from olx_spark.fixtures.images import make_image_corpus
     from olx_spark.operators.multimodal import image_features
 
-    rows = make_image_corpus(64, seed=7)
     df = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        _image_corpus_rows("plain", 64, 7),
         "image_id string, bytes binary, fmt string",
     )
     return image_features(df).select(
@@ -611,12 +631,10 @@ def q_phash_near_dup(spark, sf):
     # which is exactly what the numpy-computed oracle VALUES hold).
     # Corpus has planted near-dup pairs (odd index = perturbed copy of
     # its predecessor).
-    from olx_spark.fixtures.images import make_near_dup_image_corpus
     from olx_spark.operators.multimodal import phash_near_dups
 
-    rows = make_near_dup_image_corpus(96, seed=11)
     df = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        _image_corpus_rows("near_dup", 96, 11),
         "image_id string, bytes binary, fmt string",
     )
     return phash_near_dups(df, max_dist=6)

@@ -29,8 +29,9 @@ replaced — clobbering it destroyed the batch engine's ``seeds`` /
 safe at the store level: ``commit_round`` serializes commits under a
 lock file and CAS-rejects a round planned from a stale manifest read
 (``StaleStateError``), so a stream batch racing an engine round fails
-loudly instead of clobbering — the batch retries on the stream's next
-trigger.
+loudly instead of clobbering. A foreachBatch failure terminates the
+streaming query; on restart the checkpoint replays the same batch,
+which then re-reads the store and commits cleanly.
 """
 
 from __future__ import annotations
