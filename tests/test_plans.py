@@ -129,6 +129,36 @@ def test_ordered_limit_operator_take_ordered(spark):
     assert len(got) == 5
 
 
+def test_per_host_budget_precut_plan_shape(spark):
+    """The two-phase salted top-k must materialize as TWO window ops
+    when the budget can cut (salted pre-rank + final per-host rank),
+    and collapse to ONE when the budget ceiling is unbounded — where
+    the pre-cut would be a pure extra shuffle fixing nothing."""
+    import re
+
+    from olx_spark.operators.politeness import per_host_budget
+
+    f = (
+        spark.createDataFrame(
+            [
+                (f"https://h.example/a/{i}/", "h.example", 1, 0, i, 1)
+                for i in range(20)
+            ],
+            "url string, host string, priority int, discovery_round int, "
+            "discovery_pos long, parent_fp long",
+        )
+        .withColumn("url_fp", F.xxhash64("url"))
+        .withColumn("crawl_delay_ms", F.lit(0))
+    )
+    n_windows = lambda df: len(re.findall(r"\bWindow\b", plan_of(df)))
+    bounded = per_host_budget(f, round_budget_ms=600, default_per_round=4, salt_buckets=8)
+    assert n_windows(bounded) == 2
+    unbounded = per_host_budget(
+        f, round_budget_ms=10_000_000, default_per_round=1_000_000, salt_buckets=8
+    )
+    assert n_windows(unbounded) == 1
+
+
 def test_anti_join_strategy(spark):
     from olx_spark.operators.dedup import anti_join_unseen
 
