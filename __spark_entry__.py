@@ -21,6 +21,7 @@ tests/test_multimodal.py).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -903,6 +904,8 @@ def _sql_escape(s: str) -> str:
     return s.replace("'", "''")
 
 
+@functools.lru_cache(maxsize=None)  # pure function of constants; the
+# graph build + SQL assembly is ~0.5 s of driver Python per call
 def _sql_crawl_reference() -> str:
     """DuckDB twin of the reference-exact crawl engine: the RAW fixture
     graph (seed listing pages with hrefs in page order incl.
@@ -1000,6 +1003,7 @@ def _sql_crawl_reference() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)  # pure; encodes/decodes 64 images
 def _sql_image_features() -> str:
     """DuckDB twin of q_image_features: the expected features are
     computed INDEPENDENTLY of Spark (driver-side numpy over the same
@@ -1036,6 +1040,7 @@ def _sql_image_features() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)  # pure; encodes/decodes 96 images
 def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
     """DuckDB twin of q_phash_near_dup: expected phashes computed
     independently of Spark (driver-side numpy decode+phash over the

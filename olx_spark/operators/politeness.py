@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from olx_spark.operators.ranking import frontier_order_cols
+from olx_spark.operators.ranking import frontier_order_cols, salted_precut
 
 
 def robots_rules(col: Column | str) -> Column:
@@ -256,17 +256,7 @@ def per_host_budget(
     budget_ceiling = max(default_per_round, round_budget_ms)
     pre = frontier
     if salt_buckets > 1 and budget_ceiling <= max_precut_budget:
-        salt_src = (
-            F.col("url_fp") if "url_fp" in frontier.columns else F.xxhash64("url")
-        )
-        w_salt = Window.partitionBy(
-            "host", F.pmod(salt_src, F.lit(salt_buckets))
-        ).orderBy(*order_cols)
-        pre = (
-            frontier.withColumn("__salt_rank", F.row_number().over(w_salt) - 1)
-            .filter(F.col("__salt_rank") < budget)
-            .drop("__salt_rank")
-        )
+        pre = salted_precut(frontier, order_cols, budget, salt_buckets)
     w = Window.partitionBy("host").orderBy(*order_cols)
     return (
         pre.withColumn("host_rank", F.row_number().over(w) - 1)

@@ -58,6 +58,28 @@ def constant_partitioned_window(order_cols: list) -> Window:
     return Window.partitionBy(const_key).orderBy(*order_cols)
 
 
+def salted_precut(df: DataFrame, order_cols: list, cut, salt_buckets: int) -> DataFrame:
+    """Phase 1 of a two-phase salted per-host top-k: rank within
+    ``(host, salt)`` — salt from the URL fingerprint — and keep rows
+    ranked below ``cut`` (an int or a per-row Column, e.g. a
+    crawl-delay-derived budget). Any row in a host's true top-``cut``
+    under ``order_cols`` is necessarily in the top-``cut`` of its own
+    salt bucket (each bucket is a subset under the same total order),
+    so a final per-host rank over the survivors is row-identical to a
+    single-phase window — but no task ever sorts more than one salt
+    slice of a hot host. Shared by :func:`frontier_rank` and
+    ``politeness.per_host_budget``."""
+    salt_src = F.col("url_fp") if "url_fp" in df.columns else F.xxhash64("url")
+    w = Window.partitionBy(
+        "host", F.pmod(salt_src, F.lit(salt_buckets))
+    ).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt_rank", F.row_number().over(w) - 1)
+        .filter(F.col("__salt_rank") < cut)
+        .drop("__salt_rank")
+    )
+
+
 def frontier_rank(
     frontier: DataFrame, top_n: int | None = None, salt_buckets: int = 8
 ) -> DataFrame:
@@ -80,17 +102,7 @@ def frontier_rank(
     order_cols = frontier_order_cols(frontier)
     pre = frontier
     if top_n is not None and salt_buckets > 1:
-        salt_src = (
-            F.col("url_fp") if "url_fp" in frontier.columns else F.xxhash64("url")
-        )
-        w_salt = Window.partitionBy(
-            "host", F.pmod(salt_src, F.lit(salt_buckets))
-        ).orderBy(*order_cols)
-        pre = (
-            frontier.withColumn("__salt_rank", F.row_number().over(w_salt) - 1)
-            .filter(F.col("__salt_rank") < top_n)
-            .drop("__salt_rank")
-        )
+        pre = salted_precut(frontier, order_cols, top_n, salt_buckets)
     w = Window.partitionBy("host").orderBy(*order_cols)
     ranked = pre.withColumn("host_rank", F.row_number().over(w) - 1)
     if top_n is not None:

@@ -144,6 +144,24 @@ class ScaledCrawlEngine:
             )
             shards = self.store.read_table("seen_shards") if committed else None
             if shards is not None:
+                if "bloom_shards" not in saved:
+                    # legacy checkpoint (geometry not yet persisted): a
+                    # probe under a changed n_shards keys the frontier
+                    # by a different pmod and silently yields false
+                    # negatives — the m_bits row check cannot catch it.
+                    # max(shard_id)+1 is a lower bound on the committed
+                    # shard count (cheap: bits column pruned); fail
+                    # loudly on the provable mismatch direction.
+                    max_sid = shards.agg(F.max("shard_id")).first()[0]
+                    if max_sid is not None and max_sid >= self.bloom.n_shards:
+                        raise ValueError(
+                            f"bloom geometry mismatch on resume: committed "
+                            f"seen_shards has shard_id {max_sid} but config "
+                            f"bloom_shards={self.bloom.n_shards}; this "
+                            "checkpoint predates geometry persistence — set "
+                            "bloom_shards to the value the crawl was started "
+                            "with"
+                        )
                 self.bloom.set_state(shards)
         if committed and "seeds" in saved:
             return saved["seeds"], saved["next_round"]

@@ -63,38 +63,38 @@ class SnapshotStore:
             return json.load(f)
 
     @contextlib.contextmanager
-    def _commit_lock(self, timeout_s: float = 60.0):
+    def _commit_lock(self, timeout_s: float = 600.0):
         """Serialize manifest read-modify-write across writers sharing
-        one filesystem (a concurrent stream + batch engine): O_EXCL
-        lock file with retry. On a real cluster this is the catalog's
-        optimistic-commit CAS (Iceberg snapshot swap); here a lock file
-        is the single-node analog."""
+        one filesystem (a concurrent stream + batch engine): kernel
+        ``flock`` on a persistent lock file. flock is released
+        automatically when the holding process dies (north rule: a
+        KILLED run never wedges resume), needs no staleness heuristic
+        — an mtime-based steal would break a legitimately long commit
+        that holds the lock across multi-minute Spark writes — and the
+        file is never unlinked, so there is no unlink/create race
+        between waiters. Local-filesystem semantics (this sandbox); on
+        a real cluster this whole class is swapped for the catalog's
+        optimistic-commit CAS (Iceberg snapshot swap)."""
+        import fcntl
+
         lock = os.path.join(self.root, ".commit.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:  # steal locks abandoned by a KILLED writer (north
-                    # rule: a killed run must stay resumable) — live
-                    # commits finish in seconds, so age >> that is stale
-                    if time.time() - os.path.getmtime(lock) > 300:
-                        os.unlink(lock)
-                        continue
-                except OSError:
-                    pass  # lock released/stolen between stat and unlink
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"snapshot commit lock {lock} held past {timeout_s}s "
-                        "(stale lock from a killed writer? delete it to recover)"
-                    )
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"snapshot commit lock {lock} held past "
+                            f"{timeout_s}s by a live writer"
+                        )
+                    time.sleep(0.05)
             yield
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # releases the flock; file stays
 
     def commit_round(
         self,
@@ -202,32 +202,58 @@ class SnapshotStore:
         # (readers that already opened them stay consistent)
 
     def vacuum(self) -> None:
-        """Delete unreferenced delta dirs (post-compaction cleanup) at
+        """Reclaim unreferenced delta dirs (post-compaction cleanup) at
         TABLE-SUBDIR granularity: a replace-committed table (Bloom
         ``seen_shards`` writes a full merged copy every round) leaves
         its stale copies inside round dirs whose OTHER tables are still
         live — reclaiming only whole round dirs would let disk grow
-        O(rounds x state size). A subdir is deleted iff its relpath is
-        not referenced by the manifest; emptied round dirs go too."""
-        manifest = self.read_manifest()
-        live = {rel for rels in manifest["tables"].values() for rel in rels}
-        for entry in os.listdir(self.root):
-            full = os.path.join(self.root, entry)
-            if not os.path.isdir(full) or not (
-                entry.startswith("compact-") or entry[0] == "r"
-            ):
-                continue
-            if entry in live:  # compact-* dirs are referenced as a whole
-                continue
-            sub_live = False
-            for sub in os.listdir(full):
-                rel = f"{entry}/{sub}"
-                if rel in live:
-                    sub_live = True
-                elif os.path.isdir(os.path.join(full, sub)):
-                    shutil.rmtree(os.path.join(full, sub))
-            if not sub_live:
-                shutil.rmtree(full, ignore_errors=True)
+        O(rounds x state size).
+
+        TWO-PHASE with a grace generation (Iceberg expire-snapshots
+        retention analog): a call DELETES only paths that were already
+        unreferenced at the PREVIOUS vacuum call (recorded in
+        ``.vacuum_pending``) and records the currently-unreferenced set
+        for the next call. A concurrent reader whose lazy plan still
+        points at just-superseded dirs therefore gets a full
+        compaction interval of grace before deletion. Runs under the
+        commit lock so it can never race a writer that has written
+        data files but not yet published its manifest."""
+        pending_path = os.path.join(self.root, ".vacuum_pending")
+        with self._commit_lock():
+            manifest = self.read_manifest()
+            live = {rel for rels in manifest["tables"].values() for rel in rels}
+            try:
+                with open(pending_path) as f:
+                    deletable = set(json.load(f))
+            except (OSError, ValueError):
+                deletable = set()
+            unreferenced: set[str] = set()
+            for entry in os.listdir(self.root):
+                full = os.path.join(self.root, entry)
+                if not os.path.isdir(full) or not (
+                    entry.startswith("compact-") or entry[0] == "r"
+                ):
+                    continue
+                if entry in live:  # compact-* dirs are referenced whole
+                    continue
+                subs = os.listdir(full)
+                sub_live = False
+                for sub in subs:
+                    rel = f"{entry}/{sub}"
+                    sub_full = os.path.join(full, sub)
+                    if rel in live:
+                        sub_live = True
+                    elif os.path.isdir(sub_full):
+                        if rel in deletable:
+                            shutil.rmtree(sub_full, ignore_errors=True)
+                        else:
+                            unreferenced.add(rel)
+                if not sub_live and not os.listdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+            tmp = pending_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(unreferenced), f)
+            os.replace(tmp, pending_path)
 
     def last_state(self) -> dict:
         return self.read_manifest()["state"]

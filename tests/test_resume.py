@@ -178,6 +178,28 @@ def test_commit_round_rejects_stale_writer_and_merges_state(spark, tmp_path_fact
     assert st["next_round"] == 3
 
 
+def test_vacuum_two_phase_grace(spark, tmp_path_factory):
+    """vacuum() must grant superseded dirs one full generation of
+    grace (a concurrent reader's lazy plan may still reference them):
+    the first call records, the second call reclaims."""
+    import os
+
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("vac2"))
+    st = SnapshotStore(d, spark)
+    df = spark.range(5)
+    st.commit_round(0, {"t": df}, {"next_round": 1})
+    st.commit_round(1, {"t": df}, {"next_round": 2}, replace={"t"})
+    superseded = os.path.join(d, "r00000", "t")
+    assert os.path.isdir(superseded)
+    st.vacuum()  # phase 1: records as unreferenced, grants grace
+    assert os.path.isdir(superseded)
+    st.vacuum()  # phase 2: reclaims
+    assert not os.path.exists(superseded)
+    assert st.read_table("t").count() == 5
+
+
 def test_bloom_probe_rejects_mismatched_geometry(spark):
     """Probing committed shard rows under a different m_bits must fail
     LOUDLY, never silently return false negatives."""
