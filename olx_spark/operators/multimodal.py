@@ -142,21 +142,28 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32, out_fmt: str 
     return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
-def phash_near_dups(df: DataFrame, max_dist: int = 6) -> DataFrame:
+def phash_near_dups(
+    df: DataFrame, max_dist: int = 6, max_bucket: int = 10_000
+) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance:
     decode + phash64 via :func:`image_features` (Arrow-batched), then
     banded bit-distance pairing via
     :func:`olx_spark.operators.similarity.hamming_near_dup_pairs`
     (bands derived from max_dist -> complete candidate recall, equal
     to brute force; one shuffle on band hash, never all-pairs — the
-    image-dedup scale path for a 100 TB media corpus).
+    image-dedup scale path for a 100 TB media corpus). Degenerate band
+    buckets — a 100-TB corpus's near-constant images collapse into a
+    handful of band values — are dropped above ``max_bucket`` with a
+    logged count instead of exploding the self-join.
 
     Input: (image_id, bytes, fmt, ...); rows whose format cannot be
     decoded (jpeg stub) are excluded. Output: (id_a, id_b, dist)."""
     from olx_spark.operators.similarity import hamming_near_dup_pairs
 
     feats = image_features(df).filter(F.col("decode_ok") == 1)
-    pairs = hamming_near_dup_pairs(feats, "image_id", "phash", max_dist, nbits=64)
+    pairs = hamming_near_dup_pairs(
+        feats, "image_id", "phash", max_dist, nbits=64, max_bucket=max_bucket
+    )
     return pairs.select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "dist"
     )

@@ -102,6 +102,39 @@ def test_phash_near_dups_finds_planted_pairs_and_equals_brute_force(spark):
     )
 
 
+def test_phash_mega_bucket_guard_on_degenerate_image_corpus(spark, caplog):
+    """Hundreds of IDENTICAL (near-constant) images collapse into one
+    phash band bucket per band — the 100-TB failure shape for image
+    dedup. The guard must drop those buckets (bounded pair-join input:
+    no flat-x-flat pair ever materializes), log the drop count, and
+    still pair the planted distinct near-dup that lives in small
+    buckets."""
+    import logging
+
+    from olx_spark.fixtures.images import encode_image, phash64
+    from olx_spark.operators.multimodal import phash_near_dups
+
+    base = np.full((32, 32, 3), 128, dtype=np.uint8)
+    rows = [(f"flat-{i:04d}", encode_image(base, "raw"), "raw") for i in range(300)]
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    b = a.copy()
+    b[:2, :2] ^= 3  # tiny perturbation -> small phash distance
+    rows += [("pair-a", encode_image(a, "raw"), "raw"),
+             ("pair-b", encode_image(b, "raw"), "raw")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    d_ab = bin((phash64(a) ^ phash64(b)) & ((1 << 64) - 1)).count("1")
+    assert d_ab <= 6, "fixture drifted: planted pair no longer near"
+    with caplog.at_level(logging.WARNING, logger="olx_spark.operators.similarity"):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in phash_near_dups(df, max_dist=6, max_bucket=50).collect()
+        }
+    assert any("hamming_near_dup_pairs: dropped" in r.message for r in caplog.records)
+    assert not any(x.startswith("flat") or y.startswith("flat") for x, y, _ in got)
+    assert got == {("pair-a", "pair-b", d_ab)}
+
+
 def test_audio_video_stubs_raise():
     with pytest.raises(NotImplementedError):
         audio_sample_frames(None)

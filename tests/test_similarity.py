@@ -87,6 +87,56 @@ def test_lsh_mega_bucket_dropped_and_logged(spark, caplog):
     assert "collect_list" not in plan
 
 
+def test_hamming_mega_bucket_dropped_and_logged(spark, caplog):
+    """Degenerate corpus for the SHARED SimHash/phash band join:
+    hundreds of rows with an IDENTICAL hash overflow every
+    (band_id, band_val) bucket. The guard must bound the pair-join
+    input (the planted distinct pair still pairs; the mega-bucket
+    contributes nothing) and log the drop count — the last unguarded
+    quadratic shape at 100 TB (VERDICT r3 #1)."""
+    import logging
+
+    from olx_spark.operators.similarity import hamming_near_dup_pairs
+
+    rows = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(400)]  # one degenerate value
+    rows += [(1000, 0x7234567812345678), (1001, 0x7234567812345679)]  # dist 1
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    with caplog.at_level(logging.WARNING, logger="olx_spark.operators.similarity"):
+        pairs = hamming_near_dup_pairs(
+            df, "doc_id", "h", max_dist=3, max_bucket=50
+        )
+        got = {(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs.collect()}
+        # bounded join input: the 400-row bucket is dropped in every
+        # band, so the only surviving pair is the planted one — not
+        # 400*399/2 mega-bucket candidates
+        assert got == {(1000, 1001, 1)}
+    assert any("hamming_near_dup_pairs: dropped" in r.message for r in caplog.records)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_hamming_guard_off_below_cap_equals_unguarded(spark):
+    """With no bucket above the cap the guarded result is exactly the
+    unguarded (complete-recall) pair set."""
+    from olx_spark.operators.similarity import hamming_near_dup_pairs
+
+    rng_rows = [(i, (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF) for i in range(60)]
+    rng_rows += [(2000, 4096 + 2), (2001, 4096 + 3)]
+    df = spark.createDataFrame(rng_rows, "doc_id long, h long")
+    guarded = {
+        tuple(r)
+        for r in hamming_near_dup_pairs(df, "doc_id", "h", 3, max_bucket=10_000)
+        .collect()
+    }
+    unguarded = {
+        tuple(r)
+        for r in hamming_near_dup_pairs(
+            df, "doc_id", "h", 3, max_bucket=1 << 40, log_dropped=False
+        ).collect()
+    }
+    assert guarded == unguarded and (2000, 2001, 1) in guarded
+
+
 def test_lsh_normal_buckets_survive_mega_bucket_filter(spark):
     """Docs in small buckets still pair up when a mega-bucket coexists."""
     rows = [(i, "common boilerplate text everywhere here") for i in range(40)]
