@@ -58,20 +58,38 @@ def constant_partitioned_window(order_cols: list) -> Window:
     return Window.partitionBy(const_key).orderBy(*order_cols)
 
 
-def salted_precut(df: DataFrame, order_cols: list, cut, salt_buckets: int) -> DataFrame:
-    """Phase 1 of a two-phase salted per-host top-k: rank within
-    ``(host, salt)`` — salt from the URL fingerprint — and keep rows
-    ranked below ``cut`` (an int or a per-row Column, e.g. a
-    crawl-delay-derived budget). Any row in a host's true top-``cut``
-    under ``order_cols`` is necessarily in the top-``cut`` of its own
-    salt bucket (each bucket is a subset under the same total order),
-    so a final per-host rank over the survivors is row-identical to a
-    single-phase window — but no task ever sorts more than one salt
-    slice of a hot host. Shared by :func:`frontier_rank` and
-    ``politeness.per_host_budget``."""
-    salt_src = F.col("url_fp") if "url_fp" in df.columns else F.xxhash64("url")
+def salted_precut(
+    df: DataFrame,
+    order_cols: list,
+    cut,
+    salt_buckets: int,
+    partition_cols: list | tuple = ("host",),
+    salt_src=None,
+) -> DataFrame:
+    """Phase 1 of a two-phase salted per-group top-k: rank within
+    ``(*partition_cols, salt)`` and keep rows ranked below ``cut`` (an
+    int or a per-row Column, e.g. a crawl-delay-derived budget). Any
+    row in a group's true top-``cut`` under ``order_cols`` is
+    necessarily in the top-``cut`` of its own salt bucket (each bucket
+    is a subset under the same total order), so a final per-group rank
+    over the survivors is row-identical to a single-phase window — but
+    no task ever sorts more than one salt slice of a hot group. Shared
+    by :func:`frontier_rank`, ``politeness.per_host_budget`` and
+    :func:`ordered_limit`'s per-group path.
+
+    ``salt_src`` (any deterministic per-row Column) defaults to the URL
+    fingerprint when present, else a hash over every input column —
+    rows identical in all columns land in one bucket, which is fine:
+    they are interchangeable under any total order on those columns."""
+    if salt_src is None:
+        if "url_fp" in df.columns:
+            salt_src = F.col("url_fp")
+        elif "url" in df.columns:
+            salt_src = F.xxhash64("url")
+        else:
+            salt_src = F.xxhash64(*[F.col(c) for c in df.columns])
     w = Window.partitionBy(
-        "host", F.pmod(salt_src, F.lit(salt_buckets))
+        *partition_cols, F.pmod(salt_src, F.lit(salt_buckets))
     ).orderBy(*order_cols)
     return (
         df.withColumn("__salt_rank", F.row_number().over(w) - 1)
@@ -110,17 +128,37 @@ def frontier_rank(
     return ranked
 
 
-def ordered_limit(df: DataFrame, n: int, order_cols: list, partition_cols: list | None = None) -> DataFrame:
+def ordered_limit(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    partition_cols: list | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
     """Deterministic top-n in a total order; optionally per partition
     group. Adds ``rank_in_limit`` (0-based).
 
     Global form compiles to ``TakeOrderedAndProject`` (distributed
     partial top-n) — NOT a no-partition window, which would move the
-    entire input through one task at scale."""
+    entire input through one task at scale.
+
+    The per-group form is the same TWO-PHASE salted top-k as
+    ``frontier_rank(top_n)`` / ``per_host_budget``: a salted pre-rank
+    cuts each ``(group, salt)`` slice to ``n`` before the final
+    per-group window, so one skewed group's sort spreads over
+    ``salt_buckets`` tasks instead of serializing (AQE skew-split does
+    not apply to window partitions). Output is row-identical to the
+    single-phase window when ``order_cols`` is a total order within
+    each group. ``salt_buckets=1`` disables the pre-cut."""
     if partition_cols:
+        pre = df
+        if salt_buckets > 1:
+            pre = salted_precut(
+                df, order_cols, n, salt_buckets, partition_cols=partition_cols
+            )
         w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
         return (
-            df.withColumn("rank_in_limit", F.row_number().over(w) - 1)
+            pre.withColumn("rank_in_limit", F.row_number().over(w) - 1)
             .filter(F.col("rank_in_limit") < n)
         )
     top = df.orderBy(*order_cols).limit(n)

@@ -295,7 +295,7 @@ def hamming_near_dup_pairs(
     value — near-black images all phashing alike, boilerplate text —
     would make one ``(band_id, band_val)`` bucket quadratic; buckets
     above ``max_bucket`` are dropped BEFORE the self-join, with the
-    drop count observed inside the caller's action and logged. A
+    drop count logged. A
     dropped bucket costs recall only for pairs whose OTHER agreeing
     bands also overflowed (pigeonhole still covers them otherwise);
     results below the cap are exactly the brute-force set."""

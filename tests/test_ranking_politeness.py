@@ -1,5 +1,6 @@
 """Unit tests for the ranking + politeness operators in isolation."""
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from olx_spark.functions.urls import host_salt
@@ -161,6 +162,86 @@ def test_frontier_rank_top_n_two_phase_equals_full_rank(spark):
     full = frontier_rank(f).filter(F.col("host_rank") < 7)
     key = lambda r: (r["host"], r["host_rank"], r["url"])
     assert sorted(map(key, top.collect())) == sorted(map(key, full.collect()))
+
+
+def test_ordered_limit_per_group_two_phase_equals_single_phase(spark):
+    """ordered_limit's per-group path now routes through salted_precut
+    (the same shape per_host_budget/frontier_rank use): on a skewed
+    group the two-phase result must be row-identical — rank_in_limit
+    included — to the single-phase window. The frame has no url/url_fp
+    column, exercising the generic all-columns salt source."""
+    rows = [("hot", i % 11, i) for i in range(2000)] + [
+        (f"g{g}", i, i + 100) for g in range(4) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "grp string, score long, id long")
+    order = [F.col("score").desc(), F.col("id")]
+    two = ordered_limit(df, 5, order, ["grp"], salt_buckets=8)
+    one = ordered_limit(df, 5, order, ["grp"], salt_buckets=1)
+    key = lambda r: (r["grp"], r["rank_in_limit"], r["score"], r["id"])
+    got, want = sorted(map(key, two.collect())), sorted(map(key, one.collect()))
+    assert got == want and len(got) == 5 * 5
+
+
+def test_salted_precut_property_vs_single_phase(spark):
+    """Property test (VERDICT r3 #6): ~100 seeded-random configs —
+    random hosts/priorities with heavily duplicated (priority, round,
+    pos) order prefixes x budget in {1, 3, unbounded} x salt_buckets in
+    {1, 4, 8} — the salted pre-cut + final window must be row-identical
+    to the single-phase per-group window. Configs share one DataFrame
+    per salt_buckets value (grouped by a cfg column) so the whole sweep
+    is three Spark comparisons, not one job per seed."""
+    import random
+
+    from olx_spark.operators.ranking import salted_precut
+
+    order = [
+        F.col("priority").desc(), F.col("discovery_round"),
+        F.col("discovery_pos"), F.col("parent_fp"), F.col("url_fp"),
+    ]
+    schema = (
+        "cfg int, host string, priority int, discovery_round int, "
+        "discovery_pos long, parent_fp long, url_fp long, budget long"
+    )
+    n_cfg_per_bucket = 34  # 3 bucket values x 34 = 102 configs
+    for salt_buckets in (1, 4, 8):
+        rows = []
+        for cfg in range(n_cfg_per_bucket):
+            rng = random.Random(1000 * salt_buckets + cfg)
+            budget = rng.choice([1, 3, 1 << 40])
+            for i in range(rng.randrange(5, 40)):
+                rows.append(
+                    (
+                        cfg,
+                        f"h{rng.randrange(1, 4)}",
+                        rng.randrange(0, 3),       # few distinct -> many ties
+                        rng.randrange(0, 2),
+                        rng.randrange(0, 4),
+                        rng.randrange(0, 5),
+                        # unique url_fp keeps the order total (engine
+                        # invariant); collisions across cfgs are fine
+                        cfg * 10_000 + i * 7 + rng.randrange(0, 3) * 100_000,
+                        budget,
+                    )
+                )
+        df = spark.createDataFrame(rows, schema)
+        groups = ["cfg", "host"]
+        w = Window.partitionBy(*groups).orderBy(*order)
+        single = (
+            df.withColumn("rk", F.row_number().over(w) - 1)
+            .filter(F.col("rk") < F.col("budget"))
+        )
+        pre = salted_precut(
+            df, order, F.col("budget"), salt_buckets, partition_cols=groups
+        )
+        two = (
+            pre.withColumn("rk", F.row_number().over(w) - 1)
+            .filter(F.col("rk") < F.col("budget"))
+        )
+        key = lambda r: (r["cfg"], r["host"], r["rk"], r["url_fp"])
+        got = sorted(map(key, two.collect()))
+        want = sorted(map(key, single.collect()))
+        assert got == want, f"salt_buckets={salt_buckets}: mismatch"
+        assert len(got) > 0
 
 
 def test_robots_flag_splits_one_scan(spark):
