@@ -52,11 +52,22 @@ def robots_rules(col: Column | str) -> Column:
     comments and blank lines are ignored (blank lines do NOT end a
     group — grouping is driven by the UA/rule alternation).
 
-    Scope: prefix rules only — the RFC's optional ``*`` wildcards and
-    ``$`` end-anchors are not interpreted (a pattern containing them is
-    treated as a literal prefix). Precedence is applied at match time
-    by :func:`robots_flag` (longest-match, Allow wins ties — RFC 9309
-    §2.2.2).
+    Scope: prefix matching only — the RFC's optional ``*`` wildcards
+    and ``$`` end-anchors are not pattern-matched, but they degrade
+    CONSERVATIVELY instead of being read as literal characters (a
+    literal read under-blocked: ``Disallow: /*.php`` matched nothing
+    and the crawler fetched disallowed URLs — ADVICE r3):
+
+    - a ``Disallow`` pattern is truncated at its first ``*`` (prefix
+      ``/*.php`` -> ``/``, ``/a/*/b`` -> ``/a/``) and a trailing ``$``
+      anchor is stripped (``/priv$`` -> ``/priv``) — both over-block,
+      the safe direction for a politeness layer;
+    - an ``Allow`` pattern containing ``*`` is DROPPED, and a trailing
+      ``$`` is kept literal (matches nothing) — both under-allow,
+      again the safe direction.
+
+    Precedence is applied at match time by :func:`robots_flag`
+    (longest-match, Allow wins ties — RFC 9309 §2.2.2).
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, "\r?\n")
@@ -70,6 +81,15 @@ def robots_rules(col: Column | str) -> Column:
     # split on the FIRST colon only (paths may contain colons)
     val = lambda ln: F.trim(F.element_at(F.split(ln, ":", 2), 2))
     ua_val = lambda ln: F.trim(F.element_at(F.split(F.lower(ln), ":", 2), 2))
+
+    def dis_prefix(raw):
+        """Conservative prefix form of a Disallow pattern: cut at the
+        first '*', strip a trailing '$'; a pattern emptied by the cut
+        ('*', '$') blocks the whole host ('/')."""
+        t = F.regexp_replace(
+            F.element_at(F.split(raw, "\\*", 2), 1), "\\$$", ""
+        )
+        return F.when(t == "", F.lit("/")).otherwise(t)
     init = F.struct(
         F.lit(False).alias("star"),       # current group applies to us
         F.lit(True).alias("closed"),      # UA run closed by a rule line
@@ -84,6 +104,7 @@ def robots_rules(col: Column | str) -> Column:
         )
         prefix = val(ln)
         keep = acc["star"] & (prefix != "")
+        keep_alw = keep & ~prefix.contains("*")  # wildcard Allow: drop (safe)
 
         def rule_state(allow, disallow):
             return F.struct(
@@ -107,15 +128,15 @@ def robots_rules(col: Column | str) -> Column:
                 is_dis(ln),
                 rule_state(
                     acc["allow"],
-                    F.when(keep, F.array_append(acc["disallow"], prefix)).otherwise(
-                        acc["disallow"]
-                    ),
+                    F.when(
+                        keep, F.array_append(acc["disallow"], dis_prefix(prefix))
+                    ).otherwise(acc["disallow"]),
                 ),
             )
             .when(
                 is_alw(ln),
                 rule_state(
-                    F.when(keep, F.array_append(acc["allow"], prefix)).otherwise(
+                    F.when(keep_alw, F.array_append(acc["allow"], prefix)).otherwise(
                         acc["allow"]
                     ),
                     acc["disallow"],

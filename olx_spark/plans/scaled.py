@@ -29,7 +29,9 @@ identical at local[8] and local[32] (asserted by the scaling test).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import threading
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olx_spark.functions.urls import canonicalize_modern
@@ -48,6 +50,25 @@ FRONTIER_SCHEMA = (
     "name string, url string, url_fp long, host string, kind string, depth int, "
     "priority int, discovery_round int, parent_fp long, discovery_pos int"
 )
+
+
+def _observed(obs: Observation, timeout_s: float = 120.0) -> dict | None:
+    """Observation.get with a timeout (it blocks until the observed
+    plan's first action; a bug that skipped that action must surface as
+    a fallback count, never a hung crawl) and with the empty-metrics
+    corner (zero tasks ran the node) mapped to None."""
+    out: dict = {}
+
+    def _get() -> None:
+        try:
+            out["m"] = obs.get
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_get, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out.get("m")
 
 
 class ScaledCrawlEngine:
@@ -148,19 +169,47 @@ class ScaledCrawlEngine:
                     # legacy checkpoint (geometry not yet persisted): a
                     # probe under a changed n_shards keys the frontier
                     # by a different pmod and silently yields false
-                    # negatives — the m_bits row check cannot catch it.
-                    # max(shard_id)+1 is a lower bound on the committed
-                    # shard count (cheap: bits column pruned); fail
-                    # loudly on the provable mismatch direction.
-                    max_sid = shards.agg(F.max("shard_id")).first()[0]
-                    if max_sid is not None and max_sid >= self.bloom.n_shards:
+                    # negatives — the m_bits row check cannot catch it,
+                    # and the committed rows cannot prove what n_shards
+                    # produced them (sparse crawls leave shards empty).
+                    # TWO-SIDED guard (ADVICE r3 — the old one-sided
+                    # max(shard_id) bound let an INCREASED bloom_shards
+                    # resume silently re-key the pmod): the provable
+                    # direction still fails hard, and the resume is
+                    # accepted only when every configured shard is
+                    # present in the committed rows (full population ==
+                    # the committed count is exactly n_shards) OR the
+                    # operator explicitly asserts the config matches the
+                    # original run. The next commit persists the
+                    # confirmed geometry, healing the store. Both
+                    # aggregates prune the bits column.
+                    sid = shards.agg(
+                        F.max("shard_id").alias("mx"),
+                        F.countDistinct("shard_id").alias("k"),
+                    ).first()
+                    if sid["mx"] is not None and sid["mx"] >= self.bloom.n_shards:
                         raise ValueError(
                             f"bloom geometry mismatch on resume: committed "
-                            f"seen_shards has shard_id {max_sid} but config "
+                            f"seen_shards has shard_id {sid['mx']} but config "
                             f"bloom_shards={self.bloom.n_shards}; this "
                             "checkpoint predates geometry persistence — set "
                             "bloom_shards to the value the crawl was started "
                             "with"
+                        )
+                    if sid["k"] != self.bloom.n_shards and not self.config.extra.get(
+                        "legacy_bloom_geometry_ok"
+                    ):
+                        raise ValueError(
+                            "resuming a checkpoint that predates bloom "
+                            f"geometry persistence: {sid['k']} distinct "
+                            f"shard(s) committed but bloom_shards="
+                            f"{self.bloom.n_shards} configured — the store "
+                            "cannot verify the config matches the original "
+                            "run, and a mismatch silently re-keys the shard "
+                            "pmod (false negatives -> duplicate fetches). "
+                            "Set extra['legacy_bloom_geometry_ok']=True "
+                            "only if this is the exact config the crawl "
+                            "was started with"
                         )
                 self.bloom.set_state(shards)
         if committed and "seeds" in saved:
@@ -396,30 +445,33 @@ class ScaledCrawlEngine:
         # robots flag; and a fp enters seen at most once across rounds
         # (seen rows never return to pending). A distinct here was one
         # full shuffle of the round's frontier for nothing.
-        seen_delta = listings_sched.select("url_fp").unionByName(
-            ads_sched.select("url_fp")
+        #
+        # Driver-side budget/progress accounting rides an OBSERVE node
+        # on this union instead of a separate collect job (the r3
+        # per-round stats job was 1-2 jobs of the ~10s/round fixed cost
+        # holding 2->8 scaling at 0.79). Placement is deliberate: the
+        # node sits directly under the `seen` parquet WRITE — a sink
+        # consumes every input row, so the metrics are complete; an
+        # observe under a JOIN is unreliable (SMJ early-exit /
+        # AQE-empty-propagation skip rows — measured in round 4,
+        # operators/similarity.py docstring).
+        names = list(state.keys())
+        obs = Observation()
+        sched_tagged = listings_sched.select(
+            "url_fp", "name", F.lit("listing").alias("__k")
+        ).unionByName(ads_sched.select("url_fp", "name", F.lit("ad").alias("__k")))
+        is_ad = F.col("__k") == "ad"
+        sched_tagged = sched_tagged.observe(
+            obs,
+            F.sum((~is_ad).cast("long")).alias("n_listings"),
+            *[
+                F.sum((is_ad & (F.col("name") == n)).cast("long")).alias(f"s{i}")
+                for i, n in enumerate(names)
+            ],
         )
+        seen_delta = sched_tagged.select("url_fp")
         if excluded is not None:
             seen_delta = seen_delta.unionByName(excluded)
-
-        # driver-side budget/progress accounting — ONE tiny collect for
-        # both per-seed ad counts and the listing count
-        stats = (
-            ads_sched.groupBy("name")
-            .agg(F.count("*").alias("n"))
-            .unionByName(
-                listings_sched.select(
-                    F.lit("__listings__").alias("name")
-                ).groupBy("name").agg(F.count("*").alias("n"))
-            )
-            .collect()
-        )
-        mark("stats-collect (pending+gate+schedule)")
-        n_ads = {r["name"]: r["n"] for r in stats if r["name"] != "__listings__"}
-        n_listings = sum(r["n"] for r in stats if r["name"] == "__listings__")
-        for n, s in state.items():
-            s["scheduled"] += int(n_ads.get(n, 0))
-        progressed = bool(n_ads) or n_listings > 0
 
         # NO coalesce on any delta here: coalesce is a narrow dependency
         # that collapses the producing pipeline itself (fetch UDF,
@@ -433,7 +485,7 @@ class ScaledCrawlEngine:
         # read exactly one row per shard every round instead of O(rounds)
         # delta rows — the r2 fixed cost the 2->8 scaling residual paid.
         shards_tbl = None
-        if use_bloom and progressed:
+        if use_bloom:
             delta = self.bloom.build_deltas(seen_delta)
             prev = self.bloom.to_df()
             shards_tbl = (
@@ -441,27 +493,51 @@ class ScaledCrawlEngine:
                 if prev is not None
                 else delta
             )
+        # every table is passed unconditionally — zero-row deltas
+        # self-prune in commit_round (parquet-footer row counts), so no
+        # pre-count Spark job decides what to write
         tables = {
-            "parsed": parsed if n_ads else None,
-            "frontier": discovered if n_listings else None,
-            "seen": seen_delta if progressed else None,
+            "parsed": parsed,
+            "frontier": discovered,
+            "seen": seen_delta,
             "seen_shards": shards_tbl,
         }
-        self.store.commit_round(
-            rnd,
-            tables,
-            {
+        info: dict = {}
+
+        def _finalize() -> dict:
+            # runs after the data writes: the observed metrics are in
+            m = _observed(obs)
+            if m is not None and "n_listings" in m:
+                n_ads = {n: int(m.get(f"s{i}") or 0) for i, n in enumerate(names)}
+                info["n_listings"] = int(m.get("n_listings") or 0)
+            else:  # zero-task corner: pay one fallback count job
+                rows = (
+                    ads_sched.groupBy("name").agg(F.count("*").alias("n")).collect()
+                )
+                n_ads = {r["name"]: int(r["n"]) for r in rows}
+                info["n_listings"] = listings_sched.count()
+            for n, s in state.items():
+                s["scheduled"] += n_ads.get(n, 0)
+            info["n_ads"] = sum(n_ads.values())
+            return {
                 "seeds": state,
                 "next_round": rnd + 1,
                 **self._bloom_state(),
-            },
+            }
+
+        self.store.commit_round(
+            rnd,
+            tables,
+            {},
             replace={"seen_shards"},
+            finalize_state=_finalize,
         )
-        if use_bloom and progressed:
+        progressed = info["n_ads"] > 0 or info["n_listings"] > 0
+        if use_bloom:
             # next round's probe cogroups against the COMMITTED rows
             # (parquet-backed; delta rows per shard OR-merged in-task)
             self.bloom.set_state(self.store.read_table("seen_shards"))
-        mark("commit (parsed+frontier+seen writes)")
+        mark("commit (parsed+frontier+seen writes + observed stats)")
         for df in (pending, gated, ads_sched, discovered):
             df.unpersist()
         # bound per-round read fan-in: merge accumulated deltas so a

@@ -35,8 +35,21 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _delta_rows(path: str) -> int:
+    """Total rows in a just-written parquet dir, from the file footers
+    (driver-side metadata only — no Spark job, no data read)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
 
 
 class StaleStateError(RuntimeError):
@@ -96,12 +109,25 @@ class SnapshotStore:
         finally:
             os.close(fd)  # releases the flock; file stays
 
+    def _check_cas(self, manifest: dict, round_no: int) -> None:
+        if round_no in manifest["rounds"]:
+            raise ValueError(f"round {round_no} already committed")
+        expected = manifest["state"].get("next_round")
+        if expected is not None and round_no != expected:
+            raise StaleStateError(
+                f"commit of round {round_no} planned from a stale read: "
+                f"the store's committed next_round is {expected} "
+                "(a concurrent writer advanced the store) — re-read "
+                "state and rebuild the round"
+            )
+
     def commit_round(
         self,
         round_no: int,
         tables: dict[str, DataFrame | None],
         state: dict,
         replace: set[str] | None = None,
+        finalize_state=None,
     ) -> None:
         """Write each table's round delta, then atomically publish the
         manifest. Uncommitted delta dirs from a crashed run are
@@ -114,56 +140,87 @@ class SnapshotStore:
         should see exactly one directory. Old dirs become unreferenced
         (vacuum cleans them; in-flight readers stay consistent).
 
-        Concurrency (a frontier stream + a batch engine sharing one
-        store): the whole commit runs under a filesystem lock
-        (``_commit_lock``), and the round number is a compare-and-swap
-        against the committed ``state.next_round`` — a writer that
-        planned its round from a stale manifest read gets
-        ``StaleStateError`` (or ``ValueError`` if the exact round was
-        taken) instead of silently clobbering the other writer. The
-        published ``state`` is MERGED over the freshly-read manifest
-        state, so keys a writer does not own (e.g. the stream's
-        ``stream_batches`` vs the engine's ``seeds``) survive
-        interleaved commits. On a real cluster this maps to the
-        catalog's optimistic snapshot-swap CAS (Iceberg).
+        Lock scope: the (multi-minute at scale) Spark data writes land
+        in a writer-unique ``.stage-*`` dir OUTSIDE the commit lock;
+        the lock is held only for the read-CAS-publish of the manifest
+        plus a cheap directory rename — a concurrent stream/engine
+        writer is never blocked behind another writer's data I/O. A
+        cheap CAS pre-check before the writes fails a provably-stale
+        writer before it pays them; the authoritative check is repeated
+        under the lock. A losing or failing writer removes its own
+        staging dir; dirs orphaned by a hard kill are reclaimed by
+        :meth:`vacuum`.
+
+        A table whose staged delta holds ZERO rows is not registered
+        (same semantics as passing ``None``) — detected from the
+        parquet footers' row counts, a driver-side metadata read that
+        costs microseconds per file. This lets callers pass every table
+        unconditionally (no pre-count Spark job to decide what to
+        write) and have empty rounds self-prune instead of accreting
+        empty delta dirs in the manifest.
+
+        ``finalize_state`` (optional, no-arg callable returning a dict)
+        runs AFTER the data writes and is merged over ``state`` — the
+        hook for deriving driver-side bookkeeping from metrics observed
+        during the writes instead of paying a separate Spark job.
+
+        Concurrency: the round number is a compare-and-swap against the
+        committed ``state.next_round`` — a writer that planned its
+        round from a stale manifest read gets ``StaleStateError`` (or
+        ``ValueError`` if the exact round was taken) instead of
+        silently clobbering the other writer. The published ``state``
+        is MERGED over the freshly-read manifest state, so keys a
+        writer does not own (e.g. the stream's ``stream_batches`` vs
+        the engine's ``seeds``) survive interleaved commits. On a real
+        cluster this maps to the catalog's optimistic snapshot-swap CAS
+        (Iceberg).
 
         Every table — including Bloom ``seen_shards`` — is a
         distributed Spark write; no driver-side state round-trips
-        through here (the round-1 pyarrow driver-table path is gone
-        with the driver-resident Bloom it served).
+        through here.
         """
         replace = replace or set()
-        with self._commit_lock():
-            manifest = self.read_manifest()
-            if round_no in manifest["rounds"]:
-                raise ValueError(f"round {round_no} already committed")
-            expected = manifest["state"].get("next_round")
-            if expected is not None and round_no != expected:
-                raise StaleStateError(
-                    f"commit of round {round_no} planned from a stale read: "
-                    f"the store's committed next_round is {expected} "
-                    "(a concurrent writer advanced the store) — re-read "
-                    "state and rebuild the round"
-                )
-            rdir = os.path.join(self.root, f"r{round_no:05d}")
-            if os.path.exists(rdir):  # leftovers from a crashed attempt
-                shutil.rmtree(rdir)
+        # fail a stale writer cheaply, before the data writes
+        self._check_cas(self.read_manifest(), round_no)
+        stage = os.path.join(
+            self.root, f".stage-{round_no:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        try:
+            written = []
             for name, df in tables.items():
                 if df is None:
                     continue
-                path = os.path.join(rdir, name)
+                path = os.path.join(stage, name)
                 df.write.mode("overwrite").parquet(path)
-                rel = os.path.relpath(path, self.root)
-                if name in replace:
-                    manifest["tables"][name] = [rel]
-                else:
-                    manifest["tables"].setdefault(name, []).append(rel)
-            manifest["rounds"].append(round_no)
-            manifest["state"] = {**manifest["state"], **state}
-            tmp = self._manifest_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1)
-            os.replace(tmp, self._manifest_path)  # the atomic commit point
+                if _delta_rows(path) > 0:
+                    written.append(name)
+                else:  # zero-row delta: same semantics as passing None
+                    shutil.rmtree(path)
+            if finalize_state is not None:
+                state = {**state, **finalize_state()}
+            with self._commit_lock():
+                manifest = self.read_manifest()
+                self._check_cas(manifest, round_no)
+                rdir = os.path.join(self.root, f"r{round_no:05d}")
+                if os.path.exists(rdir):  # leftovers from a crashed attempt
+                    shutil.rmtree(rdir)
+                os.rename(stage, rdir)
+                for name in written:
+                    rel = f"r{round_no:05d}/{name}"
+                    if name in replace:
+                        manifest["tables"][name] = [rel]
+                    else:
+                        manifest["tables"].setdefault(name, []).append(rel)
+                manifest["rounds"].append(round_no)
+                manifest["state"] = {**manifest["state"], **state}
+                tmp = self._manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                os.replace(tmp, self._manifest_path)  # the atomic commit point
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
 
     def read_table(self, name: str) -> DataFrame | None:
         """Union of all committed round deltas for ``name``."""
@@ -180,34 +237,66 @@ class SnapshotStore:
         atomically repoint the manifest (Iceberg rewrite-data-files
         analog). Bounds per-round read fan-in: without compaction a
         round-R scan opens R delta dirs. ``df_transform`` can dedup
-        while compacting (e.g. distinct on url_fp for ``seen``)."""
-        with self._commit_lock():
-            manifest = self.read_manifest()
-            paths = manifest["tables"].get(name, [])
-            if len(paths) <= 1:
-                return
-            df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
-            if df_transform is not None:
-                df = df_transform(df)
-            gen = sum(1 for p in paths if "compact" in p)
-            out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}"
-            out = os.path.join(self.root, out_rel)
+        while compacting (e.g. distinct on url_fp for ``seen``).
+
+        Like :meth:`commit_round`, the (large) merged write happens
+        OUTSIDE the commit lock; under the lock the manifest is
+        re-read and the repoint happens only if the table's delta list
+        is unchanged since the read — a concurrent writer having
+        appended in the meantime makes this compaction stale, so it is
+        skipped (its output removed) and the next compaction interval
+        picks up the new deltas. Optimistic rewrite, Iceberg-style."""
+        manifest = self.read_manifest()
+        paths = manifest["tables"].get(name, [])
+        if len(paths) <= 1:
+            return
+        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+        if df_transform is not None:
+            df = df_transform(df)
+        gen = sum(1 for p in paths if "compact" in p)
+        out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, out_rel)
+        try:
             df.write.mode("overwrite").parquet(out)
-            manifest["tables"][name] = [out_rel]
-            tmp = self._manifest_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1)
-            os.replace(tmp, self._manifest_path)
+            with self._commit_lock():
+                manifest = self.read_manifest()
+                if manifest["tables"].get(name, []) != paths:
+                    # a concurrent commit changed the table under us:
+                    # this merge no longer covers it — drop and retry
+                    # at the next compaction point
+                    shutil.rmtree(out, ignore_errors=True)
+                    return
+                manifest["tables"][name] = [out_rel]
+                tmp = self._manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                os.replace(tmp, self._manifest_path)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         # old delta dirs are now unreferenced; leave them for vacuum()
         # (readers that already opened them stay consistent)
 
-    def vacuum(self) -> None:
+    def vacuum(self, stage_grace_s: float = 3600.0) -> None:
         """Reclaim unreferenced delta dirs (post-compaction cleanup) at
         TABLE-SUBDIR granularity: a replace-committed table (Bloom
         ``seen_shards`` writes a full merged copy every round) leaves
         its stale copies inside round dirs whose OTHER tables are still
         live — reclaiming only whole round dirs would let disk grow
         O(rounds x state size).
+
+        Reclaim units:
+        - ``r*/table`` subdirs unreferenced by the manifest;
+        - whole ``compact-*`` dirs that are no longer the table's live
+          pointer — their children are parquet PART FILES, not table
+          subdirs, so the unit is the dir itself (a superseded
+          generation previously survived vacuum forever and disk grew
+          O(compactions x table size));
+        - empty round dirs whose every table subdir was reclaimed;
+        - orphaned ``.stage-*`` dirs from hard-killed writers, but only
+          once untouched for ``stage_grace_s`` (a LIVE writer stages
+          its round outside the commit lock, so recency — not the
+          manifest — is the only signal it is still in flight).
 
         TWO-PHASE with a grace generation (Iceberg expire-snapshots
         retention analog): a call DELETES only paths that were already
@@ -216,8 +305,7 @@ class SnapshotStore:
         for the next call. A concurrent reader whose lazy plan still
         points at just-superseded dirs therefore gets a full
         compaction interval of grace before deletion. Runs under the
-        commit lock so it can never race a writer that has written
-        data files but not yet published its manifest."""
+        commit lock so it can never race a manifest publish."""
         pending_path = os.path.join(self.root, ".vacuum_pending")
         with self._commit_lock():
             manifest = self.read_manifest()
@@ -228,27 +316,45 @@ class SnapshotStore:
             except (OSError, ValueError):
                 deletable = set()
             unreferenced: set[str] = set()
+
+            def reap(rel: str, full: str) -> None:
+                if rel in deletable:
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    unreferenced.add(rel)
+
+            now = time.time()
             for entry in os.listdir(self.root):
                 full = os.path.join(self.root, entry)
-                if not os.path.isdir(full) or not (
-                    entry.startswith("compact-") or entry[0] == "r"
-                ):
+                if not os.path.isdir(full):
+                    continue
+                if entry.startswith(".stage-"):
+                    mtimes = [os.path.getmtime(full)] + [
+                        os.path.getmtime(os.path.join(full, s))
+                        for s in os.listdir(full)
+                    ]
+                    if now - max(mtimes) >= stage_grace_s:
+                        reap(entry, full)
+                    continue
+                if not (entry.startswith("compact-") or entry[0] == "r"):
                     continue
                 if entry in live:  # compact-* dirs are referenced whole
                     continue
-                subs = os.listdir(full)
-                sub_live = False
-                for sub in subs:
+                dir_subs = [
+                    s for s in os.listdir(full)
+                    if os.path.isdir(os.path.join(full, s))
+                ]
+                live_subs = [s for s in dir_subs if f"{entry}/{s}" in live]
+                if not live_subs and (entry.startswith("compact-") or not dir_subs):
+                    # whole-entry unit: superseded compact generation,
+                    # or a round dir with no table subdirs left
+                    reap(entry, full)
+                    continue
+                for sub in dir_subs:
                     rel = f"{entry}/{sub}"
-                    sub_full = os.path.join(full, sub)
-                    if rel in live:
-                        sub_live = True
-                    elif os.path.isdir(sub_full):
-                        if rel in deletable:
-                            shutil.rmtree(sub_full, ignore_errors=True)
-                        else:
-                            unreferenced.add(rel)
-                if not sub_live and not os.listdir(full):
+                    if rel not in live:
+                        reap(rel, os.path.join(full, sub))
+                if not live_subs and not os.listdir(full):
                     shutil.rmtree(full, ignore_errors=True)
             tmp = pending_path + ".tmp"
             with open(tmp, "w") as f:

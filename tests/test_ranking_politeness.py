@@ -366,8 +366,10 @@ def test_robots_allow_precedence_rfc9309(spark):
 
 
 def _py_robots_rules(body: str) -> tuple[list[str], list[str]]:
-    """Independent 20-line reference parser (RFC 9309 grouping) the
-    JVM-expression parser is property-tested against."""
+    """Independent reference parser (RFC 9309 grouping + the engine's
+    conservative wildcard degradation) the JVM-expression parser is
+    property-tested against: Disallow cut at the first '*' / trailing
+    '$' stripped (empty result -> '/'), wildcard Allow dropped."""
     allow: list[str] = []
     disallow: list[str] = []
     star, closed = False, True
@@ -384,7 +386,13 @@ def _py_robots_rules(body: str) -> tuple[list[str], list[str]]:
             v = ln.split(":", 1)[1].strip()
             closed = True
             if star and v:
-                (disallow if low.startswith("disallow:") else allow).append(v)
+                if low.startswith("disallow:"):
+                    t = v.split("*", 1)[0]
+                    if t.endswith("$"):
+                        t = t[:-1]
+                    disallow.append(t or "/")
+                elif "*" not in v:
+                    allow.append(v)
         else:
             closed = True
     return allow, disallow
@@ -400,7 +408,11 @@ def test_robots_parser_property_vs_reference(spark):
     from olx_spark.operators.politeness import robots_rules
 
     ua_vals = ["*", "googlebot", "Bot-X", "*", "other-bot"]
-    paths = ["/a/", "/b:c/", "", "/p/q", "/a/", "/x", "/public/", "/a/secret/"]
+    paths = [
+        "/a/", "/b:c/", "", "/p/q", "/a/", "/x", "/public/", "/a/secret/",
+        # RFC wildcard/anchor forms -> conservative degradation
+        "/*.php", "/a/*/b", "*", "/priv$", "$", "/pub*", "/exact$",
+    ]
     bodies = []
     for seed in range(250):
         rng = random.Random(seed)
@@ -443,6 +455,51 @@ def test_robots_parser_property_vs_reference(spark):
     for seed, body in bodies:
         want = _py_robots_rules(body)
         assert got[seed] == want, f"seed {seed}: {got[seed]} != {want}\n{body}"
+
+
+def test_robots_wildcard_conservative_fallback(spark):
+    """ADVICE r3: '*' / '$' patterns must degrade in the SAFE direction
+    (over-block for Disallow, under-allow for Allow) instead of being
+    matched as literal characters, which under-blocked (/*.php matched
+    nothing and disallowed URLs were fetched)."""
+    from olx_spark.operators.politeness import hosts_from_robots, robots_flag, robots_rules
+
+    cases = {
+        "glob_ext": ("User-agent: *\nDisallow: /*.php", [], ["/"]),
+        "mid_glob": ("User-agent: *\nDisallow: /a/*/b", [], ["/a/"]),
+        "bare_star": ("User-agent: *\nDisallow: *", [], ["/"]),
+        "anchor": ("User-agent: *\nDisallow: /priv$", [], ["/priv"]),
+        "bare_anchor": ("User-agent: *\nDisallow: $", [], ["/"]),
+        "allow_glob_dropped": ("User-agent: *\nAllow: /pub*\nDisallow: /", [], ["/"]),
+        "allow_anchor_literal": ("User-agent: *\nAllow: /exact$", ["/exact$"], []),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "k string, body string"
+    ).select("k", robots_rules("body").alias("r"))
+    got = {r["k"]: (list(r["r"]["allow"]), list(r["r"]["disallow"])) for r in df.collect()}
+    for k, (_, alw, dis) in cases.items():
+        assert got[k] == (alw, dis), f"{k}: {got[k]}"
+
+    # end-to-end: the wildcarded Disallow actually blocks its subtree
+    hosts = hosts_from_robots(
+        spark, [("h.example", 0, "User-agent: *\nAllow: /ok/\nDisallow: /a/*/b")]
+    )
+    f = spark.createDataFrame(
+        [
+            ("https://h.example/a/x/b/", "h.example"),   # over-blocked (safe)
+            ("https://h.example/a/anything/", "h.example"),  # over-blocked (safe)
+            ("https://h.example/ok/page/", "h.example"),  # Allow still wins
+            ("https://h.example/c/", "h.example"),
+        ],
+        "url string, host string",
+    )
+    got = {r["url"]: r["disallowed"] for r in robots_flag(f, hosts).collect()}
+    assert got == {
+        "https://h.example/a/x/b/": True,
+        "https://h.example/a/anything/": True,
+        "https://h.example/ok/page/": False,
+        "https://h.example/c/": False,
+    }
 
 
 def test_hosts_from_robots_feeds_robots_filter(spark):

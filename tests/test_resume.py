@@ -150,6 +150,61 @@ def test_bloom_geometry_persisted_over_changed_config(spark, graph, tmp_path_fac
     assert urls and len(urls) == len(set(urls))
 
 
+def test_legacy_checkpoint_bloom_guard_two_sided(spark, graph, tmp_path_factory):
+    """A checkpoint predating geometry persistence (no bloom_* keys in
+    the committed state) must not resume under a DIFFERENT bloom
+    geometry in EITHER direction (ADVICE r3: the old max(shard_id)
+    bound only caught a decrease; an increase silently re-keyed the
+    shard pmod). Exact-match configs resume; the explicit override
+    resumes; and the first resumed commit heals the store by persisting
+    the geometry."""
+    import json
+    import os
+
+    d = str(tmp_path_factory.mktemp("legacy_bloom"))
+    seeds = [dict(s, count=20) for s in graph.seeds]
+
+    def cfg(shards, **kw):
+        return CrawlConfig(
+            mode="scaled", dedup_scope="global_bloom", checkpoint_dir=d,
+            bloom_shards=shards, bloom_bits_per_shard=1 << 17,
+            with_payload=False, **kw,
+        )
+
+    ScaledCrawlEngine(spark, graph, cfg(8, max_rounds=3)).run(seeds)
+    # simulate the legacy store: strip the persisted geometry keys
+    mpath = os.path.join(d, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for k in ("bloom_shards", "bloom_bits", "bloom_k"):
+        m["state"].pop(k, None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    # INCREASED shards: must now fail loudly (passes the old one-sided
+    # max(shard_id) check — 7 < 32 — but re-keys the pmod)
+    with pytest.raises(ValueError, match="legacy_bloom_geometry_ok"):
+        ScaledCrawlEngine(spark, graph, cfg(32)).run(seeds)
+    # DECREASED shards: hard failure from the committed shard ids
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        ScaledCrawlEngine(spark, graph, cfg(4)).run(seeds)
+    # even the true geometry needs the explicit assertion when the
+    # committed rows cannot prove it (this store populated 7/8 shards
+    # — sparse population is indistinguishable from a larger original
+    # n_shards); with the override it resumes and HEALS the store by
+    # persisting the confirmed geometry
+    with pytest.raises(ValueError, match="legacy_bloom_geometry_ok"):
+        ScaledCrawlEngine(spark, graph, cfg(8)).run(seeds)
+    ok = cfg(8)
+    ok.extra["legacy_bloom_geometry_ok"] = True
+    resumed = ScaledCrawlEngine(spark, graph, ok)
+    resumed.run(seeds)
+    assert resumed.bloom.n_shards == 8
+    assert resumed.store.last_state()["bloom_shards"] == 8
+    urls = [r["url"] for r in resumed.fetch_log().collect()]
+    assert urls and len(urls) == len(set(urls))
+
+
 def test_commit_round_rejects_stale_writer_and_merges_state(spark, tmp_path_factory):
     """Two writers sharing one store (frontier stream + batch engine):
     a commit planned from a stale manifest read is REJECTED (CAS on
@@ -198,6 +253,114 @@ def test_vacuum_two_phase_grace(spark, tmp_path_factory):
     st.vacuum()  # phase 2: reclaims
     assert not os.path.exists(superseded)
     assert st.read_table("t").count() == 5
+
+
+def test_vacuum_reclaims_superseded_compact_dirs(spark, tmp_path_factory):
+    """ADVICE r3 (medium): a superseded compact-* generation's children
+    are parquet part FILES, not table subdirs — the old subdir-only
+    vacuum neither recorded nor deleted them, so disk grew
+    O(compactions x table size). The whole dir is now the reclaim unit
+    (same two-phase grace)."""
+    import os
+
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("vac3"))
+    st = SnapshotStore(d, spark)
+    df = spark.range(5)
+    st.commit_round(0, {"t": df}, {"next_round": 1})
+    st.commit_round(1, {"t": df}, {"next_round": 2})
+    st.compact_table("t")
+    gen1 = [e for e in os.listdir(d) if e.startswith("compact-t-")]
+    assert len(gen1) == 1
+    st.commit_round(2, {"t": df}, {"next_round": 3})
+    st.compact_table("t")  # supersedes gen1
+    assert os.path.isdir(os.path.join(d, gen1[0]))
+    st.vacuum()  # phase 1: grace
+    assert os.path.isdir(os.path.join(d, gen1[0]))
+    st.vacuum()  # phase 2: reclaim the whole superseded generation
+    assert not os.path.exists(os.path.join(d, gen1[0]))
+    live = [e for e in os.listdir(d) if e.startswith("compact-t-")]
+    assert len(live) == 1
+    assert st.read_table("t").count() == 15
+
+
+def test_vacuum_reclaims_orphaned_stage_dirs(spark, tmp_path_factory):
+    """A hard-killed writer leaves its .stage-* dir behind (commits now
+    stage data OUTSIDE the lock); vacuum reclaims it after the grace
+    age, never a fresh one (a live writer may still be mid-write)."""
+    import os
+
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("vacstage"))
+    st = SnapshotStore(d, spark)
+    st.commit_round(0, {"t": spark.range(3)}, {"next_round": 1})
+    orphan = os.path.join(d, ".stage-00009-deadbeef")
+    os.makedirs(orphan)
+    # fresh stage: never reclaimed regardless of vacuum calls
+    st.vacuum(stage_grace_s=3600)
+    st.vacuum(stage_grace_s=3600)
+    assert os.path.isdir(orphan)
+    # aged out: two-phase reclaim
+    st.vacuum(stage_grace_s=0.0)
+    assert os.path.isdir(orphan)
+    st.vacuum(stage_grace_s=0.0)
+    assert not os.path.exists(orphan)
+
+
+def test_commit_round_skips_empty_deltas(spark, tmp_path_factory):
+    """A zero-row table delta writes no parquet part files (no schema
+    on disk), so commit_round must not register it — callers can pass
+    every table unconditionally and empty rounds self-prune, and
+    read_table never opens a parts-less dir."""
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("emptydelta"))
+    st = SnapshotStore(d, spark)
+    st.commit_round(0, {"t": spark.range(4), "u": spark.range(0)}, {"next_round": 1})
+    m = st.read_manifest()
+    assert "u" not in m["tables"]
+    assert st.read_table("u") is None
+    st.commit_round(1, {"t": spark.range(0)}, {"next_round": 2})
+    assert [r for r in st.read_manifest()["tables"]["t"]] == ["r00000/t"]
+    assert st.read_table("t").count() == 4
+
+
+def test_compact_table_skips_when_table_changed_under_it(spark, tmp_path_factory):
+    """compact_table writes its merged output outside the commit lock;
+    if a concurrent commit appended a delta in the meantime the
+    compaction is stale and must SKIP (dropping its output), never
+    repoint the manifest past the new delta."""
+    import os
+
+    from olx_spark.plans.snapshot import SnapshotStore, SnapshotStore as SS
+
+    d = str(tmp_path_factory.mktemp("compactrace"))
+    a = SnapshotStore(d, spark)
+    a.commit_round(0, {"t": spark.range(3)}, {"next_round": 1})
+    a.commit_round(1, {"t": spark.range(3)}, {"next_round": 2})
+
+    # interleave: capture the manifest read, then commit from B before
+    # A's repoint by monkeypatching the lock entry
+    b = SS(d, spark)
+    orig_lock = a._commit_lock
+    raced = {"done": False}
+
+    def racing_lock(*args, **kwargs):
+        if not raced["done"]:
+            raced["done"] = True
+            b.commit_round(2, {"t": spark.range(3)}, {"next_round": 3})
+        return orig_lock(*args, **kwargs)
+
+    a._commit_lock = racing_lock
+    a.compact_table("t")
+    a._commit_lock = orig_lock
+    m = a.read_manifest()
+    # the stale compaction must not have repointed: all three deltas live
+    assert m["tables"]["t"] == ["r00000/t", "r00001/t", "r00002/t"]
+    assert a.read_table("t").count() == 9
+    assert not [e for e in os.listdir(d) if e.startswith("compact-t-")]
 
 
 def test_bloom_probe_rejects_mismatched_geometry(spark):

@@ -3,6 +3,7 @@
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from olx_spark.fixtures.images import make_image_corpus
@@ -196,6 +197,121 @@ def test_batch_engine_runs_on_stream_initialized_store(spark, tmp_path):
     fetched = {r["url"] for r in eng.fetch_log().collect()}
     for a in ads:
         assert a["url"] in fetched, f"streamed URL never fetched: {a['url']}"
+
+
+def test_concurrent_stream_and_engine_commits_race_safely(spark, tmp_path):
+    """VERDICT r3 #7: the flock+CAS commit design was only tested
+    sequentially. Here a REAL frontier-stream batch races an
+    engine-style commit_round on one shared store, two ways:
+
+    1. deterministic loser: an engine writer plans its round, a stream
+       batch steals that round number, the engine's commit must fail
+       with StaleStateError and succeed after re-reading;
+    2. a 20-round two-thread hammer (stream batches vs a tight engine
+       commit loop with re-read-and-retry recovery) after which the
+       manifest must be uncorrupted: strictly sequential unique rounds,
+       every writer's commits landed, both writers' state keys alive.
+    """
+    import json as _json
+    import threading
+
+    from pyspark.errors import StreamingQueryException
+
+    from olx_spark.plans.snapshot import SnapshotStore, StaleStateError
+    from olx_spark.streaming.stream import start_frontier_stream
+
+    store_dir = str(tmp_path / "snap")
+    store = SnapshotStore(store_dir, spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(i: int) -> None:
+        with open(drop / f"b{i:03d}.json", "w") as f:
+            f.write(_json.dumps({
+                "name": "s", "base_url": "https://h.example/l/",
+                "href": f"/d/ad/race-{i}/", "priority": 1,
+            }) + "\n")
+
+    def run_stream_batch() -> None:
+        """One availableNow stream run; on a lost race the query dies
+        with StaleStateError inside foreachBatch — restart replays the
+        batch from the checkpoint until it lands (documented recovery)."""
+        for _ in range(30):
+            q = start_frontier_stream(spark, str(drop), store, ckpt)
+            try:
+                q.awaitTermination(120)
+                return
+            except StreamingQueryException as ex:
+                # both lost-race shapes: planned round taken (ValueError
+                # "already committed") or next_round advanced past the
+                # planned one (StaleStateError)
+                assert (
+                    "StaleStateError" in str(ex)
+                    or "stale" in str(ex)
+                    or "already committed" in str(ex)
+                ), ex
+        raise AssertionError("stream batch never landed after 30 restarts")
+
+    # ---- 1. deterministic loser recovery
+    engine = SnapshotStore(store_dir, spark)
+    planned = engine.last_state().get("next_round", 0)  # engine plans...
+    drop_file(0)
+    run_stream_batch()  # ...the stream takes that very round
+    with pytest.raises((StaleStateError, ValueError)):
+        engine.commit_round(
+            planned, {"seen": spark.range(1).selectExpr("id as url_fp")},
+            {"next_round": planned + 1},
+        )
+    fresh = engine.last_state()["next_round"]  # loser re-reads and recovers
+    engine.commit_round(
+        fresh, {"seen": spark.range(1).selectExpr("id as url_fp")},
+        {"next_round": fresh + 1, "engine_beat": 0},
+    )
+
+    # ---- 2. twenty genuine two-thread races
+    n_engine, n_stream = 20, 20
+    errs: list = []
+
+    def engine_loop() -> None:
+        try:
+            for i in range(1, n_engine + 1):
+                while True:
+                    nxt = int(engine.last_state()["next_round"])
+                    try:
+                        engine.commit_round(
+                            nxt,
+                            {"seen": spark.range(1).selectExpr(
+                                f"id + {1000 + i} as url_fp"
+                            )},
+                            {"next_round": nxt + 1, "engine_beat": i},
+                        )
+                        break
+                    except (StaleStateError, ValueError):
+                        continue  # lost the race: re-read and retry
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    t = threading.Thread(target=engine_loop)
+    t.start()
+    for i in range(1, n_stream + 1):
+        drop_file(i)
+        run_stream_batch()
+    t.join(600)
+    assert not t.is_alive() and not errs, errs
+
+    # ---- manifest integrity
+    rounds = store.committed_rounds()
+    assert rounds == sorted(set(rounds))
+    assert rounds == list(range(rounds[-1] + 1))  # dense, no holes
+    st = store.last_state()
+    assert st["engine_beat"] == n_engine            # every engine commit landed
+    assert len(st["stream_batches"]) == n_stream + 1  # every stream batch landed
+    assert st["next_round"] == rounds[-1] + 1
+    # every streamed URL arrived exactly once
+    frontier = store.read_table("frontier")
+    urls = [r["url"] for r in frontier.collect()]
+    assert len(urls) == len(set(urls)) == n_stream + 1
 
 
 def test_batch_resume_after_stream_batch(spark, tmp_path):
