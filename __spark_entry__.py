@@ -58,6 +58,24 @@ def _image_corpus_rows(kind: str, n: int, seed: int) -> list[tuple]:
             make_near_dup_image_corpus,
         )
 
+        if kind == "jpeg":
+            # real-world lossy format corpus (pure-numpy baseline JPEG,
+            # fixtures/jpeg.py); 32x32 keeps the Python Huffman coder's
+            # driver cost to ~10ms/image — codec edge cases (odd sizes,
+            # subsampling, restarts) are covered by tests/test_jpeg.py
+            import numpy as np
+
+            from olx_spark.fixtures.images import encode_image, make_image_array
+
+            rows = []
+            for i in range(n):
+                rng = np.random.default_rng(
+                    np.random.PCG64(np.random.SeedSequence([seed, i]))
+                )
+                arr = make_image_array(rng, 32, 32)
+                rows.append((f"jpg-{i:05d}", encode_image(arr, "jpeg"), "jpeg"))
+            _CORPUS_CACHE[key] = rows
+            return rows
         maker = make_near_dup_image_corpus if kind == "near_dup" else make_image_corpus
         _CORPUS_CACHE[key] = [
             (r["image_id"], r["bytes"], r["fmt"]) for r in maker(n, seed=seed)
@@ -626,6 +644,25 @@ def q_image_features(spark, sf):
     )
 
 
+def q_jpeg_features(spark, sf):
+    # the input_hint's lossy-format branch on a REAL-WORLD format:
+    # baseline JPEG decoded by the pure-numpy T.81 codec inside the
+    # Arrow-batched feature scanner; the DuckDB twin carries features
+    # computed independently (driver numpy decode of the same bytes),
+    # so the oracle certifies the distributed jpeg decode end to end.
+    from olx_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("jpeg", 48, 13),
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_features(df).select(
+        "image_id", "w", "h", "fmt",
+        F.round("mean_r", 4).alias("mean_r"), F.round("std_gray", 4).alias("std_gray"),
+        "phash", "decode_ok",
+    )
+
+
 def q_phash_near_dup(spark, sf):
     # image DEDUP: decode -> phash64 -> banded Hamming pairing (bands
     # derived from max_dist => complete recall => equals brute force,
@@ -680,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
+        "q_jpeg_features": q_jpeg_features,
         "q_phash_near_dup": q_phash_near_dup,
     }
 
@@ -1040,6 +1078,35 @@ def _sql_image_features() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)  # pure; decodes 48 jpeg images
+def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
+    """DuckDB twin of q_jpeg_features: expected features computed by
+    decoding the SAME jpeg bytes with the same pure-numpy codec on the
+    driver, inlined as VALUES (repr() floats round-trip exactly). The
+    corpus tuples are shared with the query via _image_corpus_rows, so
+    both sides see byte-identical input."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import decode_image, phash64
+
+    vals = []
+    for image_id, data, fmt in _image_corpus_rows("jpeg", n, seed):
+        dec = decode_image(data, fmt)
+        gray = dec.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        vals.append(
+            f"('{image_id}', {dec.shape[1]}, {dec.shape[0]}, '{fmt}', "
+            f"{float(dec[..., 0].mean())!r}::double, "
+            f"{float(gray.std())!r}::double, {phash64(dec)}, 1)"
+        )
+    return f"""
+        select image_id, w::int as w, h::int as h, fmt,
+               round(mean_r, 4) as mean_r, round(std_gray, 4) as std_gray,
+               phash::bigint as phash, decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, w, h, fmt, mean_r, std_gray, phash, decode_ok)
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; encodes/decodes 96 images
 def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
     """DuckDB twin of q_phash_near_dup: expected phashes computed
@@ -1251,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),
+        "q_jpeg_features": _sql_jpeg_features(),
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_ngram_jaccard": f"""
             with d as (

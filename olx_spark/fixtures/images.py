@@ -160,8 +160,12 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return struct.pack(">HH", h, w) + arr.tobytes()
     if fmt == "dctq":
         return dctq_encode(arr)
-    if fmt == "jpeg":  # pragma: no cover - no codec in sandbox
-        raise NotImplementedError("no JPEG codec available in this environment")
+    if fmt == "jpeg":
+        # pure-numpy baseline JPEG (fixtures/jpeg.py); defaults cap the
+        # quant steps so the >=40dB lossy payload invariant holds
+        from olx_spark.fixtures.jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -173,8 +177,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return np.frombuffer(data[4:], dtype=np.uint8).reshape(h, w, 3).copy()
     if fmt == "dctq":
         return dctq_decode(data)
-    if fmt == "jpeg":  # pragma: no cover
-        raise NotImplementedError("no JPEG codec available in this environment")
+    if fmt == "jpeg":
+        from olx_spark.fixtures.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -273,15 +279,20 @@ def make_image_row(
     }
 
 
-def original_pixels(i: int, seed: int = 42) -> tuple[int, int, str, np.ndarray]:
+def original_pixels(
+    i: int, seed: int = 42, fmts: tuple[str, ...] = ("raw", "png", "dctq")
+) -> tuple[int, int, str, np.ndarray]:
     """(w, h, fmt, pixels) for image ``i`` BEFORE encoding — the ground
     truth the lossy-payload invariant compares against (input_hint:
     decoded pixels within PSNR>=40dB of the true image for lossy fmt,
-    exact for lossless). fmt rotates through lossless raw/png and the
-    lossy dctq codec so the lossy branch actually executes."""
+    exact for lossless). The default rotation covers lossless raw/png
+    and the lossy dctq codec; the real-world ``jpeg`` codec
+    (fixtures/jpeg.py) is exercised by its own corpus/oracle
+    (q_jpeg_features) rather than the crawl hot path — its per-block
+    Python Huffman coding is orders slower than the vectorized codecs
+    and would turn the crawl bench into a jpeg microbenchmark."""
     rng = np.random.default_rng(np.random.PCG64(np.random.SeedSequence([seed, i])))
     sizes = [32, 64, 96]
-    fmts = ["raw", "png", "dctq"]
     w = int(rng.choice(sizes))
     h = int(rng.choice(sizes))
     fmt = fmts[int(rng.integers(0, len(fmts)))]

@@ -4,12 +4,13 @@ Media are opaque ``binary`` columns plus typed metadata — the
 input_hint's (image_id, bytes, w, h, fmt, caption, phash) schema. All
 Spark-side plumbing here is real and tested: Arrow-batched
 ``mapInPandas`` iterators, explicit output schemas, partition-sized
-batches. The pixel codecs cover lossless ``raw`` + ``png`` and the
-LOSSY ``dctq`` quantized-DCT codec (all pure numpy/zlib,
-``fixtures/images.py``); ``jpeg`` decode and audio/video sampling are
-STUBBED behind ``NotImplementedError`` because the sandbox ships no
-Pillow/ffmpeg — the surrounding plumbing (schemas, batch shapes, UDF
-signatures) is exercised with the supported formats.
+batches. The pixel codecs cover lossless ``raw`` + ``png``, the LOSSY
+``dctq`` quantized-DCT codec, and BASELINE SEQUENTIAL ``jpeg``
+(``fixtures/jpeg.py`` — a real T.81 bitstream codec written against
+the public spec, since the sandbox ships no Pillow/libjpeg); only
+audio/video sampling remain STUBBED behind ``NotImplementedError``
+(no ffmpeg) — their plumbing pattern is defined by the image
+operators.
 """
 
 from __future__ import annotations
@@ -59,12 +60,11 @@ RESIZE_SCHEMA = StructType(
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray | None:
-    if fmt in ("raw", "png", "dctq"):
+    if fmt in ("raw", "png", "dctq", "jpeg"):
+        # jpeg: pure-numpy baseline decoder (fixtures/jpeg.py) — real
+        # bitstream parsing, not a stub; swap in libjpeg/Pillow on a
+        # cluster that has it for speed
         return decode_image(bytes(data), fmt)
-    if fmt == "jpeg":
-        # STUB: no JPEG codec in this environment (no Pillow); the
-        # plumbing is identical — plug a decoder here on a real cluster.
-        raise NotImplementedError("jpeg decode requires a codec (Pillow)")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -78,7 +78,10 @@ def image_features(df: DataFrame) -> DataFrame:
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
                     arr = _decode(data, fmt)
-                except NotImplementedError:
+                except Exception:
+                    # corrupt/truncated/unsupported payload: a 100-TB
+                    # crawl corpus WILL contain garbage bytes; the
+                    # feature scanner flags (decode_ok=0), never dies
                     rows.append(
                         {
                             "image_id": image_id,

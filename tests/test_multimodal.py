@@ -35,15 +35,26 @@ def test_image_features_match_ground_truth(spark, images_df):
         assert g["phash"] == phash64(arr)
 
 
-def test_jpeg_stub_degrades_gracefully(spark):
+def test_jpeg_decodes_and_corrupt_bytes_degrade_gracefully(spark):
+    """Real baseline JPEG decodes in the distributed scanner with
+    ground-truth features; corrupt bytes (a certainty in a 100-TB
+    crawl corpus) flag decode_ok=0 instead of failing the job."""
+    from olx_spark.fixtures.jpeg import jpeg_decode, jpeg_encode
+
+    arr = np.random.default_rng(9).integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    good = jpeg_encode(arr)
     df = spark.createDataFrame(
-        [("x", b"\xff\xd8\xff\xe0fakejpeg", "jpeg")],
+        [("good", good, "jpeg"), ("bad", b"\xff\xd8\xff\xe0fakejpeg", "jpeg")],
         "image_id string, bytes binary, fmt string",
     )
-    got = image_features(df).collect()
-    assert len(got) == 1
-    assert got[0]["decode_ok"] == 0
-    assert got[0]["phash"] is None
+    got = {r["image_id"]: r for r in image_features(df).collect()}
+    dec = jpeg_decode(good)
+    assert got["good"]["decode_ok"] == 1
+    assert got["good"]["w"] == 48 and got["good"]["h"] == 32
+    assert abs(got["good"]["mean_r"] - dec[..., 0].mean()) < 1e-9
+    assert got["good"]["phash"] == phash64(dec)
+    assert got["bad"]["decode_ok"] == 0
+    assert got["bad"]["phash"] is None
 
 
 def test_resize_images(spark, images_df):
