@@ -478,47 +478,67 @@ class ScaledCrawlEngine:
         # canonicalize+dedup window) to that many tasks — measured 21s
         # frontier writes at 32 cores. Compaction merges small files.
         use_bloom = cfg.dedup_scope == "global_bloom" and self.bloom is not None
-        # Bloom shard state is committed MERGED (one row per shard) every
-        # round: the round's delta rows (built per shard in executors,
-        # never on the driver) are OR-folded with the previous committed
-        # state inside the same distributed write job. Probe tasks then
-        # read exactly one row per shard every round instead of O(rounds)
-        # delta rows — the r2 fixed cost the 2->8 scaling residual paid.
-        shards_tbl = None
-        if use_bloom:
+
+        # counts resolved from the observation once the seen write has
+        # run; memoized; fallback to one count job in the zero-task
+        # corner (an observation over a plan no task executed)
+        counts: dict = {}
+
+        def _counts() -> dict:
+            if not counts:
+                m = _observed(obs)
+                if m is not None and "n_listings" in m:
+                    counts["ads"] = {
+                        n: int(m.get(f"s{i}") or 0) for i, n in enumerate(names)
+                    }
+                    counts["listings"] = int(m.get("n_listings") or 0)
+                else:  # fallback: pay one count job
+                    rows = (
+                        ads_sched.groupBy("name")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    )
+                    counts["ads"] = {r["name"]: int(r["n"]) for r in rows}
+                    counts["listings"] = listings_sched.count()
+            return counts
+
+        def _shards_tbl():
+            # Bloom shard state is committed MERGED (one row per shard)
+            # every round: the round's delta rows (built per shard in
+            # executors, never on the driver) are OR-folded with the
+            # previous committed state inside the same distributed
+            # write job. Probe tasks then read exactly one row per
+            # shard instead of O(rounds) delta rows.
+            c = _counts()
+            round_progressed = any(c["ads"].values()) or c["listings"] > 0
+            if not use_bloom or not round_progressed:
+                return None
             delta = self.bloom.build_deltas(seen_delta)
             prev = self.bloom.to_df()
-            shards_tbl = (
+            return (
                 merge_shard_deltas(prev.unionByName(delta))
                 if prev is not None
                 else delta
             )
-        # every table is passed unconditionally — zero-row deltas
-        # self-prune in commit_round (parquet-footer row counts), so no
-        # pre-count Spark job decides what to write
+
+        # `seen` goes FIRST: its write both materializes the shared
+        # cached prefix (pending -> gated -> scheduled) and fires the
+        # observation, so the LAZY later entries skip their whole plans
+        # — empty UDF pipelines included — on rounds the observed
+        # counts prove empty (an empty 96-partition mapInPandas write
+        # still costs seconds of task scheduling; a drained final round
+        # must cost ~nothing)
         tables = {
-            "parsed": parsed,
-            "frontier": discovered,
             "seen": seen_delta,
-            "seen_shards": shards_tbl,
+            "parsed": lambda: parsed if any(_counts()["ads"].values()) else None,
+            "frontier": lambda: discovered if _counts()["listings"] else None,
+            "seen_shards": _shards_tbl,
         }
-        info: dict = {}
 
         def _finalize() -> dict:
-            # runs after the data writes: the observed metrics are in
-            m = _observed(obs)
-            if m is not None and "n_listings" in m:
-                n_ads = {n: int(m.get(f"s{i}") or 0) for i, n in enumerate(names)}
-                info["n_listings"] = int(m.get("n_listings") or 0)
-            else:  # zero-task corner: pay one fallback count job
-                rows = (
-                    ads_sched.groupBy("name").agg(F.count("*").alias("n")).collect()
-                )
-                n_ads = {r["name"]: int(r["n"]) for r in rows}
-                info["n_listings"] = listings_sched.count()
+            c = _counts()
             for n, s in state.items():
-                s["scheduled"] += n_ads.get(n, 0)
-            info["n_ads"] = sum(n_ads.values())
+                s["scheduled"] += c["ads"].get(n, 0)
             return {
                 "seeds": state,
                 "next_round": rnd + 1,
@@ -532,12 +552,12 @@ class ScaledCrawlEngine:
             replace={"seen_shards"},
             finalize_state=_finalize,
         )
-        progressed = info["n_ads"] > 0 or info["n_listings"] > 0
-        if use_bloom:
+        progressed = sum(_counts()["ads"].values()) > 0 or _counts()["listings"] > 0
+        if use_bloom and progressed:
             # next round's probe cogroups against the COMMITTED rows
             # (parquet-backed; delta rows per shard OR-merged in-task)
             self.bloom.set_state(self.store.read_table("seen_shards"))
-        mark("commit (parsed+frontier+seen writes + observed stats)")
+        mark("commit (seen+parsed+frontier writes + observed stats)")
         for df in (pending, gated, ads_sched, discovered):
             df.unpersist()
         # bound per-round read fan-in: merge accumulated deltas so a

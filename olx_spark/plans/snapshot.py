@@ -164,6 +164,14 @@ class SnapshotStore:
         hook for deriving driver-side bookkeeping from metrics observed
         during the writes instead of paying a separate Spark job.
 
+        A table VALUE may itself be a no-arg callable: it is resolved
+        at its position in the (ordered) write loop, so a later table
+        can consult metrics observed while an earlier one was written
+        — e.g. the engine writes ``seen`` first and then skips the
+        ``parsed``/``frontier`` plans entirely on rounds the observed
+        counts prove empty, instead of paying an empty UDF pipeline's
+        task scheduling per table.
+
         Concurrency: the round number is a compare-and-swap against the
         committed ``state.next_round`` — a writer that planned its
         round from a stale manifest read gets ``StaleStateError`` (or
@@ -189,6 +197,8 @@ class SnapshotStore:
         try:
             written = []
             for name, df in tables.items():
+                if callable(df):
+                    df = df()
                 if df is None:
                     continue
                 path = os.path.join(stage, name)
