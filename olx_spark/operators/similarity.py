@@ -197,8 +197,17 @@ def minhash_near_dups(
     bands: int = 4,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> band -> bucket
-    join -> exact-Jaccard verify >= threshold."""
-    sigs = minhash_docs(df, id_col, text_col, n_perm)
+    join -> exact-Jaccard verify >= threshold.
+
+    The (shingles, sig) table is localCheckpoint-ed once: it is
+    consumed THREE times downstream — the banding pass plus both sides
+    of the Jaccard-verify join — and each un-checkpointed execution
+    re-evaluates (and re-codegen-compiles) the n_perm-way md5 minhash
+    expression tree, which dominates wall time even at tiny row counts.
+    Executor-resident and spillable; at corpus scale this materializes
+    O(total shingles) once — the same class of trade as the banded-rows
+    checkpoint in :func:`_productive_buckets`."""
+    sigs = minhash_docs(df, id_col, text_col, n_perm).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, n_perm, bands)
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
 
