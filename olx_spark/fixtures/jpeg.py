@@ -431,6 +431,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — consume them so padded real-world files decode
+        # instead of degrading to decode_ok=0 on a bogus length parse
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("jpeg: truncated at marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

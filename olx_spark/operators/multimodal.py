@@ -59,8 +59,11 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+KNOWN_FMTS = ("raw", "png", "dctq", "jpeg")
+
+
 def _decode(data: bytes, fmt: str) -> np.ndarray | None:
-    if fmt in ("raw", "png", "dctq", "jpeg"):
+    if fmt in KNOWN_FMTS:
         # jpeg: pure-numpy baseline decoder (fixtures/jpeg.py) — real
         # bitstream parsing, not a stub; swap in libjpeg/Pillow on a
         # cluster that has it for speed
@@ -76,6 +79,14 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt not in KNOWN_FMTS:
+                    # an unknown fmt VALUE is a schema/config error, not
+                    # a corrupt payload — fail loudly instead of silently
+                    # flagging the whole column decode_ok=0 (ADVICE r4)
+                    raise ValueError(
+                        f"unknown fmt {fmt!r} for image_id={image_id!r}: "
+                        f"expected one of {KNOWN_FMTS}"
+                    )
                 try:
                     arr = _decode(data, fmt)
                 except Exception:

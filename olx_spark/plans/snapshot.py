@@ -265,24 +265,34 @@ class SnapshotStore:
             df = df_transform(df)
         gen = sum(1 for p in paths if "compact" in p)
         out_rel = f"compact-{name}-{len(manifest['rounds']):05d}-{gen}-{uuid.uuid4().hex[:8]}"
+        # the (multi-minute at scale) merged write is staged under a
+        # .stage-* name so a concurrent vacuum gives it the same mtime
+        # grace as commit staging — written directly into the live
+        # compact-* namespace, two vacuum passes spanning the write
+        # could two-phase-delete the in-flight output while the
+        # unchanged-paths check still let the repoint land on a deleted
+        # dir (ADVICE r4). The rename to compact-* happens under the
+        # commit lock, immediately before the repoint.
+        stage = os.path.join(self.root, f".stage-{out_rel}")
         out = os.path.join(self.root, out_rel)
         try:
-            df.write.mode("overwrite").parquet(out)
+            df.write.mode("overwrite").parquet(stage)
             with self._commit_lock():
                 manifest = self.read_manifest()
                 if manifest["tables"].get(name, []) != paths:
                     # a concurrent commit changed the table under us:
                     # this merge no longer covers it — drop and retry
                     # at the next compaction point
-                    shutil.rmtree(out, ignore_errors=True)
+                    shutil.rmtree(stage, ignore_errors=True)
                     return
+                os.rename(stage, out)
                 manifest["tables"][name] = [out_rel]
                 tmp = self._manifest_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(manifest, f, indent=1)
                 os.replace(tmp, self._manifest_path)
         except BaseException:
-            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
             raise
         # old delta dirs are now unreferenced; leave them for vacuum()
         # (readers that already opened them stay consistent)
@@ -339,10 +349,18 @@ class SnapshotStore:
                 if not os.path.isdir(full):
                     continue
                 if entry.startswith(".stage-"):
-                    mtimes = [os.path.getmtime(full)] + [
-                        os.path.getmtime(os.path.join(full, s))
-                        for s in os.listdir(full)
-                    ]
+                    # the mtime scan races a concurrent commit_round's
+                    # out-of-lock zero-row rmtree of a staged subdir: a
+                    # vanished entry means the stage is being actively
+                    # written — treat it as recently touched, never
+                    # abort the vacuum (ADVICE r4)
+                    try:
+                        mtimes = [os.path.getmtime(full)] + [
+                            os.path.getmtime(os.path.join(full, s))
+                            for s in os.listdir(full)
+                        ]
+                    except OSError:
+                        continue
                     if now - max(mtimes) >= stage_grace_s:
                         reap(entry, full)
                     continue

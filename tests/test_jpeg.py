@@ -102,6 +102,21 @@ def test_garbage_and_unsupported_rejected():
         jpeg_decode(bytes(data))
 
 
+def test_decoder_skips_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; a padded real-world file must decode identically instead
+    of degrading to decode_ok=0 on a bogus length parse (ADVICE r4)."""
+    data = jpeg_encode(_img(24, 24))
+    base = jpeg_decode(data)
+    # pad before an interior marker (SOF0) and before EOI
+    i = data.find(b"\xff\xc0")
+    padded = data[:i] + b"\xff" * 3 + data[i:-2] + b"\xff" * 2 + data[-2:]
+    assert np.array_equal(jpeg_decode(padded), base)
+    # a header truncated at a lone 0xFF still rejects loudly
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(b"\xff\xd8\xff\xff")
+
+
 def test_decoder_tolerates_extra_app_segments():
     """Real files carry APPn/COM segments the decoder must skip."""
     data = jpeg_encode(_img(24, 24))

@@ -57,6 +57,19 @@ def test_jpeg_decodes_and_corrupt_bytes_degrade_gracefully(spark):
     assert got["bad"]["phash"] is None
 
 
+def test_unknown_fmt_value_fails_loudly_not_flagged(spark):
+    """An unknown fmt VALUE is a schema/config error: it must raise,
+    never be silently absorbed as decode_ok=0 (ADVICE r4 — the wide
+    except was masking systematic decoder/config bugs)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("x", b"\x00\x01", "bmp")], "image_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="unknown fmt"):
+        image_features(df).collect()
+
+
 def test_resize_images(spark, images_df):
     rows, df = images_df
     out = {r["image_id"]: r for r in resize_images(df, 16, 16, "raw").collect()}

@@ -309,6 +309,74 @@ def test_vacuum_reclaims_orphaned_stage_dirs(spark, tmp_path_factory):
     assert not os.path.exists(orphan)
 
 
+def test_vacuum_survives_vanishing_stage_entry(spark, tmp_path_factory, monkeypatch):
+    """vacuum's .stage-* mtime scan races a concurrent commit's
+    out-of-lock rmtree of a staged subdir: a vanished entry must be
+    treated as recently-touched (skip), never abort the vacuum — and
+    with it the engine round that invoked it (ADVICE r4)."""
+    import os
+
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("vacrace"))
+    st = SnapshotStore(d, spark)
+    st.commit_round(0, {"t": spark.range(3)}, {"next_round": 1})
+    racing = os.path.join(d, ".stage-00007-cafebabe")
+    os.makedirs(os.path.join(racing, "t"))
+    real = os.path.getmtime
+
+    def flaky(p):
+        if str(p).startswith(racing):
+            raise FileNotFoundError(p)  # the concurrent rmtree won
+        return real(p)
+
+    monkeypatch.setattr("os.path.getmtime", flaky)
+    st.vacuum(stage_grace_s=0.0)  # must not raise; dir treated as live
+    monkeypatch.undo()
+    assert os.path.isdir(racing)
+    st.vacuum(stage_grace_s=0.0)
+    st.vacuum(stage_grace_s=0.0)
+    assert not os.path.exists(racing)
+
+
+def test_compact_inflight_output_survives_concurrent_vacuums(spark, tmp_path_factory):
+    """ADVICE r4: compact_table's merged output is staged under a
+    .stage-* name (mtime-grace protected) and renamed to compact-*
+    only under the commit lock — two full vacuum passes spanning the
+    in-flight write must not two-phase-delete it out from under the
+    repoint (table data loss with a concurrent-writer deployment)."""
+    import contextlib
+    import os
+    import types
+
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("vaccompact"))
+    st = SnapshotStore(d, spark)
+    st.commit_round(0, {"t": spark.range(5)}, {"next_round": 1})
+    st.commit_round(1, {"t": spark.range(5)}, {"next_round": 2})
+    vac = SnapshotStore(d, spark)
+    orig = SnapshotStore._commit_lock
+    fired = []
+
+    @contextlib.contextmanager
+    def lock_after_vacuums(self, timeout_s=600.0):
+        # the window between compact's data write and its repoint:
+        # a concurrent process runs two whole vacuum generations
+        if not fired:
+            fired.append(1)
+            vac.vacuum()
+            vac.vacuum()
+        with orig(self, timeout_s=timeout_s):
+            yield
+
+    st._commit_lock = types.MethodType(lock_after_vacuums, st)
+    st.compact_table("t")
+    assert st.read_table("t").count() == 10
+    assert len([e for e in os.listdir(d) if e.startswith("compact-t-")]) == 1
+    assert not [e for e in os.listdir(d) if e.startswith(".stage-compact-")]
+
+
 def test_commit_round_skips_empty_deltas(spark, tmp_path_factory):
     """A zero-row table delta writes no parquet part files (no schema
     on disk), so commit_round must not register it — callers can pass
