@@ -52,11 +52,20 @@ FRONTIER_SCHEMA = (
 )
 
 
-def _observed(obs: Observation, timeout_s: float = 120.0) -> dict | None:
-    """Observation.get with a timeout (it blocks until the observed
-    plan's first action; a bug that skipped that action must surface as
-    a fallback count, never a hung crawl) and with the empty-metrics
-    corner (zero tasks ran the node) mapped to None."""
+def _observed(
+    obs: Observation, fired: bool = True, timeout_s: float = 120.0
+) -> dict | None:
+    """Observation.get with a hang guard. ``fired=False`` means the
+    caller KNOWS the observed plan's action never ran (the sink write
+    that would consume it didn't happen — e.g. a future regression
+    reorders the commit loop): return None immediately so the caller
+    falls back to a count job instead of burning a 120 s timeout
+    thread on a hung-looking round (VERDICT r4 #4). With ``fired=True``
+    the get returns promptly (the action completed); the timeout
+    thread remains as a last-ditch guard, and the empty-metrics corner
+    (zero tasks ran the node) is mapped to None."""
+    if not fired:
+        return None
     out: dict = {}
 
     def _get() -> None:
@@ -481,12 +490,15 @@ class ScaledCrawlEngine:
 
         # counts resolved from the observation once the seen write has
         # run; memoized; fallback to one count job in the zero-task
-        # corner (an observation over a plan no task executed)
+        # corner (an observation over a plan no task executed). The
+        # seen-write-completed event gates the observation get: if the
+        # write never ran, the fallback is immediate, not a 120 s wait.
         counts: dict = {}
+        seen_written = threading.Event()
 
         def _counts() -> dict:
             if not counts:
-                m = _observed(obs)
+                m = _observed(obs, fired=seen_written.is_set())
                 if m is not None and "n_listings" in m:
                     counts["ads"] = {
                         n: int(m.get(f"s{i}") or 0) for i, n in enumerate(names)
@@ -551,6 +563,7 @@ class ScaledCrawlEngine:
             {},
             replace={"seen_shards"},
             finalize_state=_finalize,
+            on_written=lambda name: seen_written.set() if name == "seen" else None,
         )
         progressed = sum(_counts()["ads"].values()) > 0 or _counts()["listings"] > 0
         if use_bloom and progressed:

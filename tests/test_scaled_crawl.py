@@ -231,3 +231,20 @@ def test_politeness_budget_respected(spark, graph, tmp_path_factory):
         budget = max(1, 1000 // d) if d else 5
         # listing fetches share the host budget; fetch_log records ads only
         assert n <= budget, f"round {rnd} host {host}: {n} > {budget}"
+
+
+def test_observed_fallback_is_instant_when_action_never_ran(spark):
+    """VERDICT r4 #4: an observation whose plan no action ever executed
+    must fall back immediately (fired=False short-circuit), not burn a
+    120 s timeout thread making the round look hung."""
+    import time
+
+    from pyspark.sql import Observation
+
+    from olx_spark.plans.scaled import _observed
+
+    obs = Observation()
+    spark.range(5).observe(obs, F.count("*").alias("n"))  # never acted on
+    t0 = time.perf_counter()
+    assert _observed(obs, fired=False) is None
+    assert time.perf_counter() - t0 < 1.0
