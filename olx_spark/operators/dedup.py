@@ -71,6 +71,108 @@ def anti_join_unseen(frontier: DataFrame, seen: DataFrame, key: str = "url_fp") 
     return frontier.join(seen.select(key).distinct(), on=key, how="left_anti")
 
 
+def colocated_pending(
+    spark: SparkSession,
+    schema: StructType,
+    n_buckets: int,
+    frontier_files: dict[int, list[str]],
+    order_cols: list[str],
+    fp_col: str = "url_fp",
+    seen_files: dict[int, list[str]] | None = None,
+    shard_files: dict[int, list[str]] | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """The per-round pending derivation (frontier MINUS seen, then
+    first-occurrence dedup) as a ZERO-SHUFFLE storage-partitioned job
+    over a bucketed snapshot layout (``SnapshotStore.bucket_files``).
+
+    Both ``frontier`` and the seen state (exact fps, or Bloom shard
+    rows) are written pre-partitioned by ``pmod(url_fp, n_buckets)``
+    subdirs, so bucket b of the frontier can only match bucket b of the
+    seen state. The plan is ``Range -> MapInPandas``: ``spark.range(n,
+    numPartitions=n)`` pins exactly one bucket per task (contiguous
+    range slicing — no hash, no exchange), and each task pyarrow-reads
+    its own bucket's frontier delta files plus its own seen/shard
+    files, probes, and dedups IN TASK. This is the local-parquet
+    stand-in for an Iceberg ``bucket(n, url_fp)`` table pair under a
+    storage-partitioned join: the previous shape shuffled the ENTIRE
+    accumulated frontier on url_fp (cogroup/anti-join exchange) every
+    round — the measured 0.68 shuffle ceiling on 2v8 scaling
+    (BENCH.md round 4); this shape shuffles nothing.
+
+    Semantics are identical to ``probe-then-first_seen_dedup``:
+
+    - Bloom mode (``shard_files``): vectorized double-hash probe
+      against the OR of the bucket's shard rows (no false negatives;
+      same ``_bloom_positions`` math as :class:`BloomSeenFilter`).
+      Requires the layout ``n_buckets == n_shards`` so bucket b holds
+      exactly shard b.
+    - Exact mode (``seen_files``): ``np.isin`` anti-filter against the
+      bucket's seen fingerprints.
+    - Dedup: stable-sort on ``order_cols``, keep first per ``fp_col``
+      (all rows of one fp are in one bucket by construction).
+
+    At 10^10-frontier scale each task touches one shard row (~3 MB at
+    4096 shards) and its own slice of the frontier — the same unit of
+    work a real cluster's co-located scan would schedule. File-list
+    maps ride the closure (O(buckets x deltas) strings; compaction
+    bounds deltas)."""
+    if shard_files is not None and seen_files is not None:
+        raise ValueError("pass shard_files (bloom) or seen_files (exact), not both")
+    cols = schema.fieldNames()
+
+    def _run(batches) -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+
+        def read_all(files: list[str]) -> pd.DataFrame | None:
+            if not files:
+                return None
+            import pyarrow as pa
+
+            # permissive: deltas from different rounds differ in
+            # nullability metadata (seed frontier vs discovered rows)
+            return pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="permissive"
+            ).to_pandas()
+
+        for pdf in batches:
+            for b in pdf["id"].astype(int):
+                rows = read_all(frontier_files.get(b, []))
+                if rows is None or len(rows) == 0:
+                    continue
+                fps = rows[fp_col].to_numpy(dtype=np.int64)
+                if shard_files is not None:
+                    shards = read_all(shard_files.get(b, []))
+                    if shards is not None and len(shards):
+                        bits = _or_rows(shards["bits"])
+                        if len(bits) * 8 != m_bits:
+                            raise ValueError(
+                                f"bloom geometry mismatch: shard row has "
+                                f"{len(bits) * 8} bits, filter configured "
+                                f"m_bits={m_bits}; resume must reuse the "
+                                "committed geometry"
+                            )
+                        pos = _bloom_positions(fps, k, m_bits)
+                        hit = (
+                            (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                        ).all(axis=1)
+                        rows = rows[~hit]
+                elif seen_files is not None:
+                    seen = read_all(seen_files.get(b, []))
+                    if seen is not None and len(seen):
+                        seen_fps = seen[fp_col].to_numpy(dtype=np.int64)
+                        rows = rows[~np.isin(fps, seen_fps)]
+                if len(rows) == 0:
+                    continue
+                rows = rows.sort_values(order_cols, kind="mergesort")
+                rows = rows.drop_duplicates(subset=[fp_col], keep="first")
+                yield rows[cols]
+
+    src = spark.range(0, n_buckets, 1, numPartitions=n_buckets)
+    return src.mapInPandas(_run, schema=schema)
+
+
 SHARD_SCHEMA = StructType(
     [
         StructField("shard_id", IntegerType()),
@@ -190,13 +292,15 @@ class BloomSeenFilter:
         merged rows on the EXECUTORS (truncating lineage so later probes
         don't rebuild every delta) — still no driver copy. Engine runs
         use build_deltas + snapshot commit + set_state instead."""
+        from olx_spark.session import materialize
+
         delta = self.build_deltas(df, fp_col)
         merged = (
             delta
             if self.shards_df is None
             else merge_shard_deltas(self.shards_df.unionByName(delta))
         )
-        self.shards_df = merged.localCheckpoint(eager=True)
+        self.shards_df = materialize(merged)
 
     # -------------------------------------------------------------- probe
     def probe(self, df: DataFrame, fp_col: str = "url_fp") -> DataFrame:

@@ -59,6 +59,13 @@ class CrawlConfig:
     bloom_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20
     host_salt_buckets: int = 8
+    # physical layout: frontier/seen deltas land in pmod(url_fp, N)
+    # bucket subdirs so the per-round pending probe/anti-join is a
+    # co-located zero-shuffle read (snapshot.set_bucket_spec). In
+    # global_bloom mode the bucket count is forced to bloom_shards
+    # (bucket b holds exactly shard b); this knob sizes exact mode.
+    # extra["unbucketed_store"]=True disables the layout (A/B + legacy).
+    state_buckets: int = 32
     compact_every: int = 8  # merge frontier/seen deltas every N rounds
     # parquet files per round delta: rounds are small relative to the
     # whole crawl, so don't fan a few-MB delta into 32 task files (at

@@ -14,9 +14,15 @@ Differences from the reference-exact loop in ``crawl.py``:
 - all state tables are APPEND-ONLY deltas (frontier discoveries, seen
   fingerprints, results, fetch_log, seen_shards): a round commits only
   its additions, so commit cost is O(round), not O(frontier). The
-  pending set is derived: ``frontier MINUS seen`` — an anti join on
-  ``url_fp`` that bucketing co-locates on a real cluster (zero
-  shuffle with both sides bucketed by url_fp; here AQE handles it).
+  pending set is derived: ``frontier MINUS seen`` — and because the
+  store writes both sides pre-partitioned into ``pmod(url_fp, N)``
+  bucket subdirs (SURVEY §1.4's layout promise; Iceberg
+  ``bucket(N, url_fp)`` analog), the derivation is a ZERO-SHUFFLE
+  storage-partitioned read: each task reads bucket b of the frontier
+  plus bucket b of the seen state (Bloom shard b or exact fps) and
+  probes + dedups in-task (``operators/dedup.colocated_pending``).
+  Legacy un-bucketed stores fall back to the cogroup/anti-join
+  shuffle shape until a compaction migrates the layout.
 - hot-host skew: the *fetch* fan-out is repartitioned by salted host
   (``host#salt``) so one 10x host spreads over many tasks, while
   politeness accounting stays on the unsalted host (SURVEY.md §4.2).
@@ -38,6 +44,7 @@ from olx_spark.functions.urls import canonicalize_modern
 from olx_spark.operators.dedup import (
     BloomSeenFilter,
     anti_join_unseen,
+    colocated_pending,
     first_seen_dedup,
     merge_shard_deltas,
 )
@@ -221,6 +228,21 @@ class ScaledCrawlEngine:
                             "was started with"
                         )
                 self.bloom.set_state(shards)
+        # register the bucketed physical layout BEFORE any write (seed
+        # commit included): a committed spec wins over config, exactly
+        # like bloom geometry, so resume never mixes bucket counts
+        if not self.config.extra.get("unbucketed_store"):
+            n_b = (
+                self.bloom.n_shards
+                if self.bloom is not None
+                else int(self.config.state_buckets)
+            )
+            self.store.set_bucket_spec("frontier", "url_fp", n_b)
+            self.store.set_bucket_spec("seen", "url_fp", n_b)
+            if self.bloom is not None:
+                self.store.set_bucket_spec(
+                    "seen_shards", "shard_id", self.bloom.n_shards
+                )
         if committed and "seeds" in saved:
             return saved["seeds"], saved["next_round"]
 
@@ -278,7 +300,15 @@ class ScaledCrawlEngine:
             "bloom_bits": self.bloom.m_bits,
         }
 
+    _PENDING_ORDER = ["discovery_round", "parent_fp", "discovery_pos"]
+
     def _pending(self) -> DataFrame | None:
+        colocated = self._pending_colocated()
+        if colocated is not None:
+            return colocated
+        # fallback (legacy un-bucketed store, or layout/geometry that
+        # cannot co-locate): the shuffle shape — probe/anti-join
+        # exchanges the accumulated frontier on url_fp every round
         frontier = self.store.read_table("frontier")
         if frontier is None:
             return None
@@ -294,8 +324,43 @@ class ScaledCrawlEngine:
             )
         elif seen is not None:
             pending = anti_join_unseen(pending, seen)
-        return first_seen_dedup(
-            pending, ["url_fp"], ["discovery_round", "parent_fp", "discovery_pos"]
+        return first_seen_dedup(pending, ["url_fp"], self._PENDING_ORDER)
+
+    def _pending_colocated(self) -> DataFrame | None:
+        """The zero-shuffle pending derivation over the bucketed store
+        layout (Range -> MapInPandas; see ``colocated_pending``). None
+        when the layout cannot co-locate — caller falls back to the
+        shuffle path."""
+        fb = self.store.bucket_files("frontier")
+        if fb is None:
+            return None
+        n_b, f_files = fb
+        kwargs: dict = {}
+        if self.config.dedup_scope == "global_bloom":
+            if self.bloom is not None and self.bloom.has_state():
+                sb = self.store.bucket_files("seen_shards")
+                if sb is None or sb[0] != n_b or n_b != self.bloom.n_shards:
+                    return None  # bucket b must hold exactly shard b
+                kwargs = {
+                    "shard_files": sb[1],
+                    "m_bits": self.bloom.m_bits,
+                    "k": self.bloom.k,
+                }
+        else:
+            if self.store.read_manifest()["tables"].get("seen"):
+                sb = self.store.bucket_files("seen")
+                if sb is None or sb[0] != n_b:
+                    return None
+                kwargs = {"seen_files": sb[1]}
+        from pyspark.sql.types import StructType
+
+        return colocated_pending(
+            self.spark,
+            StructType.fromDDL(FRONTIER_SCHEMA),
+            n_b,
+            f_files,
+            self._PENDING_ORDER,
+            **kwargs,
         )
 
     def _run_round(self, rnd: int, state: dict) -> bool:

@@ -42,14 +42,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _delta_rows(path: str) -> int:
     """Total rows in a just-written parquet dir, from the file footers
-    (driver-side metadata only — no Spark job, no data read)."""
+    (driver-side metadata only — no Spark job, no data read). Walks
+    nested ``__b=K`` bucket subdirs (bucketed deltas)."""
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-        for f in os.listdir(path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("part-") and f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 class StaleStateError(RuntimeError):
@@ -71,9 +73,11 @@ class SnapshotStore:
 
     def read_manifest(self) -> dict:
         if not os.path.exists(self._manifest_path):
-            return {"rounds": [], "tables": {}, "state": {}}
+            return {"rounds": [], "tables": {}, "state": {}, "buckets": {}}
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("buckets", {})
+        return m
 
     @contextlib.contextmanager
     def _commit_lock(self, timeout_s: float = 600.0):
@@ -108,6 +112,104 @@ class SnapshotStore:
             yield
         finally:
             os.close(fd)  # releases the flock; file stays
+
+    # ---------------------------------------------------- bucketed layout
+    def set_bucket_spec(self, name: str, col: str, n: int) -> dict:
+        """Register a physical bucket layout for ``name``: every future
+        delta (and compaction) of the table is written pre-partitioned
+        into ``__b=pmod(col, n)`` subdirs — the SURVEY §1.4 layout
+        promise, and the local-parquet stand-in for Iceberg
+        ``bucket(n, col)`` partition transforms. Consumers that read
+        the buckets co-located (:meth:`bucket_files` +
+        ``operators.dedup.colocated_pending``) get the
+        storage-partitioned-join shape: per-round probe/anti-join with
+        ZERO data shuffle.
+
+        The spec is persisted in the manifest immediately (under the
+        commit lock) so concurrent writers (frontier stream + batch
+        engine) bucket identically. Like Bloom geometry, a COMMITTED
+        spec always wins over the requested one — a resumed run with a
+        changed n must not mix layouts; the effective spec is
+        returned. Legacy (pre-spec) deltas stay readable: a table with
+        any un-bucketed delta simply falls back to the shuffle path
+        until compaction rewrites it bucketed."""
+        with self._commit_lock():
+            manifest = self.read_manifest()
+            spec = manifest["buckets"].get(name)
+            if spec is not None:
+                return spec
+            spec = {"col": col, "n": int(n)}
+            manifest["buckets"][name] = spec
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)
+            return spec
+
+    @staticmethod
+    def _write_delta(df: DataFrame, path: str, spec: dict | None) -> None:
+        """One table delta write. With a bucket spec the rows are
+        repartitioned on the bucket id (one shuffle of the O(round)
+        delta — the classic bucketing trade: pay once at write, read
+        co-located every round after) and land in ``__b=K`` subdirs,
+        exactly one file per bucket."""
+        if spec is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+        from pyspark.sql import functions as F
+
+        n = int(spec["n"])
+        b = F.pmod(F.col(spec["col"]).cast("long"), F.lit(n)).cast("int")
+        (
+            df.withColumn("__b", b)
+            .repartition(n, F.col("__b"))
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(path)
+        )
+
+    def bucket_spec(self, name: str) -> dict | None:
+        return self.read_manifest()["buckets"].get(name)
+
+    def bucket_files(self, name: str) -> tuple[int, dict[int, list[str]]] | None:
+        """Per-bucket data-file lists for a FULLY bucketed table:
+        ``(n, {bucket: [abs paths...]})``, or None when the table has
+        no spec, no data, or any legacy un-bucketed delta (mixed
+        layouts cannot be read co-located; compaction heals them).
+        Driver-side directory metadata only — no data read."""
+        manifest = self.read_manifest()
+        spec = manifest["buckets"].get(name)
+        rels = manifest["tables"].get(name, [])
+        if spec is None or not rels:
+            return None
+        n = int(spec["n"])
+        out: dict[int, list[str]] = {}
+        for rel in rels:
+            d = os.path.join(self.root, rel)
+            try:
+                entries = [
+                    e
+                    for e in os.listdir(d)
+                    if e.startswith("__b=")
+                    or not e.startswith(("_", "."))
+                ]
+            except OSError:
+                return None
+            if not entries:
+                continue  # zero-row delta dir: trivially compatible
+            if not all(e.startswith("__b=") for e in entries):
+                return None  # legacy/plain delta in the mix
+            for e in entries:
+                b = int(e.split("=", 1)[1])
+                if b >= n:
+                    return None  # written under a different geometry
+                sub = os.path.join(d, e)
+                out.setdefault(b, []).extend(
+                    os.path.join(sub, f)
+                    for f in sorted(os.listdir(sub))
+                    if f.endswith(".parquet")
+                )
+        return n, out
 
     def _check_cas(self, manifest: dict, round_no: int) -> None:
         if round_no in manifest["rounds"]:
@@ -197,7 +299,9 @@ class SnapshotStore:
         """
         replace = replace or set()
         # fail a stale writer cheaply, before the data writes
-        self._check_cas(self.read_manifest(), round_no)
+        pre = self.read_manifest()
+        self._check_cas(pre, round_no)
+        specs = pre["buckets"]
         stage = os.path.join(
             self.root, f".stage-{round_no:05d}-{uuid.uuid4().hex[:8]}"
         )
@@ -210,7 +314,7 @@ class SnapshotStore:
                 if df is None:
                     continue
                 path = os.path.join(stage, name)
-                df.write.mode("overwrite").parquet(path)
+                self._write_delta(df, path, specs.get(name))
                 if on_written is not None:
                     on_written(name)
                 if _delta_rows(path) > 0:
@@ -243,14 +347,19 @@ class SnapshotStore:
             raise
 
     def read_table(self, name: str) -> DataFrame | None:
-        """Union of all committed round deltas for ``name``."""
+        """Union of all committed round deltas for ``name``.
+        ``recursiveFileLookup`` reads the data files under bucketed
+        (``__b=K`` subdir) and plain deltas alike with NO partition
+        inference — the bucket id is physical layout, not table
+        schema, and every data column lives in the files themselves.
+        (Co-located consumers use :meth:`bucket_files` instead.)"""
         manifest = self.read_manifest()
         paths = [
             os.path.join(self.root, rel) for rel in manifest["tables"].get(name, [])
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(*paths)
 
     def compact_table(self, name: str, df_transform=None) -> None:
         """Merge all committed deltas of ``name`` into one directory and
@@ -270,7 +379,10 @@ class SnapshotStore:
         paths = manifest["tables"].get(name, [])
         if len(paths) <= 1:
             return
-        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+        # read via read_table (drops the physical __b column; handles
+        # mixed legacy layouts) so a compaction also MIGRATES a table
+        # onto its registered bucket layout
+        df = self.read_table(name)
         if df_transform is not None:
             df = df_transform(df)
         gen = sum(1 for p in paths if "compact" in p)
@@ -286,7 +398,13 @@ class SnapshotStore:
         stage = os.path.join(self.root, f".stage-{out_rel}")
         out = os.path.join(self.root, out_rel)
         try:
-            df.write.mode("overwrite").parquet(stage)
+            self._write_delta(df, stage, manifest["buckets"].get(name))
+            # a compaction that drains the table to ZERO rows (e.g. a
+            # finished crawl's frontier after the seen subtraction) must
+            # prune it from the manifest, not publish an empty dir — a
+            # bucketed empty write leaves no data files, so a later scan
+            # of the dir could not even infer a schema
+            empty = _delta_rows(stage) == 0
             with self._commit_lock():
                 manifest = self.read_manifest()
                 if manifest["tables"].get(name, []) != paths:
@@ -295,8 +413,12 @@ class SnapshotStore:
                     # at the next compaction point
                     shutil.rmtree(stage, ignore_errors=True)
                     return
-                os.rename(stage, out)
-                manifest["tables"][name] = [out_rel]
+                if empty:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    manifest["tables"][name] = []
+                else:
+                    os.rename(stage, out)
+                    manifest["tables"][name] = [out_rel]
                 tmp = self._manifest_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(manifest, f, indent=1)

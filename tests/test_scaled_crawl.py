@@ -248,3 +248,136 @@ def test_observed_fallback_is_instant_when_action_never_ran(spark):
     t0 = time.perf_counter()
     assert _observed(obs, fired=False) is None
     assert time.perf_counter() - t0 < 1.0
+
+
+# ----------------------------------------------------- bucketed layout
+def _crawl_rows(eng):
+    return sorted(
+        (r["name"], r["seq"], r["href"]) for r in eng.results().collect()
+    )
+
+
+def test_bucketed_layout_colocated_pending_no_exchange(
+    spark, graph, tmp_path_factory
+):
+    """VERDICT r4 #1 done-criteria: frontier/seen deltas land in
+    pmod(url_fp, N) bucket subdirs, and the per-round pending
+    derivation (bloom probe + first-seen dedup) compiles to
+    Range -> MapInPandas with NO Exchange anywhere — the
+    storage-partitioned-join shape, vs the old full frontier shuffle."""
+    import os
+
+    eng = _run(spark, graph, tmp_path_factory, "global_bloom", "buck_plan")
+    d = eng.config.checkpoint_dir
+    rdirs = sorted(e for e in os.listdir(d) if e.startswith("r"))
+    frontier_dirs = [
+        os.path.join(d, r, "frontier")
+        for r in rdirs
+        if os.path.isdir(os.path.join(d, r, "frontier"))
+    ]
+    assert frontier_dirs
+    for fd in frontier_dirs:
+        subs = [e for e in os.listdir(fd) if e.startswith("__b=")]
+        assert subs, f"unbucketed frontier delta: {fd}"
+    shard_dirs = [
+        os.path.join(d, r, "seen_shards")
+        for r in rdirs
+        if os.path.isdir(os.path.join(d, r, "seen_shards"))
+    ]
+    assert any(
+        [e for e in os.listdir(sd) if e.startswith("__b=")] for sd in shard_dirs
+    )
+    pending = eng._pending()
+    plan = pending._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+    assert eng._pending_colocated() is not None
+
+
+@pytest.mark.parametrize("scope", ["global_bloom", "global_exact"])
+def test_bucketed_results_equal_unbucketed(spark, graph, tmp_path_factory, scope):
+    """The layout is physical only: crawl order, seen set, and results
+    must be IDENTICAL with and without the bucketed store."""
+    eng_b = _run(spark, graph, tmp_path_factory, scope, f"buck_{scope}")
+    eng_u = _run(
+        spark,
+        graph,
+        tmp_path_factory,
+        scope,
+        f"unbuck_{scope}",
+        extra={"unbucketed_store": True},
+    )
+    assert eng_u._pending_colocated() is None  # layout really off
+    assert _crawl_rows(eng_b) == _crawl_rows(eng_u)
+    seen_b = sorted(r["url_fp"] for r in eng_b.seen_fps().distinct().collect())
+    seen_u = sorted(r["url_fp"] for r in eng_u.seen_fps().distinct().collect())
+    assert seen_b == seen_u
+
+
+def test_legacy_unbucketed_store_heals_via_compaction(
+    spark, graph, tmp_path_factory, exact_run
+):
+    """A legacy (pre-bucketing) checkpoint must resume on the fallback
+    shuffle path with IDENTICAL results, and a compaction must MIGRATE
+    the tables onto the registered bucket layout (bucket subdirs on
+    disk); a drained frontier prunes instead of publishing an empty,
+    schema-less bucketed dir."""
+    import os
+
+    from olx_spark.plans.crawl import CrawlConfig
+    from olx_spark.plans.scaled import ScaledCrawlEngine
+
+    d = str(tmp_path_factory.mktemp("legacy_heal"))
+    base = dict(
+        mode="scaled",
+        dedup_scope="global_exact",
+        checkpoint_dir=d,
+        with_payload=False,
+        state_buckets=8,
+        compact_every=0,
+    )
+    seeds = [dict(s, count=60) for s in graph.seeds]
+    # legacy partial crawl: 3 rounds, no bucketing
+    legacy = ScaledCrawlEngine(
+        spark,
+        graph,
+        CrawlConfig(**base, max_rounds=3, extra={"unbucketed_store": True}),
+    )
+    legacy.run(seeds)
+    # resume with bucketing enabled: mixed layout -> fallback path,
+    # crawl completes with results identical to the reference run
+    eng = ScaledCrawlEngine(spark, graph, CrawlConfig(**base, max_rounds=30))
+    eng.run(seeds)
+    assert eng.store.bucket_spec("frontier") is not None
+    assert eng._pending_colocated() is None  # mixed/legacy -> fallback
+    assert _crawl_rows(eng) == _crawl_rows(exact_run)
+    eng.compact_now()
+    n, files = eng.store.bucket_files("seen")
+    assert n == 8 and files, "compaction did not migrate seen onto buckets"
+    assert _crawl_rows(eng) == _crawl_rows(exact_run)
+    seen_b = sorted(r["url_fp"] for r in eng.seen_fps().distinct().collect())
+    seen_r = sorted(
+        r["url_fp"] for r in exact_run.seen_fps().distinct().collect()
+    )
+    assert seen_b == seen_r
+
+
+def test_bucket_spec_committed_wins_over_config(spark, tmp_path_factory):
+    """Like bloom geometry: a resumed run with a changed bucket count
+    must adopt the COMMITTED spec, never mix layouts in one table."""
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("buckspec"))
+    st = SnapshotStore(d, spark)
+    assert st.set_bucket_spec("t", "k", 8) == {"col": "k", "n": 8}
+    st.commit_round(
+        0, {"t": spark.range(100).select(F.col("id").alias("k"))}, {"next_round": 1}
+    )
+    st2 = SnapshotStore(d, spark)
+    assert st2.set_bucket_spec("t", "k", 32) == {"col": "k", "n": 8}
+    st2.commit_round(
+        1, {"t": spark.range(100).select(F.col("id").alias("k"))}, {"next_round": 2}
+    )
+    n, files = st2.bucket_files("t")
+    assert n == 8 and set(files) <= set(range(8))
+    assert st2.read_table("t").count() == 200
