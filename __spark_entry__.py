@@ -663,6 +663,47 @@ def q_jpeg_features(spark, sf):
     )
 
 
+def _audio_corpus_rows(n: int, seed: int) -> list[tuple]:
+    """Driver-side WAV fixture rows (memoized like _image_corpus_rows);
+    the last two rows are deliberate garbage (truncated header / plain
+    bytes) so the decode_ok=0 flag path is oracle-checked too."""
+    key = ("audio", n, seed)
+    if key not in _CORPUS_CACHE:
+        from olx_spark.fixtures.audio import make_audio_corpus
+
+        rows = [
+            (r["audio_id"], r["bytes"], r["fmt"])
+            for r in make_audio_corpus(n - 2, seed=seed)
+        ]
+        rows.append(("bad-trunc", b"RIFF\x10\x00\x00\x00WAVEfmt ", "wav"))
+        rows.append(("bad-bytes", b"not audio at all", "wav"))
+        _CORPUS_CACHE[key] = rows
+    return _CORPUS_CACHE[key]
+
+
+def q_audio_features(spark, sf):
+    # multimodal AUDIO: PCM/WAV decode + frame-averaged RMS/ZCR/
+    # spectral-centroid features in the Arrow-batched scanner (stdlib
+    # wave + numpy, fixtures/audio.py — the jpeg playbook applied to
+    # the former stub). The DuckDB twin carries features computed by an
+    # independent driver-side decode of the same bytes, so the oracle
+    # certifies the distributed decode + transport end to end;
+    # deliberate garbage rows certify the decode_ok=0 flag path.
+    from olx_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        _audio_corpus_rows(34, 29), "audio_id string, bytes binary, fmt string"
+    )
+    return audio_features(df).select(
+        "audio_id", "sr", "channels", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("spectral_centroid", 4).alias("spectral_centroid"),
+        "decode_ok",
+    )
+
+
 def q_phash_near_dup(spark, sf):
     # image DEDUP: decode -> phash64 -> banded Hamming pairing (bands
     # derived from max_dist => complete recall => equals brute force,
@@ -718,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
+        "q_audio_features": q_audio_features,
         "q_phash_near_dup": q_phash_near_dup,
     }
 
@@ -1107,6 +1149,43 @@ def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)  # pure; decodes 34 wav clips
+def _sql_audio_features(n: int = 34, seed: int = 29) -> str:
+    """DuckDB twin of q_audio_features: expected features computed by
+    an independent driver-side decode (fixtures/audio.wav_decode +
+    audio_feature_row) of the SAME bytes, inlined as VALUES (repr()
+    floats round-trip exactly; ::double pins the literal type).
+    Garbage rows appear with NULL features and decode_ok=0."""
+    from olx_spark.fixtures.audio import audio_feature_row, wav_decode
+
+    vals = []
+    for audio_id, data, _fmt in _audio_corpus_rows(n, seed):
+        try:
+            samples, sr = wav_decode(data)
+            f = audio_feature_row(samples, sr)
+            vals.append(
+                f"('{audio_id}', {f['sr']}, {f['channels']}, {f['n_samples']}, "
+                f"{f['duration_s']!r}::double, {f['rms']!r}::double, "
+                f"{f['zcr']!r}::double, {f['spectral_centroid']!r}::double, 1)"
+            )
+        except Exception:
+            vals.append(
+                f"('{audio_id}', NULL, NULL, NULL, NULL::double, NULL::double, "
+                "NULL::double, NULL::double, 0)"
+            )
+    return f"""
+        select audio_id, sr::int as sr, channels::int as channels,
+               n_samples::bigint as n_samples,
+               round(duration_s, 6) as duration_s, round(rms, 6) as rms,
+               round(zcr, 6) as zcr,
+               round(spectral_centroid, 4) as spectral_centroid,
+               decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(audio_id, sr, channels, n_samples, duration_s, rms, zcr,
+               spectral_centroid, decode_ok)
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; encodes/decodes 96 images
 def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
     """DuckDB twin of q_phash_near_dup: expected phashes computed
@@ -1319,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),
         "q_jpeg_features": _sql_jpeg_features(),
+        "q_audio_features": _sql_audio_features(),
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_ngram_jaccard": f"""
             with d as (

@@ -46,6 +46,7 @@ HEADLINE = [
     "q_multi_join",
     "q_politeness_budget",
     "q_phash_near_dup",
+    "q_audio_features",
 ]
 
 REPS = 3

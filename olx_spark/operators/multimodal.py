@@ -7,10 +7,12 @@ Spark-side plumbing here is real and tested: Arrow-batched
 batches. The pixel codecs cover lossless ``raw`` + ``png``, the LOSSY
 ``dctq`` quantized-DCT codec, and BASELINE SEQUENTIAL ``jpeg``
 (``fixtures/jpeg.py`` — a real T.81 bitstream codec written against
-the public spec, since the sandbox ships no Pillow/libjpeg); only
-audio/video sampling remain STUBBED behind ``NotImplementedError``
-(no ffmpeg) — their plumbing pattern is defined by the image
-operators.
+the public spec, since the sandbox ships no Pillow/libjpeg). Audio is
+REAL: PCM/WAV via the stdlib ``wave`` module + numpy
+(``fixtures/audio.py``) with per-clip and per-frame feature scanners.
+Only video sampling remains STUBBED behind ``NotImplementedError``
+(genuinely needs ffmpeg) — its plumbing pattern is defined by the
+audio/image operators.
 """
 
 from __future__ import annotations
@@ -71,12 +73,58 @@ def _decode(data: bytes, fmt: str) -> np.ndarray | None:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def image_features(df: DataFrame) -> DataFrame:
+_jpeg_guard_warned = False  # per-worker-process one-shot
+
+
+def image_features(
+    df: DataFrame,
+    jpeg_guard: str = "warn",
+    jpeg_fraction_threshold: float = 0.25,
+) -> DataFrame:
     """Decode + per-image features (channel means, gray stddev, phash)
-    over Arrow batches. Input: (image_id, bytes, fmt, ...)."""
+    over Arrow batches. Input: (image_id, bytes, fmt, ...).
+
+    ``jpeg_guard`` (VERDICT r4 #5): the baseline T.81 codec's Huffman
+    coder is pure-Python bit-at-a-time — correct, oracle-pinned, and
+    ~100x slower than libjpeg. Fine for oracle corpora; a scale-killer
+    if a 100-TB operator accidentally routes a jpeg-heavy corpus
+    through it. When the jpeg row fraction of a batch exceeds
+    ``jpeg_fraction_threshold`` (min 64 rows), the guard fires:
+
+    - ``"warn"`` (default): one loud log line per worker process
+      naming the libjpeg swap point, then proceeds;
+    - ``"error"``: raises — for production jobs where the slow path
+      must be an explicit opt-in (``jpeg_guard="off"``);
+    - ``"off"``: no check (oracle/bench corpora that MEAN to use it).
+    """
+    if jpeg_guard not in ("warn", "error", "off"):
+        raise ValueError(f"jpeg_guard must be warn|error|off, got {jpeg_guard!r}")
+
+    def _check_jpeg_fraction(pdf: pd.DataFrame) -> None:
+        global _jpeg_guard_warned
+        if jpeg_guard == "off" or len(pdf) < 64:
+            return
+        frac = float((pdf["fmt"] == "jpeg").mean())
+        if frac < jpeg_fraction_threshold:
+            return
+        msg = (
+            f"image_features: {frac:.0%} of a {len(pdf)}-row batch is 'jpeg' "
+            "— decoding via the pure-Python baseline T.81 codec "
+            "(fixtures/jpeg.py), ~100x slower than libjpeg. For a bulk jpeg "
+            "corpus swap the decode in olx_spark/operators/multimodal._decode "
+            "for libjpeg/Pillow, or pass jpeg_guard='off' to accept the cost."
+        )
+        if jpeg_guard == "error":
+            raise RuntimeError(msg)
+        if not _jpeg_guard_warned:
+            _jpeg_guard_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(msg)
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _check_jpeg_fraction(pdf)
             rows = []
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 if fmt not in KNOWN_FMTS:
@@ -183,13 +231,116 @@ def phash_near_dups(
     )
 
 
-def audio_sample_frames(df: DataFrame, *args, **kwargs):
-    """STUB: audio frame sampling needs an audio codec (ffmpeg) absent
-    from this environment. The image operators above define the
-    plumbing pattern (binary column + mapInPandas + typed schema)."""
-    raise NotImplementedError("audio decoding requires ffmpeg/soundfile")
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("sr", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("spectral_centroid", DoubleType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("start_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """PCM/WAV decode + per-clip features (frame-averaged RMS, zero-
+    crossing rate, spectral centroid) over Arrow batches — the jpeg
+    playbook applied to the former audio stub (stdlib ``wave`` +
+    numpy, ``fixtures/audio.py``; no ffmpeg in this environment — swap
+    the decode for soundfile/ffmpeg on a cluster that has them for
+    compressed formats). Input: (audio_id, bytes, fmt). Garbage or
+    non-PCM payloads flag ``decode_ok=0``, never crash — a 100-TB
+    crawl corpus WILL contain them."""
+    from olx_spark.fixtures.audio import audio_feature_row, wav_decode
+
+    null_row = {
+        "sr": None, "channels": None, "n_samples": None, "duration_s": None,
+        "rms": None, "zcr": None, "spectral_centroid": None,
+    }
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for audio_id, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "wav":
+                    # unknown fmt VALUE: schema/config error, fail loudly
+                    # (same contract as image_features)
+                    raise ValueError(f"unknown audio fmt {fmt!r} for {audio_id!r}")
+                try:
+                    samples, sr = wav_decode(bytes(data))
+                    rows.append(
+                        {
+                            "audio_id": audio_id,
+                            **audio_feature_row(samples, sr, frame_ms),
+                            "decode_ok": 1,
+                        }
+                    )
+                except Exception:
+                    rows.append({"audio_id": audio_id, **null_row, "decode_ok": 0})
+            yield pd.DataFrame(rows, columns=AUDIO_FEATURE_SCHEMA.fieldNames())
+
+    return df.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_sample_frames(df: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """Frame-level sampling: one output row per ``frame_ms`` window of
+    the channel-mean signal with per-frame RMS + zero-crossing rate —
+    the windowed-feature input a downstream audio model trains on.
+    Undecodable payloads contribute zero rows (flag-level handling
+    belongs to :func:`audio_features`)."""
+    from olx_spark.fixtures.audio import wav_decode
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for audio_id, data in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    samples, sr = wav_decode(bytes(data))
+                except Exception:
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                frame = max(1, int(sr * frame_ms) // 1000)
+                n_frames = len(mono) // frame
+                if n_frames == 0:
+                    continue
+                x = mono[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((x**2).mean(axis=1))
+                if frame > 1:
+                    signs = np.signbit(x)
+                    zcr = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+                else:
+                    zcr = np.zeros(n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "audio_id": audio_id,
+                            "frame_idx": i,
+                            "start_s": float(i * frame / sr),
+                            "rms": float(rms[i]),
+                            "zcr": float(zcr[i]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=AUDIO_FRAME_SCHEMA.fieldNames())
+
+    return df.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
 
 
 def video_sample_frames(df: DataFrame, *args, **kwargs):
-    """STUB: see audio_sample_frames."""
+    """STUB: video frame sampling needs a video codec (ffmpeg) absent
+    from this environment; the audio/image operators define the
+    plumbing pattern (binary column + mapInPandas + typed schema)."""
     raise NotImplementedError("video decoding requires ffmpeg")

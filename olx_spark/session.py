@@ -14,9 +14,50 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# conf switch for materialize(): "true" -> fault-tolerant checkpoint()
+RELIABLE_CHECKPOINT_CONF = "spark.olx.checkpoint.reliable"
+
+
+def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Materialize a DataFrame that several downstream branches reuse,
+    truncating lineage. The fault-tolerance knob (VERDICT r4 #3):
+
+    - default (``reliable`` unset and conf unset): ``localCheckpoint``
+      — executor-resident block storage. Fastest (no external write),
+      but the blocks DIE WITH AN EXECUTOR: on a 1000-executor,
+      multi-hour 100-TB pass one lost executor kills the whole query
+      instead of recomputing a slice. Right default in ``local[N]``
+      where executors share the driver process and there is nothing
+      to lose separately.
+    - reliable (``reliable=True`` or spark conf
+      ``spark.olx.checkpoint.reliable=true``): ``df.checkpoint()`` to
+      the SparkContext checkpoint dir (HDFS/object storage on a real
+      cluster) — survives executor loss at the cost of one write +
+      re-read of the materialized rows. If no checkpoint dir was
+      configured, a local temp dir is set (sandbox convenience; call
+      ``sc.setCheckpointDir("hdfs://...")`` in production).
+
+    Both modes are semantically identical (same rows); only the
+    storage/durability of the cut point differs.
+    """
+    spark = df.sparkSession
+    if reliable is None:
+        reliable = (
+            str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+            == "true"
+        )
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="olx_spark_ckpt_"))
+    return df.checkpoint(eager=True)
 
 
 def get_spark(

@@ -159,8 +159,101 @@ def test_phash_mega_bucket_guard_on_degenerate_image_corpus(spark, caplog):
     assert got == {("pair-a", "pair-b", d_ab)}
 
 
-def test_audio_video_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        audio_sample_frames(None)
+def test_video_stub_raises():
     with pytest.raises(NotImplementedError):
         video_sample_frames(None)
+
+
+def test_audio_features_match_ground_truth_and_flag_garbage(spark):
+    """PCM/WAV scanner (VERDICT r4 #4): distributed features equal an
+    independent driver-side decode of the same bytes; garbage and
+    non-16-bit payloads flag decode_ok=0, never crash; an unknown fmt
+    VALUE fails loudly (schema error)."""
+    from olx_spark.fixtures.audio import (
+        audio_feature_row,
+        make_audio_corpus,
+        wav_decode,
+    )
+    from olx_spark.operators.multimodal import audio_features
+
+    corpus = make_audio_corpus(12, seed=5)
+    rows = [(r["audio_id"], r["bytes"], r["fmt"]) for r in corpus]
+    rows += [("garbage", b"\x00\x01 definitely not riff", "wav"),
+             ("truncated", b"RIFF\x08\x00\x00\x00WAVE", "wav")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+    assert len(got) == 14
+    for r in corpus:
+        samples, sr = wav_decode(r["bytes"])
+        exp = audio_feature_row(samples, sr)
+        g = got[r["audio_id"]]
+        assert g["decode_ok"] == 1
+        assert g["sr"] == exp["sr"] and g["channels"] == exp["channels"]
+        assert g["n_samples"] == exp["n_samples"]
+        for k in ("duration_s", "rms", "zcr", "spectral_centroid"):
+            assert abs(g[k] - exp[k]) < 1e-12, (r["audio_id"], k)
+    for bad in ("garbage", "truncated"):
+        assert got[bad]["decode_ok"] == 0 and got[bad]["rms"] is None
+    with pytest.raises(Exception, match="unknown audio fmt"):
+        audio_features(
+            spark.createDataFrame(
+                [("x", b"\x00", "mp3")], "audio_id string, bytes binary, fmt string"
+            )
+        ).collect()
+
+
+def test_audio_sample_frames_windows(spark):
+    """Frame sampler: row count = floor(n/frame) per clip, frame values
+    equal the driver-side window computation, undecodable clips emit
+    zero rows."""
+    import numpy as np
+
+    from olx_spark.fixtures.audio import make_audio_array, wav_encode
+    from olx_spark.operators.multimodal import audio_sample_frames
+
+    sr, n = 16000, 16000 // 3
+    arr = make_audio_array(np.random.default_rng(3), n, 2)
+    df = spark.createDataFrame(
+        [("clip", wav_encode(arr, sr), "wav"), ("bad", b"junk", "wav")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    out = audio_sample_frames(df, frame_ms=25).collect()
+    frame = sr * 25 // 1000
+    assert {r["audio_id"] for r in out} == {"clip"}
+    assert len(out) == n // frame
+    mono = arr.astype(np.float64).mean(axis=1) / 32768.0
+    by_idx = {r["frame_idx"]: r for r in out}
+    for i in (0, len(out) - 1):
+        w = mono[i * frame:(i + 1) * frame]
+        assert abs(by_idx[i]["rms"] - float(np.sqrt((w**2).mean()))) < 1e-12
+        signs = np.signbit(w)
+        assert abs(by_idx[i]["zcr"] - float((signs[1:] != signs[:-1]).mean())) < 1e-12
+        assert abs(by_idx[i]["start_s"] - i * frame / sr) < 1e-12
+
+
+def test_jpeg_hot_path_guard_modes(spark):
+    """VERDICT r4 #5: a jpeg-heavy corpus must not silently run through
+    the pure-Python T.81 Huffman coder. jpeg_guard='error' raises at
+    the configured row fraction; 'off' opts in explicitly; small
+    (sub-floor) oracle corpora never trip."""
+    from olx_spark.fixtures.images import encode_image, make_image_array
+
+    rng = np.random.default_rng(2)
+    jpg = encode_image(make_image_array(rng, 16, 16), "jpeg")
+    bulk = [(f"j{i:04d}", jpg, "jpeg") for i in range(128)]
+    # one partition -> one Arrow batch above the 64-row guard floor
+    # (the shape a real bulk scan's 10k-row batches always have)
+    df = spark.createDataFrame(
+        bulk, "image_id string, bytes binary, fmt string"
+    ).repartition(1)
+    with pytest.raises(Exception, match="pure-Python baseline T.81"):
+        image_features(df, jpeg_guard="error").collect()
+    got = image_features(df, jpeg_guard="off").collect()
+    assert len(got) == 128 and all(r["decode_ok"] == 1 for r in got)
+    # sub-floor corpus (the 48-row oracle shape): error mode stays quiet
+    small = spark.createDataFrame(
+        bulk[:48], "image_id string, bytes binary, fmt string"
+    ).repartition(1)
+    assert len(image_features(small, jpeg_guard="error").collect()) == 48
+    with pytest.raises(ValueError, match="jpeg_guard"):
+        image_features(df, jpeg_guard="loud")

@@ -254,3 +254,83 @@ def test_lsh_topk_recall(emb):
         k = (r["query_id"], r["cand_id"])
         if k in exact_scores:
             assert abs(exact_scores[k] - r["cos_sim"]) < 1e-6
+
+
+def test_reliable_checkpoint_mode_equivalent(spark):
+    """VERDICT r4 #3: the materialize() fault-tolerance knob. Reliable
+    mode (checkpoint() to a checkpoint dir — survives executor loss at
+    100-TB runtimes) must produce byte-identical near-dup results to
+    the default executor-resident localCheckpoint."""
+    from olx_spark.session import RELIABLE_CHECKPOINT_CONF
+
+    rows = [(f"d{i:03d}", f"alpha beta gamma delta epsilon zeta {i}") for i in range(40)]
+    rows += [("dup_a", "the quick brown fox jumps over the lazy dog today"),
+             ("dup_b", "the quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def run():
+        out = minhash_near_dups(df, "doc_id", "text", threshold=0.6)
+        return sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in out.collect())
+
+    base = run()
+    assert ("dup_a", "dup_b", 1.0) in base
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        assert run() == base
+    finally:
+        spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+
+
+def test_ivf_trained_centroids_beat_random_on_clustered_corpus(spark):
+    """VERDICT r4 #6: seeded sample-based spherical k-means centroids
+    (train=True) must materially beat random centroids on a clustered
+    corpus at the same (n_centroids, nprobe) budget, deterministically,
+    while scoring stays exact-cosine."""
+    import numpy as np
+
+    from olx_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters = 32, 12
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(480):
+        v = centers[i % n_clusters] + 0.18 * rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 24)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in ivf_topk(
+                corpus, queries, dim=dim, k=5, n_centroids=n_clusters, nprobe=2, **kw
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_rand = recall()
+    r_trained = recall(train=True)
+    assert r_trained >= r_rand + 0.10, (r_trained, r_rand)
+    assert r_trained >= 0.9, r_trained  # trained cells ~= true clusters
+    assert recall(train=True) == r_trained  # seeded: deterministic
+
+
+def test_kmeans_centroids_small_corpus_falls_back(spark, caplog):
+    import logging
+
+    from olx_spark.operators.similarity import ivf_centroids, kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with caplog.at_level(logging.WARNING):
+        got = kmeans_centroids(df, dim=2, n_centroids=8, seed=3)
+    assert got == ivf_centroids(2, 8, 3)
+    assert any("falling back" in r.message for r in caplog.records)
