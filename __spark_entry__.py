@@ -704,6 +704,64 @@ def q_audio_features(spark, sf):
     )
 
 
+def _video_corpus_rows(n: int, seed: int) -> list[tuple]:
+    """Driver-side AVI fixture rows (memoized); last two rows are
+    deliberate garbage (truncated container / plain bytes) so the
+    decode_ok=0 flag path is oracle-checked."""
+    key = ("video", n, seed)
+    if key not in _CORPUS_CACHE:
+        from olx_spark.fixtures.video import make_video_corpus
+
+        rows = [
+            (r["video_id"], r["bytes"], r["fmt"])
+            for r in make_video_corpus(n - 2, seed=seed)
+        ]
+        rows.append(("bad-trunc", b"RIFF\x28\x00\x00\x00AVI LIST", "avi"))
+        rows.append(("bad-bytes", b"definitely not a video", "avi"))
+        _CORPUS_CACHE[key] = rows
+    return _CORPUS_CACHE[key]
+
+
+def q_video_features(spark, sf):
+    # multimodal VIDEO: AVI (RIFF) container parse + per-clip features
+    # in the Arrow-batched scanner — the former ffmpeg stub un-stubbed
+    # via fixtures/video.py (MJPG frames through the in-repo T.81
+    # codec, uncompressed DIB losslessly). The DuckDB twin carries
+    # features from an independent driver-side decode of the same
+    # bytes; garbage rows certify the decode_ok=0 flag path.
+    from olx_spark.operators.multimodal import video_features
+
+    df = spark.createDataFrame(
+        _video_corpus_rows(26, 17), "video_id string, bytes binary, fmt string"
+    )
+    return video_features(df).select(
+        "video_id", "fps", "n_frames", "w", "h",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_gray", 4).alias("mean_gray"),
+        "decode_ok",
+    )
+
+
+def q_video_frames(spark, sf):
+    # VIDEO frame sampling: every-2nd-frame rows with timestamps,
+    # channel means and phash64 — the frame-level training input and
+    # the feed for cross-video phash near-dup mining. Oracle: same
+    # bytes decoded driver-side; garbage clips contribute zero rows.
+    from olx_spark.operators.multimodal import video_sample_frames
+
+    df = spark.createDataFrame(
+        _video_corpus_rows(26, 17), "video_id string, bytes binary, fmt string"
+    )
+    return video_sample_frames(df, every_n=2).select(
+        "video_id", "frame_idx",
+        F.round("t_s", 6).alias("t_s"),
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "phash",
+    )
+
+
 def q_phash_near_dup(spark, sf):
     # image DEDUP: decode -> phash64 -> banded Hamming pairing (bands
     # derived from max_dist => complete recall => equals brute force,
@@ -760,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
         "q_audio_features": q_audio_features,
+        "q_video_features": q_video_features,
+        "q_video_frames": q_video_frames,
         "q_phash_near_dup": q_phash_near_dup,
     }
 
@@ -1186,6 +1246,78 @@ def _sql_audio_features(n: int = 34, seed: int = 29) -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)  # pure; decodes 24 tiny avi clips
+def _sql_video_features(n: int = 26, seed: int = 17) -> str:
+    """DuckDB twin of q_video_features: expected per-clip features from
+    an independent driver-side decode (fixtures/video.avi_decode) of
+    the SAME bytes, inlined as VALUES. Garbage rows appear with NULL
+    features and decode_ok=0."""
+    import numpy as np
+
+    from olx_spark.fixtures.video import avi_decode
+
+    vals = []
+    for video_id, data, _fmt in _video_corpus_rows(n, seed):
+        try:
+            frames, fps = avi_decode(data)
+            grays = [
+                float((f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean())
+                for f in frames
+            ]
+            h, w, _ = frames[0].shape
+            vals.append(
+                f"('{video_id}', {fps}, {len(frames)}, {w}, {h}, "
+                f"{float(len(frames) / fps)!r}::double, "
+                f"{float(np.mean(grays))!r}::double, 1)"
+            )
+        except Exception:
+            vals.append(
+                f"('{video_id}', NULL, NULL, NULL, NULL, NULL::double, "
+                "NULL::double, 0)"
+            )
+    return f"""
+        select video_id, fps::int as fps, n_frames::int as n_frames,
+               w::int as w, h::int as h,
+               round(duration_s, 6) as duration_s,
+               round(mean_gray, 4) as mean_gray,
+               decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(video_id, fps, n_frames, w, h, duration_s, mean_gray, decode_ok)
+    """
+
+
+@functools.lru_cache(maxsize=None)  # pure; decodes 24 tiny avi clips
+def _sql_video_frames(every_n: int = 2, n: int = 26, seed: int = 17) -> str:
+    """DuckDB twin of q_video_frames: every-``every_n``-th frame's
+    timestamp, channel means and phash computed by an independent
+    driver-side decode; garbage clips contribute zero rows."""
+    from olx_spark.fixtures.images import phash64
+    from olx_spark.fixtures.video import avi_decode
+
+    vals = []
+    for video_id, data, _fmt in _video_corpus_rows(n, seed):
+        try:
+            frames, fps = avi_decode(data)
+        except Exception:
+            continue
+        for j, frame in enumerate(frames[::every_n]):
+            idx = j * every_n
+            vals.append(
+                f"('{video_id}', {idx}, {float(idx / fps)!r}::double, "
+                f"{float(frame[..., 0].mean())!r}::double, "
+                f"{float(frame[..., 1].mean())!r}::double, "
+                f"{float(frame[..., 2].mean())!r}::double, {phash64(frame)})"
+            )
+    return f"""
+        select video_id, frame_idx::int as frame_idx,
+               round(t_s, 6) as t_s,
+               round(mean_r, 4) as mean_r, round(mean_g, 4) as mean_g,
+               round(mean_b, 4) as mean_b, phash::bigint as phash
+        from (values {", ".join(vals)})
+             t(video_id, frame_idx, t_s, mean_r, mean_g, mean_b, phash)
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; encodes/decodes 96 images
 def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
     """DuckDB twin of q_phash_near_dup: expected phashes computed
@@ -1399,6 +1531,8 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _sql_image_features(),
         "q_jpeg_features": _sql_jpeg_features(),
         "q_audio_features": _sql_audio_features(),
+        "q_video_features": _sql_video_features(),
+        "q_video_frames": _sql_video_frames(),
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_ngram_jaccard": f"""
             with d as (

@@ -1,4 +1,4 @@
-"""Multimodal (binary image column) operators: features, resize, stubs."""
+"""Multimodal (binary image/audio/video column) operators."""
 
 import numpy as np
 import pytest
@@ -159,9 +159,106 @@ def test_phash_mega_bucket_guard_on_degenerate_image_corpus(spark, caplog):
     assert got == {("pair-a", "pair-b", d_ab)}
 
 
-def test_video_stub_raises():
-    with pytest.raises(NotImplementedError):
-        video_sample_frames(None)
+def test_avi_container_roundtrip_both_codecs():
+    """fixtures/video.py: DIB streams round-trip losslessly; MJPG
+    streams round-trip within the T.81 codec's PSNR floor; fps and
+    frame count survive the container."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import psnr
+    from olx_spark.fixtures.video import avi_decode, avi_encode, make_video_pixels
+
+    for i in (0, 1, 2, 3):
+        codec, fps, frames = make_video_pixels(i, seed=23)
+        out, fps2 = avi_decode(avi_encode(frames, fps=fps, codec=codec))
+        assert fps2 == fps and len(out) == len(frames)
+        for a, b in zip(frames, out):
+            if codec == "dib":
+                assert np.array_equal(a, b)
+            else:
+                assert psnr(a, b) >= 40.0
+
+
+def test_avi_decode_rejects_garbage():
+    from olx_spark.fixtures.video import avi_decode, avi_encode, make_video_pixels
+
+    _, fps, frames = make_video_pixels(0, seed=23)
+    good = avi_encode(frames, fps=fps, codec="mjpg")
+    for bad in (
+        b"",
+        b"not a container",
+        b"RIFF\x04\x00\x00\x00WAVE",  # right magic, wrong form type
+        good[:64],  # truncated mid-header
+        # unknown codec: both strh fccHandler and strf biCompression
+        good[:4] + good[4:].replace(b"MJPG", b"H264"),
+    ):
+        with pytest.raises(ValueError):
+            avi_decode(bad)
+
+
+def test_video_features_match_ground_truth_and_flag_garbage(spark):
+    """The former ffmpeg stub, un-stubbed: distributed per-clip
+    features equal an independent driver-side decode; garbage flags
+    decode_ok=0; an unknown fmt VALUE fails loudly."""
+    import numpy as np
+
+    from olx_spark.fixtures.video import avi_decode, make_video_corpus
+    from olx_spark.operators.multimodal import video_features
+
+    corpus = make_video_corpus(8, seed=23)
+    rows = [(r["video_id"], r["bytes"], r["fmt"]) for r in corpus]
+    rows += [("garbage", b"\x00\x01 not riff at all", "avi")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    got = {r["video_id"]: r for r in video_features(df).collect()}
+    assert len(got) == 9
+    for r in corpus:
+        frames, fps = avi_decode(r["bytes"])
+        g = got[r["video_id"]]
+        assert g["decode_ok"] == 1
+        assert g["fps"] == fps and g["n_frames"] == len(frames)
+        assert (g["h"], g["w"]) == frames[0].shape[:2]
+        assert abs(g["duration_s"] - len(frames) / fps) < 1e-12
+        grays = [
+            float((f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean())
+            for f in frames
+        ]
+        assert abs(g["mean_gray"] - float(np.mean(grays))) < 1e-9
+    assert got["garbage"]["decode_ok"] == 0 and got["garbage"]["fps"] is None
+    with pytest.raises(Exception, match="unknown video fmt"):
+        video_features(
+            spark.createDataFrame(
+                [("x", b"\x00", "mp4")], "video_id string, bytes binary, fmt string"
+            )
+        ).collect()
+
+
+def test_video_sample_frames_every_n(spark):
+    """Frame sampler: every_n stride + max_frames cap select exactly
+    the expected frame indices with driver-equal channel means and
+    phash; undecodable clips emit zero rows."""
+    from olx_spark.fixtures.images import phash64
+    from olx_spark.fixtures.video import avi_decode, make_video_corpus
+
+    corpus = make_video_corpus(4, seed=31)
+    rows = [(r["video_id"], r["bytes"], r["fmt"]) for r in corpus]
+    rows += [("bad", b"junk", "avi")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = video_sample_frames(df, every_n=3, max_frames=2).collect()
+    assert "bad" not in {r["video_id"] for r in out}
+    by_clip: dict = {}
+    for r in out:
+        by_clip.setdefault(r["video_id"], []).append(r)
+    for r in corpus:
+        frames, fps = avi_decode(r["bytes"])
+        expect = frames[::3][:2]
+        got = sorted(by_clip[r["video_id"]], key=lambda x: x["frame_idx"])
+        assert [g["frame_idx"] for g in got] == [i * 3 for i in range(len(expect))]
+        for g, f in zip(got, expect):
+            assert abs(g["t_s"] - g["frame_idx"] / fps) < 1e-12
+            assert abs(g["mean_r"] - float(f[..., 0].mean())) < 1e-9
+            assert g["phash"] == phash64(f)
+    with pytest.raises(ValueError, match="every_n"):
+        video_sample_frames(df, every_n=0)
 
 
 def test_audio_features_match_ground_truth_and_flag_garbage(spark):
