@@ -36,6 +36,8 @@ clear error instead of wrong pixels.
 
 from __future__ import annotations
 
+import functools
+import re
 import struct
 
 import numpy as np
@@ -189,35 +191,6 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    """Reads the (already unstuffed) entropy-coded bytes MSB-first."""
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: truncated entropy-coded segment")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align(self) -> None:
-        self.nbits = 0
-
-
 def _huff_encode_table(counts: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) from the (BITS, HUFFVAL) spec form."""
     table: dict[int, tuple[int, int]] = {}
@@ -232,18 +205,23 @@ def _huff_encode_table(counts: list[int], values: list[int]) -> dict[int, tuple[
     return table
 
 
-def _huff_decode_table(counts: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+@functools.lru_cache(maxsize=32)
+def _huff_lut(counts: tuple[int, ...], values: tuple[int, ...]) -> list:
+    """16-bit-prefix decode LUT from the (BITS, HUFFVAL) spec form:
+    ``lut[next16bits] = (symbol << 5) | code_length``, 0 for prefixes
+    matching no code. Built once per distinct table (cached — real
+    corpora reuse the Annex K tables across every image)."""
+    arr = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = values[k]
+            start = code << (16 - length)
+            arr[start : start + (1 << (16 - length))] = (values[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return arr.tolist()  # list indexing beats numpy scalar indexing
 
 
 def _category(v: int) -> int:
@@ -252,12 +230,6 @@ def _category(v: int) -> int:
 
 def _mag_bits(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
-
-
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
 # ------------------------------------------------------------- encoder
@@ -462,8 +434,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 counts = list(payload[p + 1:p + 17])
                 n = sum(counts)
                 values = list(payload[p + 17:p + 17 + n])
-                (huff_dc if cls == 0 else huff_ac)[tid] = _huff_decode_table(
-                    counts, values
+                (huff_dc if cls == 0 else huff_ac)[tid] = _huff_lut(
+                    tuple(counts), tuple(values)
                 )
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
@@ -498,28 +470,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):
             raise ValueError("jpeg: sampling factors beyond 2 unsupported")
 
-    # ---- split scan into restart segments, unstuffing 0xFF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = scan_start
-    end = len(data)
-    while p < end:
-        b = data[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        nxt = data[p + 1] if p + 1 < end else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn
-            segments.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        else:  # EOI or next marker ends the scan
-            break
-    segments.append(bytes(cur))
+    # ---- split scan into restart segments, unstuffing 0xFF00.
+    # Vectorized: the scan ends at the first 0xFF followed by neither
+    # 0x00 (stuffing) nor D0-D7 (RSTn); a trailing bare 0xFF also ends
+    # it (the old bytewise loop treated it as an implicit EOI). Within
+    # the scan, split on RST markers (safe BEFORE unstuffing: a
+    # stuffed 0xFF is always followed by 0x00, never D0-D7), then drop
+    # the stuffing bytes with one replace() per segment.
+    scan_bytes = data[scan_start:]
+    m = re.search(rb"\xff(?:[^\x00\xd0-\xd7]|$)", scan_bytes, re.DOTALL)
+    if m:
+        scan_bytes = scan_bytes[: m.start()]
+    segments = [
+        seg.replace(b"\xff\x00", b"\xff")
+        for seg in re.split(rb"\xff[\xd0-\xd7]", scan_bytes)
+    ]
 
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -529,67 +494,119 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     mcus_y = -(-fh // mcu_h)
     d = _dct8()
 
-    # per-component coefficient planes (in blocks)
-    planes = []
-    for c in frame["comps"]:
-        bw_ = mcus_x * c["h"]
-        bh_ = mcus_y * c["v"]
-        planes.append(np.zeros((bh_, bw_, 8, 8), dtype=np.float64))
-
     by_id = {c["id"]: (i, c) for i, c in enumerate(frame["comps"])}
     order = [by_id[s["id"]] + (s,) for s in scan_comps]  # (idx, comp, scan)
 
-    seg_idx = 0
-    reader = _BitReader(segments[seg_idx])
+    # ---- entropy decode, hot loop fully inlined: the bit reader
+    # lives in plain locals (acc/nbits/pos) and each Huffman symbol +
+    # its magnitude bits cost one LUT index plus integer arithmetic —
+    # no per-symbol function calls (the pure-Python analog of
+    # libjpeg's HUFF_DECODE macro). Blocks accumulate as flat zigzag
+    # rows per component; dequant/unzigzag/placement vectorize below.
+    coef_rows: list[list[list[float]]] = [[] for _ in frame["comps"]]
     pred = {s["id"]: 0 for s in scan_comps}
+    seg_idx = 0
+    seg = segments[0]
+    seg_size = len(seg)
+    pos = acc = nbits = 0
     mcu_count = 0
 
-    def read_symbol(tbl: dict) -> int:
-        code, length = 0, 0
-        for _ in range(16):
-            code = (code << 1) | reader.read_bit()
-            length += 1
-            sym = tbl.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
-
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 seg_idx += 1
                 if seg_idx >= len(segments):
                     raise ValueError("jpeg: missing restart segment")
-                reader = _BitReader(segments[seg_idx])
+                seg = segments[seg_idx]
+                seg_size = len(seg)
+                pos = acc = nbits = 0
                 pred = {s["id"]: 0 for s in scan_comps}
             for idx, comp, s in order:
-                for vy in range(comp["v"]):
-                    for vx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        cat = read_symbol(huff_dc[s["td"]])
-                        diff = _extend(reader.read_bits(cat), cat)
-                        pred[s["id"]] += diff
-                        zz[0] = pred[s["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(huff_ac[s["ta"]])
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("jpeg: AC index out of range")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        qt = qtables[comp["tq"]]
-                        coef = (zz[UNZIGZAG].reshape(8, 8)) * qt
-                        planes[idx][
-                            my * comp["v"] + vy, mx * comp["h"] + vx
-                        ] = coef
+                dc_lut = huff_dc[s["td"]]
+                ac_lut = huff_ac[s["ta"]]
+                rows = coef_rows[idx]
+                cid = s["id"]
+                for _ in range(comp["v"] * comp["h"]):
+                    zz = [0.0] * 64
+                    # --- DC: symbol = category, then magnitude bits
+                    while nbits < 16 and pos < seg_size:
+                        acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    i16 = (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16 else (acc << (16 - nbits)) & 0xFFFF
+                    entry = dc_lut[i16]
+                    length = entry & 31
+                    if length == 0:
+                        raise ValueError("jpeg: invalid Huffman code")
+                    if length > nbits:
+                        raise ValueError("jpeg: truncated entropy-coded segment")
+                    nbits -= length
+                    n = entry >> 5
+                    if n:
+                        while nbits < n and pos < seg_size:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                            nbits += 8
+                        if n > nbits:
+                            raise ValueError("jpeg: truncated entropy-coded segment")
+                        nbits -= n
+                        bits = (acc >> nbits) & ((1 << n) - 1)
+                        pred[cid] += bits if bits >= (1 << (n - 1)) else bits - (1 << n) + 1
+                    zz[0] = pred[cid]
+                    # --- AC: (run, size) symbols + magnitude bits
+                    k = 1
+                    while k < 64:
+                        while nbits < 16 and pos < seg_size:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                            nbits += 8
+                        i16 = (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16 else (acc << (16 - nbits)) & 0xFFFF
+                        entry = ac_lut[i16]
+                        length = entry & 31
+                        if length == 0:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        if length > nbits:
+                            raise ValueError("jpeg: truncated entropy-coded segment")
+                        nbits -= length
+                        rs = entry >> 5
+                        n = rs & 0x0F
+                        if n == 0:
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("jpeg: AC index out of range")
+                        while nbits < n and pos < seg_size:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                            nbits += 8
+                        if n > nbits:
+                            raise ValueError("jpeg: truncated entropy-coded segment")
+                        nbits -= n
+                        bits = (acc >> nbits) & ((1 << n) - 1)
+                        zz[k] = bits if bits >= (1 << (n - 1)) else bits - (1 << n) + 1
+                        k += 1
+                    rows.append(zz)
             mcu_count += 1
+
+    # ---- vectorized dequant + unzigzag + block placement
+    planes = []
+    for i, c in enumerate(frame["comps"]):
+        bw_ = mcus_x * c["h"]
+        bh_ = mcus_y * c["v"]
+        plane = np.zeros((bh_, bw_, 8, 8), dtype=np.float64)
+        rows = coef_rows[i]
+        if rows:
+            zzarr = np.asarray(rows, dtype=np.float64)  # (nblk, 64) zigzag
+            blocks = zzarr[:, UNZIGZAG].reshape(-1, 8, 8) * qtables[c["tq"]]
+            # append order was (my, mx, vy, vx) -> grid coords
+            v, hh = c["v"], c["h"]
+            nidx = np.arange(len(rows))
+            mcu, j = nidx // (v * hh), nidx % (v * hh)
+            plane[mcu // mcus_x * v + j // hh, mcu % mcus_x * hh + j % hh] = blocks
+        planes.append(plane)
 
     # IDCT all blocks per component, assemble channel planes, upsample
     chans = []
