@@ -88,8 +88,9 @@ def image_features(
     over Arrow batches. Input: (image_id, bytes, fmt, ...).
 
     ``jpeg_guard`` (VERDICT r4 #5): the baseline T.81 codec's Huffman
-    coder is pure-Python bit-at-a-time — correct, oracle-pinned, and
-    ~100x slower than libjpeg. Fine for oracle corpora; a scale-killer
+    coder is pure Python — table-driven since round 5 (4-5x its old
+    bit-at-a-time self) but still ~20x slower than libjpeg's native
+    loop. Fine for oracle corpora; a scale-killer
     if a 100-TB operator accidentally routes a jpeg-heavy corpus
     through it. When the jpeg row fraction of a batch exceeds
     ``jpeg_fraction_threshold`` (min 64 rows), the guard fires:
@@ -113,7 +114,7 @@ def image_features(
         msg = (
             f"image_features: {frac:.0%} of a {len(pdf)}-row batch is 'jpeg' "
             "— decoding via the pure-Python baseline T.81 codec "
-            "(fixtures/jpeg.py), ~100x slower than libjpeg. For a bulk jpeg "
+            "(fixtures/jpeg.py), ~20x slower than libjpeg. For a bulk jpeg "
             "corpus swap the decode in olx_spark/operators/multimodal._decode "
             "for libjpeg/Pillow, or pass jpeg_guard='off' to accept the cost."
         )
