@@ -392,6 +392,55 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    # Gopher-style repetition filters: word-2-gram duplicate fraction
+    # (1 - distinct/total over shingles) + most-frequent-word fraction
+    # via a shuffle-free higher-order fold (no per-word explode at
+    # 100 TB). The repetitive flag is the filter a training-data
+    # pipeline applies.
+    from olx_spark.functions.text import dup_ngram_frac, top_word_frac
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.round(dup_ngram_frac("text", 2), 6).alias("dup_2gram_frac"),
+        F.round(top_word_frac("text"), 6).alias("top_word_frac"),
+        (dup_ngram_frac("text", 2) > 0.55).cast("int").alias("repetitive"),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    # PII redaction pass: the corpus has no PII, so deterministic
+    # synthetic PII is appended to a doc_id-keyed subset IN THE QUERY
+    # (identically in the SQL oracle) — the scrub then has real
+    # matches to count and redact. Patterns restricted to the regex
+    # subset Java and RE2 agree on.
+    from olx_spark.functions.text import pii_counts, pii_scrub
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call +1 555-01"), did, F.lit(" or ping 10.0.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" host 192.168.1."), (F.col("doc_id") % 250).cast("string"), F.lit(" up")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    return d.select(
+        "doc_id",
+        *pii_counts("aug"),
+        F.md5(pii_scrub("aug")).alias("scrubbed_md5"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     # exact dedup by content fingerprint: keep lowest doc_id per fp
     d = _t(spark, sf, "documents").withColumn("fp", doc_fingerprint("text"))
@@ -802,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pii_scrub": q_pii_scrub,
         "q_dedup_exact": q_dedup_exact,
         "q_simhash16": q_simhash16,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -868,6 +919,58 @@ def _sql_shingles(k: int = 3) -> str:
         f"case when len({toks}) < {k} then []::varchar[] else "
         f"[array_to_string({toks}[i:i+{k - 1}], ' ') for i in range(1, len({toks}) - {k - 2})] end"
     )
+
+
+def _sql_repetition_stats() -> str:
+    """DuckDB twin of q_repetition_stats: dup-2-gram fraction via the
+    shared shingle construction; top-word fraction via unnest+groupBy
+    (a different formulation than Spark's shuffle-free fold — equal
+    results are exactly what the oracle certifies)."""
+    toks = f"string_split({_sql_norm('text')}, ' ')"
+    frac = "case when len(sh) <= 0 then 0.0 else 1.0 - len(list_distinct(sh))::double / len(sh) end"
+    return f"""
+        with d as (select doc_id, {_sql_shingles(2)} as sh, {toks} as toks from documents),
+        topw as (
+            select doc_id, max(cnt)::double / sum(cnt) as twf
+            from (
+                select doc_id, w, count(*) as cnt
+                from (select doc_id, unnest(toks) as w from d)
+                group by doc_id, w
+            )
+            group by doc_id
+        )
+        select d.doc_id,
+               round({frac}, 6) as dup_2gram_frac,
+               round(coalesce(topw.twf, 0.0), 6) as top_word_frac,
+               (({frac}) > 0.55)::int as repetitive
+        from d left join topw using (doc_id)
+    """
+
+
+def _sql_pii_scrub() -> str:
+    """DuckDB twin of q_pii_scrub: the same deterministic PII
+    augmentation built in SQL, the same patterns applied in the same
+    order (regexp_replace with the 'g' flag = Spark's replace-all)."""
+    from olx_spark.functions.text import PII_PATTERNS
+
+    aug = (
+        "text"
+        " || (case when doc_id % 7 = 0 then ' contact user' || doc_id::varchar || '@example.com now' else '' end)"
+        " || (case when doc_id % 11 = 0 then ' call +1 555-01' || doc_id::varchar || ' or ping 10.0.' else '' end)"
+        " || (case when doc_id % 13 = 0 then ' host 192.168.1.' || (doc_id % 250)::varchar || ' up' else '' end)"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::int as n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    scrubbed = "aug"
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+        with d as (select doc_id, {aug} as aug from documents where doc_id < 400)
+        select doc_id, {counts}, md5({scrubbed}) as scrubbed_md5
+        from d
+    """
 
 
 def _sql_minhash_lsh(n_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
@@ -1496,6 +1599,8 @@ def oracle_sql() -> dict[str, str]:
             from lineitem group by rollup(l_returnflag, l_linestatus)
         """,
         "q_export_csv": "select * from region",
+        "q_repetition_stats": _sql_repetition_stats(),
+        "q_pii_scrub": _sql_pii_scrub(),
         "q_token_count": f"""
             select doc_id, ({_sql_token_count('text')})::int as n_tokens
             from documents

@@ -213,3 +213,73 @@ def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
         .when(n < w, F.array(F.array_min(hs)))
         .otherwise(F.array_sort(F.array_distinct(windows)))
     )
+
+
+def dup_ngram_frac(col: Column | str, k: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of word k-gram
+    occurrences that are repeats of an earlier occurrence
+    (``1 - distinct/total``; 0.0 for docs with < k tokens). High
+    values mark boilerplate/spam documents a training-data pipeline
+    filters out. Pure JVM expression — reuses :func:`word_shingles`."""
+    sh = word_shingles(col, k)
+    n = F.size(sh)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(sh)) / n.cast("double")
+    )
+
+
+def top_word_frac(col: Column | str) -> Column:
+    """Fraction of the document taken by its single most frequent word
+    (the other Gopher repetition axis: 'the the the ...' corpora).
+    Shuffle-free: sort the token array, then a higher-order fold finds
+    the longest run of equal adjacent tokens — no explode/groupBy of
+    every word at 100 TB."""
+    toks = F.array_sort(F.split(norm_text(col), " "))
+    n = F.size(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(toks, acc0, step, lambda acc: acc["best"])
+    return F.when(n <= 0, F.lit(0.0)).otherwise(best / n.cast("double"))
+
+
+# PII patterns shared by the scrubber and its DuckDB oracle: kept to
+# the regex subset Java regex and RE2 treat identically (character
+# classes, bounded repetition, \b word boundaries; no backrefs or
+# lookaround). Scrub order matters: emails first (their digit runs
+# must not half-match as phones), then IPv4 (dots break the phone
+# charset anyway), then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind PII match counts (aliased ``n_email/n_ipv4/n_phone``)
+    over the RAW text — counted before scrubbing, so kinds don't eat
+    each other's matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails / IPv4s / phone-like digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Chained
+    ``regexp_replace`` (JVM, codegen); the DuckDB oracle applies the
+    same patterns in the same order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -146,3 +146,60 @@ def test_winnowing_shared_passage_guarantee(spark):
     # sparsity: far fewer fingerprints than shingles
     n_shingles_1 = len(rows[0][1].split()) - 2
     assert 0 < len(got[1]) < n_shingles_1
+
+
+def test_repetition_signals_flag_planted_boilerplate(spark):
+    """Gopher-style repetition: a 'spam spam spam' doc maxes both
+    signals, unique text reads near zero, short docs degrade to 0."""
+    from olx_spark.functions.text import dup_ngram_frac, top_word_frac
+
+    rows = [
+        (1, "spam " * 50),                       # one word repeated
+        (2, "buy now " * 25),                    # one bigram repeated
+        (3, "each word here appears exactly once in this document body"),
+        (4, "solo"),                             # < 2 tokens -> no bigrams
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["d"], r["t"])
+        for r in df.select(
+            "doc_id",
+            dup_ngram_frac("text", 2).alias("d"),
+            top_word_frac("text").alias("t"),
+        ).collect()
+    }
+    assert got[1][0] > 0.97 and got[1][1] == 1.0
+    assert got[2][0] > 0.95 and abs(got[2][1] - 0.5) < 1e-9
+    assert got[3][0] == 0.0
+    assert abs(got[3][1] - 1 / 10) < 1e-9
+    assert got[4] == (0.0, 1.0)  # single token: no bigrams, 1 word of 1
+    assert got[5][0] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """PII pass: emails/IPv4s/phones redact to typed tokens with
+    per-kind counts; clean text and near-misses pass through."""
+    from olx_spark.functions.text import pii_counts, pii_scrub
+
+    rows = [
+        (1, "mail a.user+tag@sub.example.org or b@x.io today"),
+        (2, "server 10.1.2.3 and 192.168.255.1 up"),
+        (3, "call +1 555-123-4567 now"),
+        (4, "clean text with no identifiers at all"),
+        (5, "version 1.2 costs 12.50 at 3pm"),  # near-misses must not match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts("text"), pii_scrub("text").alias("s")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[1]["s"] == "mail <EMAIL> or <EMAIL> today"
+    assert out[2]["n_ipv4"] == 2 and out[2]["s"] == "server <IP> and <IP> up"
+    assert out[3]["n_phone"] == 1 and out[3]["s"] == "call <PHONE> now"
+    assert out[4]["s"] == rows[3][1] and out[4]["n_email"] == 0
+    assert out[5]["s"] == rows[4][1]
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (0, 0, 0)
