@@ -159,38 +159,6 @@ def _scaled_tables(quality: int, step_cap: int | None) -> tuple[np.ndarray, np.n
 
 
 # ------------------------------------------------------------ bit I/O
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, length: int) -> None:
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-
-    def align(self) -> None:
-        if self.nbits:  # pad with 1s per spec
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)
-
-    def raw(self, b: bytes) -> None:
-        """Emit marker bytes verbatim (caller must align() first)."""
-        self.buf += b
-
-    def flush(self) -> bytes:
-        self.align()
-        return bytes(self.buf)
-
-
 def _huff_encode_table(counts: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) from the (BITS, HUFFVAL) spec form."""
     table: dict[int, tuple[int, int]] = {}
@@ -222,14 +190,6 @@ def _huff_lut(counts: tuple[int, ...], values: tuple[int, ...]) -> list:
             k += 1
         code <<= 1
     return arr.tolist()  # list indexing beats numpy scalar indexing
-
-
-def _category(v: int) -> int:
-    return 0 if v == 0 else int(abs(v)).bit_length()
-
-
-def _mag_bits(v: int, cat: int) -> int:
-    return v if v >= 0 else v + (1 << cat) - 1
 
 
 # ------------------------------------------------------------- encoder
@@ -303,48 +263,81 @@ def jpeg_encode(
     enc_dc = [_huff_encode_table(*HT_DC_LUMA), _huff_encode_table(*HT_DC_CHROMA)]
     enc_ac = [_huff_encode_table(*HT_AC_LUMA), _huff_encode_table(*HT_AC_CHROMA)]
 
-    bw = _BitWriter()
+    # ---- entropy encode, hot loop inlined: bit packing lives in
+    # plain locals (acc/nbits/bytearray), AC zero runs are skipped via
+    # numpy flatnonzero instead of a 63-step Python walk, and byte
+    # stuffing is one bytes.replace per restart segment AFTER packing
+    # (equivalent to stuffing during packing — markers are appended
+    # after, so they are never stuffed). Output bytes are identical to
+    # the old _BitWriter path.
+    segment_parts: list[bytearray] = [bytearray()]
+    out_bits = segment_parts[0]
+    acc = nbits = 0
     pred = [0] * len(comps)
     mcu_count = 0
-    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.align()
-                bw.raw(bytes([0xFF, 0xD0 + rst_n]))
-                rst_n = (rst_n + 1) % 8
+                if nbits:  # align with 1-padding per spec
+                    pad = 8 - nbits
+                    acc = (acc << pad) | ((1 << pad) - 1)
+                    out_bits.append(acc & 0xFF)
+                    acc = nbits = 0
+                segment_parts.append(bytearray())
+                out_bits = segment_parts[-1]
                 pred = [0] * len(comps)
             for ci, (_, _, (hs, vs), _) in enumerate(comps):
                 tbl = 0 if ci == 0 else 1
+                dc_tbl = enc_dc[tbl]
+                ac_tbl = enc_ac[tbl]
+                zrl_code, zrl_len = ac_tbl[0xF0]
+                eob_code, eob_len = ac_tbl[0x00]
                 for vy in range(vs):
                     for vx in range(hs):
                         zz = planes[ci][my * vs + vy, mx * hs + vx]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        cat = _category(diff)
-                        code, length = enc_dc[tbl][cat]
-                        bw.write(code, length)
-                        bw.write(_mag_bits(diff, cat), cat)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
+                        dc = int(zz[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        cat = 0 if diff == 0 else abs(diff).bit_length()
+                        code, length = dc_tbl[cat]
+                        acc = (acc << length) | code
+                        nbits += length
+                        if cat:
+                            mag = diff if diff >= 0 else diff + (1 << cat) - 1
+                            acc = (acc << cat) | (mag & ((1 << cat) - 1))
+                            nbits += cat
+                        prev_k = 0
+                        for k in np.flatnonzero(zz[1:]):
+                            k = int(k) + 1
+                            run = k - prev_k - 1
+                            prev_k = k
                             while run > 15:
-                                code, length = enc_ac[tbl][0xF0]  # ZRL
-                                bw.write(code, length)
+                                acc = (acc << zrl_len) | zrl_code
+                                nbits += zrl_len
                                 run -= 16
-                            cat = _category(v)
-                            code, length = enc_ac[tbl][(run << 4) | cat]
-                            bw.write(code, length)
-                            bw.write(_mag_bits(v, cat), cat)
-                            run = 0
-                        if run:
-                            code, length = enc_ac[tbl][0x00]  # EOB
-                            bw.write(code, length)
+                            v = int(zz[k])
+                            cat = abs(v).bit_length()
+                            code, length = ac_tbl[(run << 4) | cat]
+                            acc = (acc << length) | code
+                            mag = v if v >= 0 else v + (1 << cat) - 1
+                            acc = (acc << cat) | (mag & ((1 << cat) - 1))
+                            nbits += length + cat
+                        if prev_k < 63:
+                            acc = (acc << eob_len) | eob_code
+                            nbits += eob_len
+                        while nbits >= 8:
+                            nbits -= 8
+                            out_bits.append((acc >> nbits) & 0xFF)
+                        acc &= (1 << nbits) - 1
             mcu_count += 1
-    scan = bw.flush()
+    if nbits:
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        out_bits.append(acc & 0xFF)
+    scan_parts = [bytes(p).replace(b"\xff", b"\xff\x00") for p in segment_parts]
+    scan = scan_parts[0]
+    for i, part in enumerate(scan_parts[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)]) + part
 
     # ---- markers
     def seg(marker: int, payload: bytes) -> bytes:
