@@ -112,24 +112,49 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def let_(value: Column, body) -> Column:
+    """Bind ``value`` once per row, then build the result expression
+    from the bound variable: ``let_(v, lambda x: f(x))`` == ``f(v)``
+    but evaluates ``v`` exactly once.
+
+    Catalyst does NOT common-subexpression-eliminate a captured outer
+    expression tree across the uses inside a higher-order-function
+    lambda — every reference re-evaluates the whole tree, and a
+    reference inside the lambda re-evaluates it PER ELEMENT (measured:
+    ``dup_ngram_frac`` at sf0.1 went 33s -> sub-second with this
+    binding). The trick: make the expensive tree the single element of
+    an array and ``transform`` over it — lambda variables ARE
+    evaluated-once bindings in Catalyst's HOF machinery."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles of normalized text as array<string>; empty
-    array when there are fewer than k tokens."""
-    toks = F.split(norm_text(col), " ")
-    n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ),
+    array when there are fewer than k tokens. The token array is
+    let_-bound: the per-shingle lambda references it k times, which
+    would otherwise re-run the normalize+split regex O(n*k) times per
+    row (see :func:`let_`)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)],
+                ),
+            )
         )
-    )
+
+    return let_(F.split(norm_text(col), " "), body)
 
 
 def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
     """MinHash signature as array<bigint> of length n_perm: permutation
-    j = md5-60 of 'j:shingle'; empty shingle set -> nulls.
+    j = md5-60 of 'j:shingle'; empty shingle set -> nulls. The shingle
+    expression is let_-bound so a caller may pass an unmaterialized
+    shingle tree without it being re-evaluated n_perm times.
 
     NB: the per-permutation lambda must stay UNARY — a 2-arg lambda is
     interpreted by PySpark as (element, index) and the index Column
@@ -141,8 +166,11 @@ def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
             F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
         ).cast("bigint")
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, perm(j))) for j in range(n_perm)]
+    return let_(
+        shingles,
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, perm(j))) for j in range(n_perm)]
+        ),
     )
 
 
@@ -199,20 +227,25 @@ def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
     twin in ``oracle_sql()['q_winnow_fingerprint']``.
 
     Returns the selected fingerprints sorted + deduped
-    (array<bigint>); empty array for docs with < k tokens."""
-    sh = word_shingles(col, k)
-    hs = F.transform(sh, lambda s: md5_60(s))
-    n = F.size(hs)
-    empty = F.array().cast("array<bigint>")
-    windows = F.transform(
-        F.sequence(F.lit(1), n - w + 1),
-        lambda i: F.array_min(F.slice(hs, i, w)),
-    )
-    return (
-        F.when(n == 0, empty)
-        .when(n < w, F.array(F.array_min(hs)))
-        .otherwise(F.array_sort(F.array_distinct(windows)))
-    )
+    (array<bigint>); empty array for docs with < k tokens. The hash
+    array is let_-bound: each window's ``slice`` references it, which
+    would otherwise re-hash every shingle per window — O(n^2 * md5)
+    per document (see :func:`let_`)."""
+
+    def body(hs: Column) -> Column:
+        n = F.size(hs)
+        empty = F.array().cast("array<bigint>")
+        windows = F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        )
+        return (
+            F.when(n == 0, empty)
+            .when(n < w, F.array(F.array_min(hs)))
+            .otherwise(F.array_sort(F.array_distinct(windows)))
+        )
+
+    return let_(F.transform(word_shingles(col, k), lambda s: md5_60(s)), body)
 
 
 def dup_ngram_frac(col: Column | str, k: int = 2) -> Column:
@@ -220,12 +253,17 @@ def dup_ngram_frac(col: Column | str, k: int = 2) -> Column:
     occurrences that are repeats of an earlier occurrence
     (``1 - distinct/total``; 0.0 for docs with < k tokens). High
     values mark boilerplate/spam documents a training-data pipeline
-    filters out. Pure JVM expression — reuses :func:`word_shingles`."""
-    sh = word_shingles(col, k)
-    n = F.size(sh)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(sh)) / n.cast("double")
-    )
+    filters out. Pure JVM expression — reuses :func:`word_shingles`,
+    let_-bound so the shingle array is built once per row, not once
+    per reference."""
+
+    def body(sh: Column) -> Column:
+        n = F.size(sh)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(sh)) / n.cast("double")
+        )
+
+    return let_(word_shingles(col, k), body)
 
 
 def top_word_frac(col: Column | str) -> Column:
@@ -234,20 +272,24 @@ def top_word_frac(col: Column | str) -> Column:
     Shuffle-free: sort the token array, then a higher-order fold finds
     the longest run of equal adjacent tokens — no explode/groupBy of
     every word at 100 TB."""
-    toks = F.array_sort(F.split(norm_text(col), " "))
-    n = F.size(toks)
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc, w):
-        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            w.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         )
 
-    best = F.aggregate(toks, acc0, step, lambda acc: acc["best"])
-    return F.when(n <= 0, F.lit(0.0)).otherwise(best / n.cast("double"))
+        def step(acc, w):
+            run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                w.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(toks, acc0, step, lambda acc: acc["best"])
+        return F.when(n <= 0, F.lit(0.0)).otherwise(best / n.cast("double"))
+
+    return let_(F.array_sort(F.split(norm_text(col), " ")), body)
 
 
 # PII patterns shared by the scrubber and its DuckDB oracle: kept to

@@ -203,3 +203,74 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[4]["s"] == rows[3][1] and out[4]["n_email"] == 0
     assert out[5]["s"] == rows[4][1]
     assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (0, 0, 0)
+
+
+def test_let_binding_preserves_semantics_and_nulls(spark):
+    """let_ (bind-once-per-row) must be a pure refactor: identical
+    results to inlining the bound expression, including NULL input and
+    empty strings. The binding exists because Catalyst re-evaluates a
+    captured outer expression tree at EVERY element of a higher-order
+    function lambda (measured: q_repetition_stats 33s -> <1s at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from olx_spark.functions.text import let_
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, None)], "id int, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            let_(F.split("text", " "), lambda t: F.size(t) + F.size(t)).alias(
+                "bound"
+            ),
+            (F.size(F.split("text", " ")) * 2).alias("inlined"),
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i]["bound"] == out[i]["inlined"]
+    assert out[1]["bound"] == 8
+
+
+def test_let_bound_hof_functions_match_unbound_forms(spark):
+    """The four let_-rewritten functions keep byte-identical outputs on
+    a corpus with empty / single-token / repetitive / long documents
+    (values pinned the day of the rewrite, pre-rewrite == post-rewrite)."""
+    from olx_spark.functions.text import (
+        dup_ngram_frac,
+        minhash_signature,
+        top_word_frac,
+        winnow_fingerprints,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, "one two"),
+            (5, "x " * 200),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            word_shingles("text", 3).alias("sh"),
+            F.round(dup_ngram_frac("text", 2), 6).alias("dup"),
+            F.round(top_word_frac("text"), 6).alias("twf"),
+            winnow_fingerprints("text", 3, 4).alias("fps"),
+            minhash_signature(word_shingles("text", 3), 4).alias("sig"),
+        ).collect()
+    }
+    assert got[1]["sh"][:3] == ["a b c", "b c a", "c a b"]
+    assert (got[1]["dup"], got[1]["twf"]) == (0.625, 0.333333)
+    assert got[1]["fps"] == [31251835280889960]
+    assert got[1]["sig"][0] == 160412878328189494
+    assert got[2]["fps"][:2] == [176602673785286095, 365586147241278684]
+    assert (got[3]["sh"], got[3]["fps"]) == ([], [])
+    assert got[4]["sh"] == [] and got[4]["dup"] == 0.0
+    assert got[5]["dup"] == 0.994975 and got[5]["twf"] == 1.0
