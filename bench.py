@@ -47,6 +47,11 @@ HEADLINE = [
     "q_politeness_budget",
     "q_phash_near_dup",
     "q_audio_features",
+    # round-5 additions (absent from r4 binaries; adjust suite-total
+    # comparisons across rounds accordingly — see BENCH.md)
+    "q_repetition_stats",
+    "q_pii_scrub",
+    "q_video_features",
 ]
 
 REPS = 3

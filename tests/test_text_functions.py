@@ -274,3 +274,40 @@ def test_let_bound_hof_functions_match_unbound_forms(spark):
     assert (got[3]["sh"], got[3]["fps"]) == ([], [])
     assert got[4]["sh"] == [] and got[4]["dup"] == 0.0
     assert got[5]["dup"] == 0.994975 and got[5]["twf"] == 1.0
+
+
+def test_let_plan_gate_no_tree_duplication(spark):
+    """Plan gate for the let_ binding: the normalize+split regex must
+    appear exactly ONCE in each optimized plan. Before the binding the
+    captured tree was duplicated at every lambda reference site and
+    re-evaluated per array element at runtime (q_repetition_stats 33s
+    at sf0.1); a regression re-introducing a capture shows up here as
+    a count > 1. Input must be non-foldable or constant folding
+    erases the regex entirely."""
+    from pyspark.sql import functions as F
+
+    from olx_spark.functions.text import (
+        dup_ngram_frac,
+        minhash_signature,
+        winnow_fingerprints,
+        word_shingles,
+    )
+
+    df = spark.range(3).select(
+        F.concat(F.lit("a b c d e "), F.col("id").cast("string")).alias("text")
+    )
+    cases = {
+        "shingles": (word_shingles("text", 3), 1),
+        "winnow": (winnow_fingerprints("text", 3, 4), 1),  # +1 md5/shingle
+        "dup_frac": (dup_ngram_frac("text", 2), 1),
+        "minhash": (minhash_signature(word_shingles("text", 3), 4), 1),
+    }
+    for name, (col, expect) in cases.items():
+        plan = (
+            df.select(col.alias("x"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        got = plan.count("regexp_replace")
+        assert got == expect, f"{name}: regexp_replace x{got}, want x{expect}"
