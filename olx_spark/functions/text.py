@@ -64,25 +64,49 @@ def occurrences(col: Column, needle: str) -> Column:
     ).cast("int")
 
 
-def lang_score(col: Column | str, lang: str) -> Column:
-    """Marker-hit count for one language over normalized padded text."""
-    c = F.concat(F.lit(" "), norm_text(col), F.lit(" "))
+def _padded_norm(col: Column | str) -> Column:
+    return F.concat(F.lit(" "), norm_text(col), F.lit(" "))
+
+
+def _marker_score(c: Column, lang: str) -> Column:
     score = F.lit(0)
     for m in LANG_MARKERS[lang]:
         score = score + occurrences(c, m)
     return score
 
 
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Marker-hit count for one language over normalized padded text."""
+    return let_(_padded_norm(col), lambda c: _marker_score(c, lang))
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of marker-hit scores, first-listed
-    language wins ties, 'und' when all scores are zero."""
-    scores = [(lang, lang_score(col, lang)) for lang in LANG_MARKERS]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # build reversed so the FIRST language in LANG_MARKERS wins ties
-    for lang, s in reversed(scores):
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    language wins ties, 'und' when all scores are zero.
+
+    Double let_-bound: the padded normalized text is evaluated once
+    (each marker count references it twice — length + replace — so the
+    naive form ran the normalize regex ~24x per row), and the score
+    vector is evaluated once (the argmax when-chain references every
+    score twice more)."""
+
+    def pick(arr: Column) -> Column:
+        langs = list(LANG_MARKERS)
+        best = F.array_max(arr)
+        out = F.lit("und")
+        # build reversed so the FIRST language in LANG_MARKERS wins ties
+        for idx, lang in reversed(list(enumerate(langs))):
+            s = F.element_at(arr, idx + 1)
+            out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return let_(
+        let_(
+            _padded_norm(col),
+            lambda c: F.array(*[_marker_score(c, lang) for lang in LANG_MARKERS]),
+        ),
+        pick,
+    )
 
 
 PUNCT_CHARS = ".,!?;:"
@@ -99,17 +123,21 @@ def punct_ratio(col: Column | str) -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: token volume, punctuation
     cleanliness, mean token length — the standard cheap pre-filters of
-    a web-scale text pipeline."""
+    a web-scale text pipeline. The token count (a trim+split per
+    reference) is let_-bound — it is referenced three times."""
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    avg_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.length(F.trim(c)) / n_tok
-    )
-    return (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(c))
-        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
-    )
+
+    def body(n_tok: Column) -> Column:
+        avg_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            F.length(F.trim(c)) / n_tok
+        )
+        return (
+            F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio(c))
+            + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+        )
+
+    return let_(token_count(c), body)
 
 
 def let_(value: Column, body) -> Column:

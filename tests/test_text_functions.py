@@ -296,11 +296,14 @@ def test_let_plan_gate_no_tree_duplication(spark):
     df = spark.range(3).select(
         F.concat(F.lit("a b c d e "), F.col("id").cast("string")).alias("text")
     )
+    from olx_spark.functions.text import lang_id
+
     cases = {
         "shingles": (word_shingles("text", 3), 1),
         "winnow": (winnow_fingerprints("text", 3, 4), 1),  # +1 md5/shingle
         "dup_frac": (dup_ngram_frac("text", 2), 1),
         "minhash": (minhash_signature(word_shingles("text", 3), 4), 1),
+        "lang_id": (lang_id("text"), 1),  # was ~24 evaluations/row
     }
     for name, (col, expect) in cases.items():
         plan = (
