@@ -408,6 +408,19 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_chunk_dedup(spark, sf):
+    # Chunk-level exact dedup (CCNet's line-dedup pass over fixed
+    # 20-token windows): globally-first occurrence wins, per-doc
+    # survival stats. Skew-safe first-occurrence selection via a
+    # map-side-combinable min-struct agg (hot boilerplate chunks are
+    # the target workload) — see operators/dedup.chunk_dedup_stats.
+    from olx_spark.operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", chunk_tokens=20
+    )
+
+
 def q_pii_scrub(spark, sf):
     # PII redaction pass: the corpus has no PII, so deterministic
     # synthetic PII is appended to a doc_id-keyed subset IN THE QUERY
@@ -852,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_repetition_stats": q_repetition_stats,
+        "q_chunk_dedup": q_chunk_dedup,
         "q_pii_scrub": q_pii_scrub,
         "q_dedup_exact": q_dedup_exact,
         "q_simhash16": q_simhash16,
@@ -944,6 +958,39 @@ def _sql_repetition_stats() -> str:
                round(coalesce(topw.twf, 0.0), 6) as top_word_frac,
                (({frac}) > 0.55)::int as repetitive
         from d left join topw using (doc_id)
+    """
+
+
+def _sql_chunk_dedup() -> str:
+    """DuckDB twin of q_chunk_dedup: same normalize/chunk/md5-60
+    construction; first-occurrence selection via a row_number window
+    (a different formulation than Spark's skew-safe min-struct agg —
+    equal results are what the oracle certifies)."""
+    chunk = "array_to_string(t[(i*20+1):(i*20+20)], ' ')"
+    return f"""
+        with norm as (select doc_id, {_sql_norm("text")} as s from documents),
+        toks as (select doc_id, string_split(s, ' ') as t from norm where s <> ''),
+        chunks as (
+            select doc_id, i as idx, {_sql_md5_60(chunk)} as fp
+            from toks, unnest(range(0, cast(ceil(len(t)/20.0) as int))) as u(i)
+        ),
+        marked as (
+            select doc_id, idx,
+                   row_number() over (partition by fp order by doc_id, idx) as rn
+            from chunks
+        ),
+        stats as (
+            select doc_id, count(*) as n_chunks,
+                   (sum(case when rn = 1 then 1 else 0 end))::bigint as n_kept
+            from marked group by doc_id
+        )
+        select d.doc_id,
+               coalesce(s.n_chunks, 0) as n_chunks,
+               coalesce(s.n_kept, 0) as n_kept,
+               round(case when coalesce(s.n_chunks, 0) = 0 then 0.0
+                          else 1.0 - s.n_kept::double / s.n_chunks end,
+                     6) as dup_chunk_frac
+        from documents d left join stats s using (doc_id)
     """
 
 
@@ -1600,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),
+        "q_chunk_dedup": _sql_chunk_dedup(),
         "q_pii_scrub": _sql_pii_scrub(),
         "q_token_count": f"""
             select doc_id, ({_sql_token_count('text')})::int as n_tokens

@@ -52,6 +52,7 @@ HEADLINE = [
     "q_repetition_stats",
     "q_pii_scrub",
     "q_video_features",
+    "q_chunk_dedup",
 ]
 
 REPS = 3

@@ -202,6 +202,28 @@ def minhash_signature(shingles: Column, n_perm: int = 16) -> Column:
     )
 
 
+def token_chunks(col: Column | str, chunk_tokens: int = 20) -> Column:
+    """Fixed-size token chunks of normalized text as array<string> —
+    the CCNet "line" analog for corpora without natural line
+    boundaries: tokens [0,ct), [ct,2ct), ...; the trailing partial
+    chunk is kept; blank/empty text -> empty array. Token array
+    let_-bound (referenced per chunk via slice)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(toks: Column) -> Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        )
+
+    return F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+    ).otherwise(let_(F.split(norm_text(c), " "), body))
+
+
 def simhash_wide(col: Column | str, nbits: int = 60) -> Column:
     """``nbits``-bit SimHash over whitespace tokens with the md5-60
     token hash — pure JVM Column expression, so any width up to 60 has

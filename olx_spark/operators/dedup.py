@@ -43,6 +43,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from olx_spark.functions import text as text_fns
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -69,6 +71,62 @@ def first_seen_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
 def anti_join_unseen(frontier: DataFrame, seen: DataFrame, key: str = "url_fp") -> DataFrame:
     """frontier rows whose key is NOT in seen (exact, any scale)."""
     return frontier.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (the CCNet line-dedup pass,
+    adapted to fixed token windows): fingerprint every chunk (md5-60),
+    keep only the globally-first occurrence of each fingerprint in
+    (doc_id, chunk_idx) order, and report per-document survival stats
+    — (id, n_chunks, n_kept, dup_chunk_frac); documents with no
+    chunks (blank text) read 0/0/0.0.
+
+    Scale shape: first-occurrence selection is a min-of-struct
+    groupBy — partial (map-side) aggregation absorbs hot boilerplate
+    chunks (the very rows this pass exists to find), where a
+    row_number window over the fingerprint would funnel every copy of
+    a hot chunk through one task. The join back on the fingerprint is
+    AQE-skew-splittable. Two shuffles total (fp, then id) — the same
+    budget as doc-level exact dedup."""
+    chunks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(text_fns.token_chunks(F.col(text_col), chunk_tokens)).alias(
+            "__idx", "__chunk"
+        ),
+    ).select("__id", "__idx", text_fns.md5_60(F.col("__chunk")).alias("__fp"))
+    firsts = chunks.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__idx")).alias("__first")
+    )
+    marked = chunks.join(firsts, "__fp").withColumn(
+        "__kept",
+        (
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__idx") == F.col("__first.__idx"))
+        ).cast("int"),
+    )
+    stats = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("__kept").alias("n_kept")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(stats, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.when(F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    1.0 - F.col("n_kept") / F.col("n_chunks").cast("double")
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
 
 
 def colocated_pending(

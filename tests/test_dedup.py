@@ -135,3 +135,54 @@ def test_merge_shard_deltas_one_row_per_shard(spark, bloom_data):
     rows = merged.collect()
     assert len(rows) == len({r["shard_id"] for r in rows})
     assert sum(r["n_items"] for r in rows) == 5000
+
+
+def test_chunk_dedup_stats_planted_boilerplate(spark):
+    """Chunk-level exact dedup: a boilerplate chunk shared by three
+    docs survives only in the (doc_id, idx)-first document; blank and
+    NULL docs report 0/0/0.0; a doc repeating its own chunk dedups
+    against itself."""
+    from olx_spark.operators.dedup import chunk_dedup_stats
+
+    boiler = " ".join(f"w{i}" for i in range(20))  # exactly one chunk
+    uniq = " ".join(f"a{i}" for i in range(25))  # chunks of 20 + 5
+    rows = [
+        (1, f"{boiler} {uniq}"),  # first: keeps boiler + 2 unique chunks
+        (2, f"{boiler} b0 b1 b2"),  # boiler dropped, partial chunk kept
+        (3, boiler),  # only the dup chunk -> fully duplicate
+        (4, f"{boiler} {boiler}"),  # self-repeat: second copy dropped
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dup_chunk_frac"])
+        for r in chunk_dedup_stats(df, "doc_id", "text", 20).collect()
+    }
+    assert got[1] == (3, 3, 0.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 1.0)
+    assert got[4] == (2, 0, 1.0)  # both copies lose to doc 1's chunk 0
+    assert got[5] == (0, 0, 0.0)
+    assert got[6] == (0, 0, 0.0)
+
+
+def test_chunk_dedup_first_occurrence_is_min_struct_not_window(spark):
+    """Scale-shape gate: the first-occurrence selection must be a
+    partial-aggregatable groupBy (HashAggregate / ObjectHashAggregate
+    on the fingerprint), NOT a row_number window — a hot boilerplate
+    chunk repeated across millions of docs would funnel every copy
+    through one window task, while partial aggregation combines
+    map-side."""
+    from olx_spark.operators.dedup import chunk_dedup_stats
+
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        chunk_dedup_stats(df, "doc_id", "text", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
