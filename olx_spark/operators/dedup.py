@@ -140,6 +140,8 @@ def colocated_pending(
     shard_files: dict[int, list[str]] | None = None,
     m_bits: int | None = None,
     k: int | None = None,
+    cuckoo_files: dict[int, list[str]] | None = None,
+    cuckoo_n_buckets: int | None = None,
 ) -> DataFrame:
     """The per-round pending derivation (frontier MINUS seen, then
     first-occurrence dedup) as a ZERO-SHUFFLE storage-partitioned job
@@ -166,6 +168,10 @@ def colocated_pending(
       same ``_bloom_positions`` math as :class:`BloomSeenFilter`).
       Requires the layout ``n_buckets == n_shards`` so bucket b holds
       exactly shard b.
+    - Cuckoo mode (``cuckoo_files``): vectorized tag-membership probe
+      against each of the bucket's cuckoo shard rows (union semantics;
+      no merge needed to probe). Same ``n_buckets == n_shards`` layout
+      requirement as Bloom mode.
     - Exact mode (``seen_files``): ``np.isin`` anti-filter against the
       bucket's seen fingerprints.
     - Dedup: stable-sort on ``order_cols``, keep first per ``fp_col``
@@ -176,8 +182,11 @@ def colocated_pending(
     work a real cluster's co-located scan would schedule. File-list
     maps ride the closure (O(buckets x deltas) strings; compaction
     bounds deltas)."""
-    if shard_files is not None and seen_files is not None:
-        raise ValueError("pass shard_files (bloom) or seen_files (exact), not both")
+    if sum(x is not None for x in (shard_files, seen_files, cuckoo_files)) > 1:
+        raise ValueError(
+            "pass shard_files (bloom), cuckoo_files (cuckoo), or "
+            "seen_files (exact) — at most one"
+        )
     cols = schema.fieldNames()
 
     def _run(batches) -> "pd.DataFrame":
@@ -215,6 +224,26 @@ def colocated_pending(
                         hit = (
                             (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
                         ).all(axis=1)
+                        rows = rows[~hit]
+                elif cuckoo_files is not None:
+                    shards = read_all(cuckoo_files.get(b, []))
+                    if shards is not None and len(shards):
+                        from olx_spark.operators.cuckoo import SLOTS, _contains
+
+                        hit = np.zeros(len(fps), dtype=bool)
+                        for tb in shards["bits"]:
+                            arr = np.frombuffer(tb, dtype=np.uint16).reshape(
+                                -1, SLOTS
+                            )
+                            if arr.shape[0] != cuckoo_n_buckets:
+                                raise ValueError(
+                                    f"cuckoo geometry mismatch: shard row "
+                                    f"has {arr.shape[0]} buckets, filter "
+                                    f"configured n_buckets="
+                                    f"{cuckoo_n_buckets}; resume must "
+                                    "reuse the committed geometry"
+                                )
+                            hit |= _contains(arr, fps)
                         rows = rows[~hit]
                 elif seen_files is not None:
                     seen = read_all(seen_files.get(b, []))

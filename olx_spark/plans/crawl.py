@@ -53,11 +53,15 @@ class CrawlConfig:
     checkpoint_dir: str | None = None  # default: fresh temp dir per run
     # scaled-mode knobs (operators/politeness.py, operators/dedup.py)
     follow_next_page: bool = True
-    dedup_scope: str = "global_exact"  # "global_exact" | "global_bloom"
+    # "global_exact" | "global_bloom" | "global_cuckoo" — cuckoo is the
+    # deletion-capable seen-filter (re-crawl/TTL retirement; see
+    # operators/cuckoo.py); same shard routing + commit plumbing as bloom
+    dedup_scope: str = "global_exact"
     per_host_per_round: int = 100  # politeness budget when no crawl_delay
     round_budget_ms: int = 60_000  # politeness: round wall budget per host
-    bloom_shards: int = 32
+    bloom_shards: int = 32  # shard count for bloom AND cuckoo scopes
     bloom_bits_per_shard: int = 1 << 20
+    cuckoo_buckets_per_shard: int = 1 << 15  # x4 slots = 131k fps/shard cap
     host_salt_buckets: int = 8
     # physical layout: frontier/seen deltas land in pmod(url_fp, N)
     # bucket subdirs so the per-round pending probe/anti-join is a

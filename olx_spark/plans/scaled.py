@@ -122,6 +122,9 @@ class ScaledCrawlEngine:
             "robots_allow array<string>",
         )
         self._has_robots = any(h["robots_disallow"] for h in graph.hosts)
+        # the seen-filter: BloomSeenFilter (global_bloom) or the
+        # API-compatible CuckooSeenFilter (global_cuckoo) — attribute
+        # name kept for history; None under global_exact
         self.bloom: BloomSeenFilter | None = None
 
     # ---------------------------------------------------------------- run
@@ -160,6 +163,40 @@ class ScaledCrawlEngine:
     def _init_or_resume(self, seeds: list[dict]):
         committed = self.store.committed_rounds()
         saved = self.store.last_state() if committed else {}
+        # a resume must never reinterpret committed seen_shards rows
+        # under the OTHER filter kind: bloom bit-arrays and cuckoo slot
+        # tables are both opaque bytes of plausible lengths, so a scope
+        # flip would silently misread them (false negatives).
+        if self.config.dedup_scope == "global_cuckoo" and saved.get("bloom_shards"):
+            raise ValueError(
+                "checkpoint was written under dedup_scope=global_bloom; "
+                "resuming it as global_cuckoo would reinterpret bloom "
+                "shard rows as cuckoo tables — resume with the original "
+                "scope"
+            )
+        if self.config.dedup_scope == "global_bloom" and saved.get("cuckoo_shards"):
+            raise ValueError(
+                "checkpoint was written under dedup_scope=global_cuckoo; "
+                "resuming it as global_bloom would reinterpret cuckoo "
+                "shard rows as bloom bit-arrays — resume with the "
+                "original scope"
+            )
+        if self.config.dedup_scope == "global_cuckoo":
+            from olx_spark.operators.cuckoo import CuckooSeenFilter
+
+            # geometry from the COMMITTED state when present (same
+            # contract as bloom: config never reinterprets shard rows)
+            self.bloom = CuckooSeenFilter(
+                self.spark,
+                n_shards=int(saved.get("cuckoo_shards") or self.config.bloom_shards),
+                n_buckets_per_shard=int(
+                    saved.get("cuckoo_buckets")
+                    or self.config.cuckoo_buckets_per_shard
+                ),
+            )
+            shards = self.store.read_table("seen_shards") if committed else None
+            if shards is not None:
+                self.bloom.set_state(shards)
         if self.config.dedup_scope == "global_bloom":
             # construct the filter UNCONDITIONALLY: a run killed before
             # the first seen_shards delta was committed (or a store a
@@ -289,12 +326,29 @@ class ScaledCrawlEngine:
         return state, seed_round + 1
 
     def _bloom_state(self) -> dict:
-        """Bloom filter identity persisted with every commit: k AND the
-        shard geometry, so a resume can never reinterpret committed
-        shard rows under a different (n_shards, m_bits)."""
+        """Seen-filter identity persisted with every commit (k and the
+        shard geometry for bloom; bucket geometry for cuckoo) so a
+        resume can never reinterpret committed shard rows under a
+        different geometry — or the other filter KIND (each kind's keys
+        are None under the other, which is what the scope-flip guard in
+        ``_init_or_resume`` checks)."""
+        none = {
+            "bloom_k": None,
+            "bloom_shards": None,
+            "bloom_bits": None,
+            "cuckoo_shards": None,
+            "cuckoo_buckets": None,
+        }
         if self.bloom is None:
-            return {"bloom_k": None, "bloom_shards": None, "bloom_bits": None}
+            return none
+        if self.config.dedup_scope == "global_cuckoo":
+            return {
+                **none,
+                "cuckoo_shards": self.bloom.n_shards,
+                "cuckoo_buckets": self.bloom.n_buckets,
+            }
         return {
+            **none,
             "bloom_k": self.bloom.k,
             "bloom_shards": self.bloom.n_shards,
             "bloom_bits": self.bloom.m_bits,
@@ -318,7 +372,11 @@ class ScaledCrawlEngine:
         # pending remainder, not the whole table
         pending = frontier
         seen = self.store.read_table("seen")
-        if self.config.dedup_scope == "global_bloom" and self.bloom and self.bloom.has_state():
+        if (
+            self.config.dedup_scope in ("global_bloom", "global_cuckoo")
+            and self.bloom
+            and self.bloom.has_state()
+        ):
             pending = self.bloom.probe(pending).filter(~F.col("maybe_seen")).drop(
                 "maybe_seen"
             )
@@ -345,6 +403,15 @@ class ScaledCrawlEngine:
                     "shard_files": sb[1],
                     "m_bits": self.bloom.m_bits,
                     "k": self.bloom.k,
+                }
+        elif self.config.dedup_scope == "global_cuckoo":
+            if self.bloom is not None and self.bloom.has_state():
+                sb = self.store.bucket_files("seen_shards")
+                if sb is None or sb[0] != n_b or n_b != self.bloom.n_shards:
+                    return None  # bucket b must hold exactly shard b
+                kwargs = {
+                    "cuckoo_files": sb[1],
+                    "cuckoo_n_buckets": self.bloom.n_buckets,
                 }
         else:
             if self.store.read_manifest()["tables"].get("seen"):
@@ -551,7 +618,10 @@ class ScaledCrawlEngine:
         # that collapses the producing pipeline itself (fetch UDF,
         # canonicalize+dedup window) to that many tasks — measured 21s
         # frontier writes at 32 cores. Compaction merges small files.
-        use_bloom = cfg.dedup_scope == "global_bloom" and self.bloom is not None
+        use_bloom = (
+            cfg.dedup_scope in ("global_bloom", "global_cuckoo")
+            and self.bloom is not None
+        )
 
         # counts resolved from the observation once the seen write has
         # run; memoized; fallback to one count job in the zero-task
@@ -592,11 +662,14 @@ class ScaledCrawlEngine:
                 return None
             delta = self.bloom.build_deltas(seen_delta)
             prev = self.bloom.to_df()
-            return (
-                merge_shard_deltas(prev.unionByName(delta))
-                if prev is not None
-                else delta
-            )
+            if prev is None:
+                return delta
+            stacked = prev.unionByName(delta)
+            if cfg.dedup_scope == "global_cuckoo":
+                from olx_spark.operators.cuckoo import merge_cuckoo_deltas
+
+                return merge_cuckoo_deltas(stacked, self.bloom.n_buckets)
+            return merge_shard_deltas(stacked)
 
         # `seen` goes FIRST: its write both materializes the shared
         # cached prefix (pending -> gated -> scheduled) and fires the

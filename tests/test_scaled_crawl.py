@@ -381,3 +381,80 @@ def test_bucket_spec_committed_wins_over_config(spark, tmp_path_factory):
     n, files = st2.bucket_files("t")
     assert n == 8 and set(files) <= set(range(8))
     assert st2.read_table("t").count() == 200
+
+
+# --------------------------------------------------------- cuckoo scope
+@pytest.fixture(scope="module")
+def cuckoo_run(spark, graph, tmp_path_factory):
+    return _run(spark, graph, tmp_path_factory, "global_cuckoo", "cuckoo")
+
+
+def test_cuckoo_matches_exact(exact_run, cuckoo_run):
+    """global_cuckoo is semantics-neutral: same crawl rows + URL set
+    as the exact run (no false negatives; fp rate ~1.2e-4)."""
+    assert _crawl_rows(cuckoo_run) == _crawl_rows(exact_run)
+    a = {r["url"] for r in cuckoo_run.fetch_log().collect()}
+    b = {r["url"] for r in exact_run.fetch_log().collect()}
+    assert a == b
+
+
+def test_cuckoo_no_refetch(cuckoo_run):
+    urls = [r["url"] for r in cuckoo_run.fetch_log().collect()]
+    assert urls and len(urls) == len(set(urls))
+
+
+def test_cuckoo_colocated_pending_no_exchange(cuckoo_run):
+    """The cuckoo scope rides the same bucketed layout: pending is the
+    zero-shuffle Range -> MapInPandas shape, no Exchange."""
+    assert cuckoo_run._pending_colocated() is not None
+    pending = cuckoo_run._pending()
+    plan = pending._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_cuckoo_geometry_persisted_over_changed_config(
+    spark, graph, tmp_path_factory, cuckoo_run
+):
+    """Cuckoo geometry (n_shards, n_buckets) is committed state: resume
+    with a changed config keeps the committed geometry (same contract
+    as bloom), and the bloom keys are None so a scope flip is
+    detectable."""
+    saved = cuckoo_run.store.last_state()
+    assert saved["cuckoo_shards"] == 8
+    assert saved["cuckoo_buckets"] == cuckoo_run.config.cuckoo_buckets_per_shard
+    assert saved["bloom_shards"] is None
+    cfg = CrawlConfig(
+        mode="scaled", dedup_scope="global_cuckoo",
+        checkpoint_dir=cuckoo_run.config.checkpoint_dir,
+        bloom_shards=16, cuckoo_buckets_per_shard=1 << 12,
+        with_payload=False,
+    )
+    resumed = ScaledCrawlEngine(spark, graph, cfg)
+    seeds = [dict(s, count=60) for s in graph.seeds]
+    resumed.run(seeds)
+    assert resumed.bloom.n_shards == 8
+    assert resumed.bloom.n_buckets == cuckoo_run.config.cuckoo_buckets_per_shard
+    urls = [r["url"] for r in resumed.fetch_log().collect()]
+    assert urls and len(urls) == len(set(urls))
+
+
+def test_seen_filter_scope_flip_rejected(spark, graph, tmp_path_factory, cuckoo_run, bloom_run):
+    """Resuming a cuckoo checkpoint as bloom (or vice versa) must fail
+    loudly: both state kinds are opaque bytes of plausible lengths, so
+    a flip would silently misread them as the other structure."""
+    seeds = [dict(s, count=60) for s in graph.seeds]
+    flip_to_bloom = CrawlConfig(
+        mode="scaled", dedup_scope="global_bloom",
+        checkpoint_dir=cuckoo_run.config.checkpoint_dir,
+        bloom_shards=8, bloom_bits_per_shard=1 << 17, with_payload=False,
+    )
+    with pytest.raises(ValueError, match="global_cuckoo"):
+        ScaledCrawlEngine(spark, graph, flip_to_bloom).run(seeds)
+    flip_to_cuckoo = CrawlConfig(
+        mode="scaled", dedup_scope="global_cuckoo",
+        checkpoint_dir=bloom_run.config.checkpoint_dir,
+        bloom_shards=8, with_payload=False,
+    )
+    with pytest.raises(ValueError, match="global_bloom"):
+        ScaledCrawlEngine(spark, graph, flip_to_cuckoo).run(seeds)
