@@ -159,6 +159,126 @@ class ScaledCrawlEngine:
     def seen_fps(self) -> DataFrame | None:
         return self.store.read_table("seen")
 
+    def retire(self, rows: DataFrame) -> int:
+        """Re-crawl / TTL support — the capability the cuckoo scope
+        exists for (``dedup_scope="global_cuckoo"`` only; Bloom cannot
+        delete). Retires previously-fetched ad URLs so the next
+        :meth:`run` fetches them again: ``rows`` needs columns
+        ``(name, url)`` — e.g. a filter over :meth:`fetch_log`.
+
+        Commits ONE atomic snapshot round that
+        - deletes the fingerprints from the cuckoo ``seen_shards``
+          (merge + tag delete, replace semantics),
+        - rewrites ``seen`` without them (so compaction's frontier
+          anti-join cannot re-exclude the re-admissions),
+        - appends re-admit ``frontier`` rows stamped with the next
+          round number, and
+        - re-opens each seed's scheduled budget by its retired count.
+
+        Returns the number of URLs retired. The re-crawled fetches
+        flow through the normal politeness/robots gates and append to
+        ``parsed`` (the fetch log then shows the URL twice — that is
+        the point of a revisit). The ``seen`` rewrite is a full-table
+        job: size retirement batches accordingly (TTL batches are
+        large and infrequent by nature).
+
+        Edge: retiring the ENTIRE seen set is not supported — the
+        zero-row ``seen`` replacement would be pruned by the commit's
+        empty-delta rule, leaving stale rows for compaction's frontier
+        anti-join. Start a fresh store for a full re-crawl instead
+        (it is also the cheaper plan)."""
+        if self.config.dedup_scope != "global_cuckoo":
+            raise ValueError(
+                "retire() requires dedup_scope='global_cuckoo': a Bloom "
+                "seen-filter cannot delete — re-crawl needs the cuckoo "
+                "scope from the start"
+            )
+        committed = self.store.committed_rounds()
+        saved = self.store.last_state() if committed else {}
+        if not committed or "seeds" not in saved:
+            raise ValueError("retire() needs a committed crawl to retire from")
+        if saved.get("bloom_shards"):
+            raise ValueError(
+                "checkpoint was written under dedup_scope=global_bloom; "
+                "it cannot be retired from (bloom cannot delete)"
+            )
+        if self.bloom is None:
+            from olx_spark.operators.cuckoo import CuckooSeenFilter
+
+            self.bloom = CuckooSeenFilter(
+                self.spark,
+                n_shards=int(saved.get("cuckoo_shards") or self.config.bloom_shards),
+                n_buckets_per_shard=int(
+                    saved.get("cuckoo_buckets")
+                    or self.config.cuckoo_buckets_per_shard
+                ),
+            )
+        if not self.bloom.has_state():
+            self.bloom.set_state(self.store.read_table("seen_shards"))
+
+        state = {k: dict(v) for k, v in saved["seeds"].items()}
+        next_round = int(saved["next_round"])
+        ret = (
+            rows.select("name", "url")
+            .distinct()
+            .withColumn("url_fp", F.xxhash64("url"))
+            .withColumn("host", F.parse_url("url", F.lit("HOST")))
+        )
+        per_seed = {
+            r["name"]: int(r["n"])
+            for r in ret.groupBy("name").agg(F.count("*").alias("n")).collect()
+        }
+        n_ret = sum(per_seed.values())
+        if n_ret == 0:
+            return 0
+        fps = ret.select("url_fp")
+        # cuckoo tag delete (distributed; leaves ONE merged row/shard)
+        self.bloom.delete_round(fps)
+        seen_now = self.store.read_table("seen")
+        seen_filtered = (
+            seen_now.join(fps, "url_fp", "left_anti")
+            if seen_now is not None
+            else None
+        )
+        prio = F.broadcast(
+            self.spark.createDataFrame(
+                [(n, int(s.get("priority", 0))) for n, s in state.items()],
+                "name string, priority int",
+            )
+        )
+        w = Window.partitionBy("name").orderBy("url")
+        readmit = (
+            ret.join(prio, "name", "left")
+            .withColumn("priority", F.coalesce("priority", F.lit(0)))
+            .withColumn("kind", F.lit("ad"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_round", F.lit(next_round))
+            .withColumn("parent_fp", F.lit(0).cast("long"))
+            .withColumn("discovery_pos", F.row_number().over(w) - F.lit(1))
+            .select(*_frontier_cols())
+        )
+        for n, k in per_seed.items():
+            if n in state:
+                state[n]["scheduled"] = max(0, state[n]["scheduled"] - k)
+        self.store.commit_round(
+            next_round,
+            {
+                "frontier": readmit,
+                "seen": seen_filtered,
+                "seen_shards": self.bloom.to_df(),
+            },
+            {
+                **saved,
+                "seeds": state,
+                "next_round": next_round + 1,
+                **self._bloom_state(),
+            },
+            replace={"seen", "seen_shards"},
+        )
+        # point the in-memory filter at the committed rows
+        self.bloom.set_state(self.store.read_table("seen_shards"))
+        return n_ret
+
     # ---------------------------------------------------------- internals
     def _init_or_resume(self, seeds: list[dict]):
         committed = self.store.committed_rounds()

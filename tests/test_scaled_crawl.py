@@ -458,3 +458,42 @@ def test_seen_filter_scope_flip_rejected(spark, graph, tmp_path_factory, cuckoo_
     )
     with pytest.raises(ValueError, match="global_bloom"):
         ScaledCrawlEngine(spark, graph, flip_to_cuckoo).run(seeds)
+
+
+def test_cuckoo_retire_recrawls_exactly_the_retired_urls(
+    spark, graph, tmp_path_factory
+):
+    """The deletion story end-to-end: retire a batch of fetched ad URLs
+    from a finished global_cuckoo crawl, resume with the same seeds,
+    and the engine re-fetches EXACTLY the retired URLs (twice in the
+    log) while every other URL stays fetched-once."""
+    import collections
+
+    eng = _run(spark, graph, tmp_path_factory, "global_cuckoo", "retire")
+    log1 = eng.fetch_log().collect()
+    keys1 = [(r["name"], r["url"]) for r in log1]
+    assert len(keys1) == len(set(keys1))
+    retired = sorted(set(keys1))[:8]
+    ret_df = spark.createDataFrame(retired, "name string, url string")
+    assert eng.retire(ret_df) == len(retired)
+
+    cfg = CrawlConfig(
+        mode="scaled", dedup_scope="global_cuckoo",
+        checkpoint_dir=eng.config.checkpoint_dir,
+        max_rounds=30, bloom_shards=8, with_payload=False,
+    )
+    eng2 = ScaledCrawlEngine(spark, graph, cfg)
+    eng2.run([dict(s, count=60) for s in graph.seeds])
+    cnt = collections.Counter((r["name"], r["url"]) for r in eng2.fetch_log().collect())
+    rset = set(retired)
+    for k, c in cnt.items():
+        assert c == (2 if k in rset else 1), (k, c)
+    assert all(cnt[k] == 2 for k in rset)
+
+
+def test_retire_rejected_under_bloom(spark, graph, tmp_path_factory, bloom_run):
+    """Bloom cannot delete: retire() must refuse rather than silently
+    leave the filter claiming the URL is still seen."""
+    ret_df = spark.createDataFrame([("s", "http://x/1")], "name string, url string")
+    with pytest.raises(ValueError, match="cannot delete"):
+        bloom_run.retire(ret_df)
