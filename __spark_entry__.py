@@ -504,6 +504,42 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_dup_components(spark, sf):
+    # transitive dedup groups: n-gram-Jaccard near-dup pairs -> connected
+    # components (min-label propagation + pointer jumping, O(log n)
+    # rounds) -> one deterministic component id per document (the min
+    # doc_id in the group = the keep-first-seen representative). The
+    # oracle is a DuckDB recursive-CTE transitive closure over the same
+    # pair derivation.
+    from olx_spark.functions.text import word_shingles
+    from olx_spark.operators.graph import connected_components
+    from olx_spark.session import materialize
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh"))
+    )
+    dd = materialize(d.filter(F.size("sh") > 0))  # feeds both join sides
+    ex = dd.select("doc_id", F.explode("sh").alias("s"))
+    sizes = dd.select("doc_id", F.size("sh").alias("n"))
+    edges = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(
+        d.select("doc_id"), edges, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return comps.select("doc_id", F.col("comp").alias("component"))
+
+
 def q_multi_join(spark, sf):
     # TPC-H Q5-shaped 6-table join (lineitem-orders-customer-supplier-
     # nation-region, local-supplier predicate c_nationkey=s_nationkey):
@@ -870,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_simhash16": q_simhash16,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dup_components": q_dup_components,
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
@@ -1707,6 +1744,33 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
             join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
             where inter / (na.n + nb.n - inter) >= 0.2
+        """,
+        "q_dup_components": f"""
+            with recursive d as (
+                select doc_id, list_distinct({_sql_shingles(3)}) as sh
+                from documents where doc_id < 300
+            ), dd as (
+                select doc_id, sh from d where len(sh) > 0
+            ), ex as (
+                select doc_id, unnest(sh) as s from dd
+            ), pairs as (
+                select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+                from ex a join ex b using (s)
+                where a.doc_id < b.doc_id
+                group by 1, 2
+            ), edges0 as (
+                select doc_a as a, doc_b as b from pairs
+                join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
+                join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
+                where inter / (na.n + nb.n - inter) >= 0.2
+            ), edges as (
+                select a, b from edges0 union select b, a from edges0
+            ), r(id, root) as (
+                select doc_id, doc_id from d
+                union
+                select e.b, r.root from edges e join r on e.a = r.id
+            )
+            select id as doc_id, min(root) as component from r group by id
         """,
         "q_join_agg_topk": """
             with j as (

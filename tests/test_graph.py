@@ -1,0 +1,100 @@
+"""connected_components: distributed label propagation + pointer
+jumping vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from olx_spark.operators.graph import connected_components
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_min: dict = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def _dfs(spark, nodes, edges):
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    return n, e
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(200))
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(rng.randrange(40, 180))
+    ]
+    n, e = _dfs(spark, nodes, edges)
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(n, e, node_col="id").collect()
+    }
+    assert got == _union_find(nodes, edges)
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 512-node path graph: plain propagation needs 511 rounds; with
+    # pointer jumping max_iter=16 must suffice (2**16 >> 512)
+    nodes = list(range(512))
+    edges = [(i, i + 1) for i in range(511)]
+    n, e = _dfs(spark, nodes, edges)
+    got = connected_components(n, e, node_col="id", max_iter=16)
+    rows = got.collect()
+    assert len(rows) == 512
+    assert {r["comp"] for r in rows} == {0}
+
+
+def test_singletons_and_self_loops(spark):
+    nodes = [1, 2, 3, 4, 5]
+    edges = [(2, 2), (4, 5)]  # self-loop ignored; one real edge
+    n, e = _dfs(spark, nodes, edges)
+    got = {r["id"]: r["comp"] for r in connected_components(n, e).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_empty_graph(spark):
+    n, e = _dfs(spark, [], [])
+    assert connected_components(n, e).count() == 0
+
+
+def test_connectivity_through_unlisted_node(spark):
+    # 7 is an edge endpoint but not a requested node: 1 and 2 must
+    # still land in one component, and 7 must not be returned
+    n, e = _dfs(spark, [1, 2], [(1, 7), (7, 2)])
+    got = {r["id"]: r["comp"] for r in connected_components(n, e).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_nonconvergence_raises(spark):
+    # max_iter=0 never converges on a non-trivial graph -> loud error
+    n, e = _dfs(spark, [1, 2], [(1, 2)])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(n, e, max_iter=0)
