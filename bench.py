@@ -53,6 +53,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_video_features",
     "q_chunk_dedup",
+    "q_dup_components",
 ]
 
 REPS = 3

@@ -55,7 +55,9 @@ def run_level(cores: int, zpath: str, ads_per_page: int = 4000) -> dict:
         "--ads-per-page", str(ads_per_page),
     ]
     env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{cores}]")
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    # regime runs (3-6x legs) push the low-core leg past an hour —
+    # cap generously; the box has nothing else to do during a run
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=14400)
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         sys.stderr.write(proc.stderr[-4000:])
