@@ -101,9 +101,13 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = (
+        # materialized: it feeds BOTH sides of the pointer-jump
+        # self-join below — unmaterialized, the neighbor join + groupBy
+        # would re-execute twice per round
+        stepped = materialize(
             labels.join(nbr, "id", "left")
-            .select("id", F.least("comp", "nbr_comp").alias("comp"))
+            .select("id", F.least("comp", "nbr_comp").alias("comp")),
+            reliable=reliable,
         )
         # 2. pointer jump: comp := comp(comp) — halves pointer chains,
         #    turning O(diameter) propagation into O(log n)
