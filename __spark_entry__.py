@@ -356,6 +356,86 @@ def q_rollup_metrics(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    # backward as-of join: each click attaches the latest prior view
+    # by the same user (operators/temporal.asof_join — union+window,
+    # one shuffle on user_id, no theta-join)
+    from olx_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+        F.col("value").alias("view_value"),
+    )
+    j = asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="vts",
+        payload_cols=["view_id", "view_value"],
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        # unmatched clicks (no prior view) keep their row with -1
+        # sentinels — the driver hash treats None/NaN inconsistently
+        F.coalesce(F.col("view_id_asof"), F.lit(-1)).alias("view_id"),
+        F.coalesce(F.round("view_value_asof", DEC), F.lit(-1.0)).alias("view_value"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("ts_asof"), F.lit(-1)
+        ).alias("lag_s"),
+    )
+
+
+def q_range_join(spark, sf):
+    # interval join: clicks landing inside [error_ts, error_ts + 6h]
+    # of the same user (operators/temporal.range_join — interval rows
+    # explode onto epoch buckets, hash equi-join + exact refine)
+    from olx_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 21600 SECONDS")).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    j = range_join(
+        clicks, errors, point_ts="ts", lo_ts="lo", hi_ts="hi",
+        eq_keys=["user_id"], bucket_s=21600,
+    )
+    return j.select(
+        "user_id",
+        "error_id",
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("lo")).alias("delta_s"),
+    )
+
+
+def q_sessionize(spark, sf):
+    # gap sessionization: per-user sessions split on >6 h idle,
+    # aggregated to one row per session (operators/temporal.sessionize
+    # — lag + running sum over one window partitioning)
+    from olx_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=21600, order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_timestamp("ts")).alias("start_s"),
+            F.max(F.unix_timestamp("ts")).alias("end_s"),
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+    )
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -895,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metrics_agg": q_metrics_agg,
         "q_window_rank": q_window_rank,
         "q_rollup_metrics": q_rollup_metrics,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_sessionize": q_sessionize,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1681,6 +1764,43 @@ def oracle_sql() -> dict[str, str]:
             select l_returnflag, l_linestatus, count(*) as n,
                    round(sum(l_quantity), 4) as qty
             from lineitem group by rollup(l_returnflag, l_linestatus)
+        """,
+        "q_asof_join": """
+            select c.user_id, c.event_id as click_id,
+                   coalesce(v.event_id, -1) as view_id,
+                   coalesce(round(v.value, 4), -1.0) as view_value,
+                   coalesce((floor(epoch(c.ts)) - floor(epoch(v.ts)))::bigint, -1) as lag_s
+            from (select * from events where event_type = 'click') c
+            asof left join (select * from events where event_type = 'view') v
+              on c.user_id = v.user_id and v.ts <= c.ts
+        """,
+        "q_range_join": """
+            select c.user_id, e.event_id as error_id, c.event_id as click_id,
+                   (floor(epoch(c.ts)) - floor(epoch(e.ts)))::bigint as delta_s
+            from (select * from events where event_type = 'error') e
+            join (select * from events where event_type = 'click') c
+              on c.user_id = e.user_id
+             and c.ts >= e.ts and c.ts <= e.ts + interval 21600 seconds
+        """,
+        "q_sessionize": """
+            with g as (
+                select user_id, event_id, ts,
+                       case when lag(ts) over w is null
+                                 or floor(epoch(ts)) - floor(epoch(lag(ts) over w)) > 21600
+                            then 1 else 0 end as brk
+                from events
+                window w as (partition by user_id order by ts, event_id)
+            ), s as (
+                select user_id, ts,
+                       (sum(brk) over (partition by user_id order by ts, event_id
+                                       rows unbounded preceding))::bigint as session_seq
+                from g
+            )
+            select user_id, session_seq, count(*) as n_events,
+                   min(floor(epoch(ts)))::bigint as start_s,
+                   max(floor(epoch(ts)))::bigint as end_s,
+                   (max(floor(epoch(ts))) - min(floor(epoch(ts))))::bigint as duration_s
+            from s group by user_id, session_seq
         """,
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),

@@ -54,6 +54,9 @@ HEADLINE = [
     "q_video_features",
     "q_chunk_dedup",
     "q_dup_components",
+    "q_asof_join",
+    "q_range_join",
+    "q_sessionize",
 ]
 
 REPS = 3

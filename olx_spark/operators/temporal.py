@@ -1,0 +1,178 @@
+"""Temporal relational operators Spark lacks natively: as-of join,
+range (interval) join, and gap sessionization.
+
+These are the classic event-correlation primitives of a training-data
+/ analytics pipeline (align each sample with the latest prior state;
+attribute events into time windows; group activity into sessions).
+The reference engine has no temporal operators (its `created` column
+is parsed but only projected, `Model.scala:24`, `insertAds` in
+`DB.scala`); these back the engine's pipeline brief the same way the
+dedup/ANN family does.
+
+Scale design (100 TB):
+
+- ``asof_join`` is the union + running-``last`` formulation: ONE
+  shuffle on the join key, no range condition ever reaches a join
+  operator (a naive ``ts_r <= ts_l`` theta-join degenerates to a
+  broadcast-nested-loop or a per-key cross product on skewed keys).
+  Cost is a window sort per key partition — exactly what a
+  1000-executor cluster does well.
+- ``range_join`` rewrites ``point BETWEEN lo AND hi`` into a bucketed
+  EQUI-join: intervals explode onto the fixed-width buckets they
+  cover, points map to exactly one bucket, Spark hash-joins on
+  (eq_keys, bucket), and the exact predicate refines. Join input is
+  |points| + |intervals| x avg_buckets_per_interval rows instead of
+  the |points| x |intervals| cross product per key.
+- ``sessionize`` is two stacked windows over one partitioning (lag ->
+  running sum), a single shuffle, whole-stage-codegen throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the payload of the LATEST right row
+    with ``right.right_ts <= left.left_ts`` and the same ``key``
+    (backward as-of; equal timestamps match). Left rows keep all their
+    columns; unmatched rows get null payloads (left semantics).
+
+    ``payload_cols`` are the right columns to carry (must not collide
+    with left column names — alias on the way in). ``tolerance_s``
+    drops matches older than the window (payloads null out, the left
+    row stays).
+
+    Implementation: tag both sides, union, and take the running
+    ``last(payload, ignoreNulls=True)`` per key ordered by
+    ``(ts, side)`` with right rows ordered BEFORE left rows at equal
+    timestamps so ``<=`` semantics hold. One shuffle on ``key``.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_rts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("__m_rts").isNotNull()
+            & (
+                F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__m_rts"))
+                <= F.lit(int(tolerance_s))
+            )
+        )
+        out = out.select(
+            *lcols,
+            *[
+                F.when(in_tol, F.col(f"__m_{c}")).alias(f"{c}_asof")
+                for c in payload_cols
+            ],
+            F.when(in_tol, F.col("__m_rts")).alias("ts_asof"),
+        )
+    else:
+        out = out.select(
+            *lcols,
+            *[F.col(f"__m_{c}").alias(f"{c}_asof") for c in payload_cols],
+            F.col("__m_rts").alias("ts_asof"),
+        )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo_ts: str,
+    hi_ts: str,
+    eq_keys: list[str],
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner-join every point row to every interval row with
+    ``lo_ts <= point_ts <= hi_ts`` (timestamps compared at full
+    precision) and equal ``eq_keys``. Returns points' columns plus the
+    intervals' columns (caller aliases collisions away beforehand).
+
+    Scale path: intervals explode onto the epoch-``bucket_s`` buckets
+    they cover (inclusive of both floored endpoints — a superset, the
+    exact predicate refines), points map to their single bucket, and
+    the join is a hash EQUI-join on ``eq_keys + [bucket]``. Pick
+    ``bucket_s`` near the typical interval length so each interval
+    covers ~1-2 buckets.
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_s))
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_ts)) / F.lit(bucket_s)),
+                F.floor(F.unix_timestamp(F.col(hi_ts)) / F.lit(bucket_s)),
+            )
+        ),
+    )
+    joined = p.join(iv, on=eq_keys + ["__b"], how="inner").filter(
+        (F.col(point_ts) >= F.col(lo_ts)) & (F.col(point_ts) <= F.col(hi_ts))
+    )
+    return joined.drop("__b")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_s: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign every row a per-``key`` ``session_seq`` (1-based): a new
+    session starts when the gap to the previous event of the same key
+    exceeds ``gap_s`` WHOLE seconds (gaps measured on floored epoch
+    seconds — deterministic across engines). Adds the column, keeps
+    all input columns. One shuffle on ``key``; lag + running sum over
+    the same window partitioning, no Python.
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    sec = F.unix_timestamp(F.col(ts))
+    brk = F.when(
+        F.lag(sec).over(w).isNull() | ((sec - F.lag(sec).over(w)) > gap_s), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_seq", F.sum(brk).over(wsum))

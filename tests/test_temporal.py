@@ -1,0 +1,186 @@
+"""Temporal operators: as-of join, range join, sessionization.
+
+Ground truth is computed in plain Python over small synthetic frames
+(so the tests pin SEMANTICS — tie handling, tolerance, bucket-boundary
+coverage — independent of both Spark and DuckDB); the sf-testdata
+oracle parity for the three q_* keys lives in the driver gate and
+tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from olx_spark.operators.temporal import asof_join, range_join, sessionize
+
+
+def _ts(s: float):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+# ------------------------------------------------------------ asof_join
+def test_asof_backward_basic(spark):
+    left = _mk(
+        spark,
+        [(1, _ts(100), "l1"), (1, _ts(50), "l2"), (2, _ts(10), "l3")],
+        ["k", "lts", "lname"],
+    )
+    right = _mk(
+        spark,
+        [(1, _ts(60), "r60"), (1, _ts(99), "r99"), (1, _ts(101), "r101"),
+         (2, _ts(11), "r11")],
+        ["k", "rts", "rname"],
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        payload_cols=["rname"],
+    )
+    got = {r["lname"]: r["rname_asof"] for r in out.collect()}
+    # l1@100 -> latest right <= 100 is r99; l2@50 -> none; l3@10 -> none
+    assert got == {"l1": "r99", "l2": None, "l3": None}
+    assert out.count() == left.count()  # left semantics: every left row
+
+
+def test_asof_equal_ts_matches(spark):
+    left = _mk(spark, [(1, _ts(60), "l")], ["k", "lts", "lname"])
+    right = _mk(spark, [(1, _ts(60), "r")], ["k", "rts", "rname"])
+    out = asof_join(left, right, "k", "lts", "rts", ["rname"]).collect()
+    assert out[0]["rname_asof"] == "r"  # <= includes equality
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _mk(spark, [(1, _ts(1000), "l")], ["k", "lts", "lname"])
+    right = _mk(spark, [(1, _ts(10), "r")], ["k", "rts", "rname"])
+    out = asof_join(
+        left, right, "k", "lts", "rts", ["rname"], tolerance_s=100
+    ).collect()
+    assert out[0]["rname_asof"] is None  # 990 s gap > 100 s tolerance
+    assert out[0]["ts_asof"] is None
+    ok = asof_join(
+        left, right, "k", "lts", "rts", ["rname"], tolerance_s=1000
+    ).collect()
+    assert ok[0]["rname_asof"] == "r"
+
+
+def test_asof_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(rng.randint(1, 5), _ts(rng.randint(0, 10_000)), i)
+             for i in range(200)]
+    rrows = [(rng.randint(1, 5), _ts(rng.randint(0, 10_000)), 1000 + i)
+             for i in range(200)]
+    left = _mk(spark, lrows, ["k", "lts", "lid"])
+    right = _mk(spark, rrows, ["k", "rts", "rid"])
+    out = asof_join(left, right, "k", "lts", "rts", ["rid"])
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+    for k, lts, lid in lrows:
+        cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= lts]
+        # python tie-break mirrors the operator: latest ts, then the
+        # later row in (ts, rid) order — rrows has no (k, ts) dupes
+        # under this seed, asserted so the test stays meaningful
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (k, lts, lid)
+    keyed = [(rk, rts.timestamp()) for rk, rts, _ in rrows]
+    assert len(set(keyed)) == len(keyed)
+
+
+# ----------------------------------------------------------- range_join
+def test_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(11)
+    pts = [(rng.randint(1, 4), _ts(rng.randint(0, 50_000)), i)
+           for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = rng.randint(0, 50_000)
+        ivs.append((rng.randint(1, 4), _ts(lo), _ts(lo + rng.randint(0, 9_000)), 100 + j))
+    points = _mk(spark, pts, ["k", "pts", "pid"])
+    intervals = _mk(spark, ivs, ["k", "lo", "hi", "iid"])
+    out = range_join(
+        points, intervals, point_ts="pts", lo_ts="lo", hi_ts="hi",
+        eq_keys=["k"], bucket_s=3600,
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    want = {
+        (pid, iid)
+        for pk, pts_, pid in pts
+        for ik, lo, hi, iid in ivs
+        if pk == ik and lo <= pts_ <= hi
+    }
+    assert got == want and len(want) > 50
+
+
+def test_range_join_boundary_inclusive_and_multibucket(spark):
+    # interval spans 3 buckets at bucket_s=10; endpoints inclusive
+    points = _mk(
+        spark,
+        [(1, _ts(20), 1), (1, _ts(45), 2), (1, _ts(45.5), 3), (1, _ts(9.9), 4)],
+        ["k", "pts", "pid"],
+    )
+    intervals = _mk(spark, [(1, _ts(20), _ts(45), 9)], ["k", "lo", "hi", "iid"])
+    out = range_join(points, intervals, "pts", "lo", "hi", ["k"], bucket_s=10)
+    assert {r["pid"] for r in out.collect()} == {1, 2}
+
+
+def test_range_join_no_exchange_on_cross_product(spark):
+    # plan shape: hash equi-join on (k, bucket), never a nested-loop
+    points = _mk(spark, [(1, _ts(5), 1)], ["k", "pts", "pid"])
+    intervals = _mk(spark, [(1, _ts(0), _ts(10), 9)], ["k", "lo", "hi", "iid"])
+    plan = range_join(
+        points, intervals, "pts", "lo", "hi", ["k"], bucket_s=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- sessionize
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, _ts(0), 1), (1, _ts(100), 2), (1, _ts(2000), 3),  # gap 1900 > 1800
+        (1, _ts(2100), 4),
+        (2, _ts(0), 5),
+    ]
+    df = _mk(spark, rows, ["k", "ts", "eid"])
+    out = sessionize(df, key="k", ts="ts", gap_s=1800, order_tiebreak="eid")
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    rows = [(1, _ts(0), 1), (1, _ts(1800), 2), (1, _ts(3601), 3)]
+    df = _mk(spark, rows, ["k", "ts", "eid"])
+    got = {
+        r["eid"]: r["session_seq"]
+        for r in sessionize(df, "k", "ts", gap_s=1800, order_tiebreak="eid").collect()
+    }
+    # gap == gap_s stays in-session; strict > splits
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_sessionize_single_shuffle(spark):
+    df = _mk(spark, [(1, _ts(0), 1), (1, _ts(10), 2)], ["k", "ts", "eid"])
+    plan = (
+        sessionize(df, "k", "ts", gap_s=60, order_tiebreak="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # lag + running sum share the (k) partitioning: exactly one Exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_single_shuffle(spark):
+    left = _mk(spark, [(1, _ts(5), "l")], ["k", "lts", "ln"])
+    right = _mk(spark, [(1, _ts(1), "r")], ["k", "rts", "rn"])
+    plan = (
+        asof_join(left, right, "k", "lts", "rts", ["rn"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union then one window shuffle on the key; no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
