@@ -436,6 +436,16 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_bm25_top_terms(spark, sf):
+    # BM25 salient-term extraction: top-5 terms per document
+    # (operators/text_rank.bm25_top_terms — shuffled df join, broadcast
+    # corpus scalars, one top-k window)
+    from olx_spark.operators.text_rank import bm25_top_terms
+
+    docs = _t(spark, sf, "documents")
+    return bm25_top_terms(docs, text_col="text", id_col="doc_id", k=5)
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -978,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
+        "q_bm25_top_terms": q_bm25_top_terms,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1801,6 +1812,37 @@ def oracle_sql() -> dict[str, str]:
                    max(floor(epoch(ts)))::bigint as end_s,
                    (max(floor(epoch(ts))) - min(floor(epoch(ts))))::bigint as duration_s
             from s group by user_id, session_seq
+        """,
+        "q_bm25_top_terms": f"""
+            with toks as (
+                select doc_id, unnest(string_split({_sql_norm('text')}, ' ')) as term
+                from documents
+            ), t as (
+                select doc_id, term from toks where term <> ''
+            ), tf as (
+                select doc_id, term, count(*)::double as tf from t group by 1, 2
+            ), dlen as (
+                select doc_id, count(*)::double as dlen from t group by 1
+            ), stats as (
+                select count(*)::double as n_docs, avg(dlen) as avg_dlen from dlen
+            ), scored as (
+                select tf.doc_id, tf.term,
+                       round(
+                           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dlen / stats.avg_dlen)),
+                           6) as score
+                from tf
+                join dlen using (doc_id)
+                join (select term, count(*)::double as df from tf group by 1) df using (term)
+                cross join stats
+            )
+            select doc_id, rk, term, score from (
+                select doc_id, term, score,
+                       row_number() over (partition by doc_id
+                           order by score desc, term asc) as rk
+                from scored
+            ) where rk <= 5
         """,
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),

@@ -57,6 +57,7 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_sessionize",
+    "q_bm25_top_terms",
 ]
 
 REPS = 3
