@@ -334,6 +334,10 @@ class SnapshotStore:
                     rel = f"r{round_no:05d}/{name}"
                     if name in replace:
                         manifest["tables"][name] = [rel]
+                        # replace folds all prior history into this
+                        # round's entry: snapshots below it are expired
+                        # for time-travel reads
+                        manifest.setdefault("horizon", {})[name] = round_no
                     else:
                         manifest["tables"].setdefault(name, []).append(rel)
                 manifest["rounds"].append(round_no)
@@ -346,17 +350,72 @@ class SnapshotStore:
             shutil.rmtree(stage, ignore_errors=True)
             raise
 
-    def read_table(self, name: str) -> DataFrame | None:
-        """Union of all committed round deltas for ``name``.
+    @staticmethod
+    def _rel_round(rel: str) -> int | None:
+        """Round number of a ``rNNNNN/table`` delta entry; None for a
+        ``compact-*`` (folded-history) entry."""
+        head = rel.split("/", 1)[0]
+        if head.startswith("r") and head[1:].isdigit():
+            return int(head[1:])
+        return None
+
+    def read_table(
+        self,
+        name: str,
+        as_of_round: int | None = None,
+        since_round: int | None = None,
+    ) -> DataFrame | None:
+        """Union of committed round deltas for ``name``.
         ``recursiveFileLookup`` reads the data files under bucketed
         (``__b=K`` subdir) and plain deltas alike with NO partition
         inference — the bucket id is physical layout, not table
         schema, and every data column lives in the files themselves.
-        (Co-located consumers use :meth:`bucket_files` instead.)"""
+        (Co-located consumers use :meth:`bucket_files` instead.)
+
+        Time-travel / incremental reads (Iceberg snapshot-as-of and
+        incremental-scan analogs): ``as_of_round=N`` returns the table
+        as committed through round N; ``since_round=M`` returns only
+        rows committed AFTER round M (the changes-since feed an
+        incremental consumer tails); both together give the half-open
+        window (M, N]. History folded by :meth:`compact_table` or a
+        ``replace`` commit is EXPIRED below the table's horizon round
+        (Iceberg expire-snapshots): asking for it raises ValueError
+        rather than silently returning partial state. On replace-mode
+        tables each committed entry is a full snapshot, so a window
+        read returns the snapshots committed in the window, not row
+        increments.
+        """
         manifest = self.read_manifest()
-        paths = [
-            os.path.join(self.root, rel) for rel in manifest["tables"].get(name, [])
-        ]
+        rels = manifest["tables"].get(name, [])
+        horizon = manifest.get("horizon", {}).get(name, -1)
+        if as_of_round is not None and as_of_round < horizon:
+            raise ValueError(
+                f"history expired: table {name!r} is folded through round "
+                f"{horizon} (compaction/replace); as_of_round={as_of_round} "
+                "predates it"
+            )
+        if since_round is not None and since_round < horizon:
+            raise ValueError(
+                f"history expired: table {name!r} is folded through round "
+                f"{horizon}; rows up to since_round={since_round} cannot be "
+                "excluded from the folded generation"
+            )
+        lo = -1 if since_round is None else since_round
+        hi = as_of_round  # None = unbounded
+        if hi is not None and hi < lo:
+            raise ValueError(f"empty window: since_round={lo} > as_of_round={hi}")
+        picked = []
+        for rel in rels:
+            r = self._rel_round(rel)
+            if r is None:
+                # folded generation: rows from rounds <= horizon. The
+                # guards above ensure lo <= horizon <= hi here when a
+                # window was given; a since_round >= horizon excludes it.
+                if since_round is None:
+                    picked.append(rel)
+            elif r > lo and (hi is None or r <= hi):
+                picked.append(rel)
+        paths = [os.path.join(self.root, rel) for rel in picked]
         if not paths:
             return None
         return self.spark.read.option("recursiveFileLookup", "true").parquet(*paths)
@@ -419,6 +478,18 @@ class SnapshotStore:
                 else:
                     os.rename(stage, out)
                     manifest["tables"][name] = [out_rel]
+                # either way the pre-compaction history is folded:
+                # time-travel below the newest round folded for THIS
+                # table expires (Iceberg expire-snapshots semantics).
+                # as-of reads at rounds where the table had no delta
+                # stay answerable.
+                folded = [self._rel_round(rel) for rel in paths]
+                prev = manifest.get("horizon", {}).get(name, -1)
+                new_horizon = max(
+                    [r for r in folded if r is not None] + [prev], default=prev
+                )
+                if new_horizon >= 0:
+                    manifest.setdefault("horizon", {})[name] = new_horizon
                 tmp = self._manifest_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(manifest, f, indent=1)
