@@ -446,6 +446,21 @@ def q_bm25_top_terms(spark, sf):
     return bm25_top_terms(docs, text_col="text", id_col="doc_id", k=5)
 
 
+def q_quantiles(spark, sf):
+    # exact interpolated percentiles per group (Spark `percentile` ==
+    # DuckDB `quantile_cont`, verified identical to the ulp). Exact
+    # quantiles hold memory per distinct value per group — at 100-TB
+    # continuous metrics, switch to approx_percentile (t-digest) and
+    # drop the oracle to a tolerance check.
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -989,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
         "q_bm25_top_terms": q_bm25_top_terms,
+        "q_quantiles": q_quantiles,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1843,6 +1859,13 @@ def oracle_sql() -> dict[str, str]:
                            order by score desc, term asc) as rk
                 from scored
             ) where rk <= 5
+        """,
+        "q_quantiles": """
+            select event_type, count(*) as n,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type
         """,
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_range_join",
     "q_sessionize",
     "q_bm25_top_terms",
+    "q_quantiles",
 ]
 
 REPS = 3
