@@ -461,6 +461,22 @@ def q_quantiles(spark, sf):
     )
 
 
+def q_split_assign(spark, sf):
+    # deterministic train/val/test assignment: salted md5-60 of the
+    # stable doc id, mod 100 -> 90/5/5. Pure JVM expression; the salt
+    # version-pins the split so re-runs and late-arriving docs land
+    # identically (the training-pipeline holdout contract).
+    from olx_spark.functions.text import md5_60
+
+    d = _t(spark, sf, "documents")
+    bucket = md5_60(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -1005,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_bm25_top_terms": q_bm25_top_terms,
         "q_quantiles": q_quantiles,
+        "q_split_assign": q_split_assign,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1866,6 +1883,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) as p90,
                    round(quantile_cont(value, 0.99), 6) as p99
             from events group by event_type
+        """,
+        "q_split_assign": f"""
+            with b as (
+                select doc_id,
+                       {_sql_md5_60("'split-v1:' || doc_id::varchar")} % 100 as bucket
+                from documents
+            )
+            select doc_id, bucket,
+                   case when bucket < 90 then 'train'
+                        when bucket < 95 then 'val'
+                        else 'test' end as split
+            from b
         """,
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),

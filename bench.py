@@ -59,6 +59,7 @@ HEADLINE = [
     "q_sessionize",
     "q_bm25_top_terms",
     "q_quantiles",
+    "q_split_assign",
 ]
 
 REPS = 3
