@@ -477,6 +477,25 @@ def q_split_assign(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    # entity-importance scoring: fixed-iteration PageRank over the
+    # bipartite order<->part co-occurrence graph (node id = 2*orderkey
+    # for orders, 2*partkey+1 for parts). Fixed iters make the result
+    # a deterministic function of the graph, so the oracle unrolls the
+    # same 6 power-iteration steps in SQL.
+    from olx_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("o"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+    )
+    pr = pagerank(edges, damping=0.85, iters=6)
+    return pr.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -1022,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_top_terms": q_bm25_top_terms,
         "q_quantiles": q_quantiles,
         "q_split_assign": q_split_assign,
+        "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1668,6 +1688,51 @@ def _sql_simhash16() -> str:
     return "(" + " + ".join(bits) + ")::bigint"
 
 
+
+def _sql_pagerank(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one chained CTE per step — aggregates
+    are not allowed in a recursive CTE member, and unrolling keeps the
+    oracle a deterministic twin of the fixed-iteration operator."""
+    base = """
+        with e as (
+            select * from (
+                select distinct l_orderkey * 2 as src, l_partkey * 2 + 1 as dst
+                from lineitem
+                union all
+                select distinct l_partkey * 2 + 1 as src, l_orderkey * 2 as dst
+                from lineitem
+            )
+        ), nodes as (
+            select distinct id from (
+                select src as id from e union select dst from e
+            )
+        ), nn as (select count(*)::double as n from nodes
+        ), deg as (
+            select src, count(*)::double as deg from e group by src
+        ), pr0 as (
+            select id, 1.0 / nn.n as rank from nodes, nn
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", pr{k} as (
+            select nodes.id,
+                   (1.0 - {damping}) / nn.n
+                   + {damping} * coalesce(s.in_sum, 0.0) as rank
+            from nodes cross join nn
+            left join (
+                select e.dst as id, sum(p.rank / deg.deg) as in_sum
+                from e
+                join pr{k - 1} p on p.id = e.src
+                join deg on deg.src = e.src
+                group by e.dst
+            ) s on s.id = nodes.id
+        )""")
+    return (
+        base + "".join(steps)
+        + f" select id, round(rank, 9) as rank from pr{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter": """
@@ -1896,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
                         else 'test' end as split
             from b
         """,
+        "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),
         "q_chunk_dedup": _sql_chunk_dedup(),

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_bm25_top_terms",
     "q_quantiles",
     "q_split_assign",
+    "q_pagerank",
 ]
 
 REPS = 3

@@ -141,3 +141,64 @@ def connected_components(
         "generator is almost certainly degenerate (near-dup threshold "
         "too low?)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 6,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Fixed-iteration power-iteration PageRank over a directed edge
+    list (node set = all edge endpoints). Returns ``(id, rank)``.
+
+    This is the classic crawl-priority / entity-importance score
+    (PageRank-guided frontier ordering is the standard alternative to
+    the reference's FIFO order). FIXED ``iters`` — not
+    convergence-detected — so the result is a deterministic function
+    of the graph and therefore exactly reproducible by an engine
+    unrolling the same ``iters`` (the DuckDB oracle): both sides
+    compute r_{k+1}(v) = (1-d)/N + d * sum over in-edges of
+    r_k(u)/outdeg(u). Dangling-node mass is NOT redistributed (the
+    simple variant; total mass < 1 in graphs with sinks) — stated so
+    the oracle and any consumer agree.
+
+    Scale shape (100 TB): per iteration = one shuffle join of the
+    edge table with the rank table on ``src`` + one groupBy on
+    ``dst``; the rank table is one row per node. Ranks are
+    materialized per iteration via :func:`olx_spark.session.
+    materialize` (the ``spark.olx.checkpoint.reliable`` knob), which
+    also truncates the O(iters)-deep lineage. Hot in-degree nodes
+    (the skew case) are partial-aggregated map-side by the groupBy.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = materialize(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        reliable=reliable,
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        in_sum = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_sum"))
+        )
+        ranks = materialize(
+            nodes.join(in_sum, "id", "left").select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            ),
+            reliable=reliable,
+        )
+    return ranks

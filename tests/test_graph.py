@@ -98,3 +98,53 @@ def test_nonconvergence_raises(spark):
     n, e = _dfs(spark, [1, 2], [(1, 2)])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(n, e, max_iter=0)
+
+
+# ------------------------------------------------------------- pagerank
+def _py_pagerank(edges, damping=0.85, iters=6):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (1.0 - damping) / n for v in nodes}
+        for u, v in edges:
+            nxt[v] += damping * r[u] / deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from olx_spark.operators.graph import pagerank
+
+    # cyclic + dangling (node 4 has no out-edges: its mass leaks,
+    # matching the documented no-redistribution variant)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    want = _py_pagerank(edges, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert sum(got.values()) < 1.0  # dangling node leaked mass
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from olx_spark.operators.graph import pagerank
+
+    # star: everyone links to 0, 0 links back to 1. Power iteration
+    # oscillates on this near-bipartite shape, so compare against the
+    # reference at the same iteration count rather than asserting the
+    # (parity-sensitive) hub/leaf order directly.
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges, iters=10)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    # the un-pointed leaves hold exactly the teleport mass, always less
+    # than the pointed-to nodes
+    assert got[2] == got[3] == got[4] == got[5]
+    assert min(got[0], got[1]) > got[2]
