@@ -41,6 +41,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance_s: int | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the LATEST right row
     with ``right.right_ts <= left.left_ts`` and the same ``key``
@@ -50,12 +51,18 @@ def asof_join(
     ``payload_cols`` are the right columns to carry (must not collide
     with left column names — alias on the way in). ``tolerance_s``
     drops matches older than the window (payloads null out, the left
-    row stays).
+    row stays). ``right_tiebreak`` names a right column that resolves
+    ties among right rows sharing the same ``(key, ts)`` — the row
+    with the LARGEST tiebreak value wins, deterministically across
+    shuffles; without it such ties resolve by physical row order
+    (fine when ``(key, right_ts)`` is unique, e.g. event streams with
+    sub-second timestamps).
 
     Implementation: tag both sides, union, and take the running
     ``last(payload, ignoreNulls=True)`` per key ordered by
-    ``(ts, side)`` with right rows ordered BEFORE left rows at equal
-    timestamps so ``<=`` semantics hold. One shuffle on ``key``.
+    ``(ts, side[, tiebreak])`` with right rows ordered BEFORE left
+    rows at equal timestamps so ``<=`` semantics hold. One shuffle on
+    ``key``.
     """
     lcols = left.columns
     l_tag = left.select(
@@ -74,9 +81,20 @@ def asof_join(
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
         F.col(right_ts).alias("__rts"),
     )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        tb = F.col(f"__p_{right_tiebreak}")
+        if right_tiebreak not in payload_cols:
+            raise ValueError(
+                "right_tiebreak must be one of payload_cols so it rides "
+                f"the union: {right_tiebreak!r} not in {payload_cols}"
+            )
+        # nulls (left rows) first: among same-ts right rows the largest
+        # tiebreak sorts last and wins the running last()
+        order.append(tb.asc_nulls_first())
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

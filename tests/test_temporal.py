@@ -184,3 +184,25 @@ def test_asof_single_shuffle(spark):
     # union then one window shuffle on the key; no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_asof_right_tiebreak_is_deterministic(spark):
+    left = _mk(spark, [(1, _ts(60), "l")], ["k", "lts", "lname"])
+    # five right rows at the SAME (key, ts): without a tiebreak the
+    # winner is physical-order dependent; with one, the largest wins
+    rrows = [(1, _ts(60), rid) for rid in [3, 1, 5, 2, 4]]
+    for parts in (1, 4, 7):
+        right = _mk(spark, rrows, ["k", "rts", "rid"]).repartition(parts)
+        out = asof_join(
+            left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+        ).collect()
+        assert out[0]["rid_asof"] == 5, parts
+
+
+def test_asof_tiebreak_must_ride_payload(spark):
+    left = _mk(spark, [(1, _ts(60), "l")], ["k", "lts", "lname"])
+    right = _mk(spark, [(1, _ts(60), 1)], ["k", "rts", "rid"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(left, right, "k", "lts", "rts", [], right_tiebreak="rid")
