@@ -139,6 +139,7 @@ def range_join(
     hi_ts: str,
     eq_keys: list[str],
     bucket_s: int = 3600,
+    max_buckets_per_interval: int = 1024,
 ) -> DataFrame:
     """Inner-join every point row to every interval row with
     ``lo_ts <= point_ts <= hi_ts`` (timestamps compared at full
@@ -151,16 +152,35 @@ def range_join(
     the join is a hash EQUI-join on ``eq_keys + [bucket]``. Pick
     ``bucket_s`` near the typical interval length so each interval
     covers ~1-2 buckets.
+
+    An interval covering more than ``max_buckets_per_interval``
+    buckets fails the job LOUDLY (executor-side raise) instead of
+    silently exploding a year-long interval into 10^5 rows each — a
+    degenerate interval table (bad parse, sentinel end-dates) is a
+    data bug the operator must surface, the same policy as the
+    mega-bucket guards in the similarity family. Raise ``bucket_s``
+    (or fix the data) to proceed.
     """
     p = points.withColumn(
         "__b", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_s))
     )
+    lo_b = F.floor(F.unix_timestamp(F.col(lo_ts)) / F.lit(bucket_s))
+    hi_b = F.floor(F.unix_timestamp(F.col(hi_ts)) / F.lit(bucket_s))
+    n_b = hi_b - lo_b + 1
     iv = intervals.withColumn(
         "__b",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(lo_ts)) / F.lit(bucket_s)),
-                F.floor(F.unix_timestamp(F.col(hi_ts)) / F.lit(bucket_s)),
+            F.when(
+                n_b <= F.lit(int(max_buckets_per_interval)), F.sequence(lo_b, hi_b)
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "range_join: interval covers %s buckets of "
+                        + f"{bucket_s}s (max {max_buckets_per_interval}); "
+                        + "degenerate interval or bucket_s too small",
+                        n_b,
+                    )
+                )
             )
         ),
     )

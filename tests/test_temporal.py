@@ -206,3 +206,18 @@ def test_asof_tiebreak_must_ride_payload(spark):
 
     with _pytest.raises(ValueError, match="right_tiebreak"):
         asof_join(left, right, "k", "lts", "rts", [], right_tiebreak="rid")
+
+
+def test_range_join_degenerate_interval_fails_loudly(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    points = _mk(spark, [(1, _ts(5), 1)], ["k", "pts", "pid"])
+    # a "year-long" interval at tiny buckets: must raise, not explode
+    intervals = _mk(spark, [(1, _ts(0), _ts(500_000), 9)], ["k", "lo", "hi", "iid"])
+    import pytest as _pytest
+
+    with _pytest.raises(SparkRuntimeException, match="range_join"):
+        range_join(
+            points, intervals, "pts", "lo", "hi", ["k"],
+            bucket_s=10, max_buckets_per_interval=100,
+        ).collect()
