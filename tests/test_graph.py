@@ -148,3 +148,67 @@ def test_pagerank_hub_outranks_leaf(spark):
     # than the pointed-to nodes
     assert got[2] == got[3] == got[4] == got[5]
     assert min(got[0], got[1]) > got[2]
+
+
+def test_pagerank_bucketed_equals_inline(spark):
+    """The 100-TB edge layout (bucketed table, SMJ exchange-free edge
+    side) and the broadcast-era inline layout are the same math —
+    ranks must agree to the ulp. Also gates the bucketed plan: the
+    edge scan must be bucketed and carry NO Exchange above it."""
+    from olx_spark.operators.graph import pagerank
+
+    random.seed(7)
+    edges = [(random.randrange(40), random.randrange(40)) for _ in range(160)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    inline = {r["id"]: r["rank"] for r in pagerank(df, iters=5, edge_layout="inline").collect()}
+    bucketed = {r["id"]: r["rank"] for r in pagerank(df, iters=5, edge_layout="bucketed").collect()}
+    assert set(inline) == set(bucketed)
+    for v in inline:
+        assert abs(inline[v] - bucketed[v]) < 1e-15, (v, inline[v], bucketed[v])
+
+
+def test_pagerank_bucketed_scan_is_exchange_free(spark):
+    """Plan gate for the bucketed layout: joining the bucketed edge
+    table on its bucket key must read the scan Bucketed: true with no
+    Exchange between the scan and the join (the per-iteration shape
+    pagerank relies on at beyond-broadcast node counts)."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(5000).select(
+        (F.col("id") % 97).alias("src"),
+        (F.col("id") % 83).alias("dst"),
+        F.lit(2.0).alias("deg"),
+    )
+    path = tempfile.mkdtemp(prefix="prb_gate_")
+    (
+        e.repartition(n_part, "src")
+        .write.bucketBy(n_part, "src")
+        .sortBy("src")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable("prb_gate")
+    )
+    try:
+        # one file per bucket: pre-repartitioned on the bucket key
+        assert len(glob.glob(path + "/*.parquet")) == n_part
+        ranks = spark.range(97).select(
+            F.col("id").alias("src"), F.lit(0.5).alias("rank")
+        )
+        # force the SMJ regime (what beyond-broadcast ranks hit)
+        joined = spark.table("prb_gate").hint("merge").join(ranks, "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # the only Exchange allowed is on the ranks side: no Exchange
+        # may sit directly above the bucketed FileScan
+        import re
+
+        assert not re.search(r"Exchange[^\n]*\n[^\n]*FileScan", plan), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS prb_gate")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
