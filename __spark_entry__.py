@@ -477,6 +477,35 @@ def q_split_assign(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    # corpus balancing: exactly min(12, |stratum|) documents per
+    # (lang, source) cell, picked by the salted-hash total order
+    # (operators/sampling.stratified_sample — the two-phase salted
+    # window, so the dominant stratum sorts in parallel slices). The
+    # oracle replays the same rank in SQL.
+    from olx_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(d, ["lang", "source"], 12, "doc_id").select(
+        "doc_id", "lang", "source", "rank_in_limit"
+    )
+
+
+def q_pack_shards(spark, sf):
+    # context-window construction: lay the corpus on a salted-hash
+    # token tape and cut 2000-token training shards (boundary docs not
+    # split). The distributed two-phase prefix sum of
+    # operators/packing.pack_token_shards — no global window anywhere;
+    # the oracle replays the same tape order as one SQL running sum.
+    from olx_spark.functions.text import token_count
+    from olx_spark.operators.packing import pack_token_shards
+
+    d = _t(spark, sf, "documents")
+    return pack_token_shards(
+        d, "doc_id", token_count("text"), budget=2000, n_buckets=32
+    ).select("doc_id", "n_tokens", "start_offset", "shard_id")
+
+
 def q_pagerank(spark, sf):
     # entity-importance scoring: fixed-iteration PageRank over the
     # bipartite order<->part co-occurrence graph (node id = 2*orderkey
@@ -1041,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_top_terms": q_bm25_top_terms,
         "q_quantiles": q_quantiles,
         "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
+        "q_pack_shards": q_pack_shards,
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
@@ -1960,6 +1991,39 @@ def oracle_sql() -> dict[str, str]:
                         when bucket < 95 then 'val'
                         else 'test' end as split
             from b
+        """,
+        "q_stratified_sample": f"""
+            with h as (
+                select doc_id, lang, source,
+                       {_sql_md5_60("'sample-v1:' || doc_id::varchar")} as hh
+                from documents
+            ), r as (
+                select doc_id, lang, source,
+                       row_number() over (
+                           partition by lang, source order by hh, doc_id
+                       ) - 1 as rank_in_limit
+                from h
+            )
+            select doc_id, lang, source, rank_in_limit
+            from r where rank_in_limit < 12
+        """,
+        "q_pack_shards": f"""
+            with t as (
+                select doc_id,
+                       ({_sql_token_count('text')})::bigint as n_tokens,
+                       {_sql_md5_60("'pack-v1:' || doc_id::varchar")} as hh
+                from documents
+            ), o as (
+                select doc_id, n_tokens,
+                       coalesce(sum(n_tokens) over (
+                           order by hh % 32, hh, doc_id
+                           rows between unbounded preceding and 1 preceding
+                       ), 0)::bigint as start_offset
+                from t
+            )
+            select doc_id, n_tokens, start_offset,
+                   (start_offset // 2000)::bigint as shard_id
+            from o
         """,
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",

@@ -60,6 +60,8 @@ HEADLINE = [
     "q_bm25_top_terms",
     "q_quantiles",
     "q_split_assign",
+    "q_stratified_sample",
+    "q_pack_shards",
     "q_pagerank",
 ]
 

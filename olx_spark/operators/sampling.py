@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling — the subset-selection primitives of
+a training-data pipeline (corpus balancing, throughput-bounded dev
+sets, ablation slices).
+
+The reference engine has no sampling surface (it downloads every ad it
+schedules, `DownloadAds.scala:33`); this backs the engine's
+training-data-pipeline brief alongside the dedup/quality family.
+
+Both samplers key on a SALTED PORTABLE HASH of a stable row id
+(md5-60, the repo's cross-engine hash convention — see
+``functions/text.py``), never on ``rand()``:
+
+- re-runs, resumed runs and late-arriving rows sample identically
+  (the holdout contract: a document's fate is a pure function of its
+  id and the salt version);
+- any engine can reproduce the exact subset (the DuckDB oracle does);
+- changing the salt string draws a fresh independent sample.
+
+Scale shapes (100 TB):
+
+- :func:`hash_bernoulli_sample` is a pure filter — no shuffle, no
+  state, pushes down next to the scan. The right tool when a FRACTION
+  is wanted.
+- :func:`stratified_sample` needs exact per-stratum counts, so it pays
+  one shuffle on the strata columns; the rank runs as the same
+  TWO-PHASE salted window as ``ordered_limit``'s per-group path, so a
+  hot stratum (90% of a web corpus is ``en``/``web``) sorts in
+  ``salt_buckets`` parallel slices instead of one task (AQE skew-split
+  does not apply to window partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olx_spark.functions.text import md5_60
+from olx_spark.operators.ranking import ordered_limit
+
+
+def _salted_hash(id_col: str, salt: str) -> Column:
+    return md5_60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+
+
+def hash_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep each row iff ``md5_60(salt:id) % 1_000_000 < fraction * 1e6``
+    — a deterministic Bernoulli(fraction) draw over ids (md5 is
+    uniform over the 60-bit range, and 2**60 % 1e6 leaves a relative
+    modulo bias < 1e-12). Shuffle-free, state-free, scan-adjacent.
+
+    Rows sharing an id share a fate (by design: sampling is per
+    DOCUMENT, so duplicate rows of one id stay together). Disjoint
+    salts give independent draws — the standard trick for carving
+    non-overlapping dev/test slices is disjoint threshold WINDOWS of
+    one salt, e.g. ``[0, 0.05)`` and ``[0.05, 0.10)``.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * 1_000_000))
+    return df.filter(F.pmod(_salted_hash(id_col, salt), F.lit(1_000_000)) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str] | tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "sample-v1",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
+    chosen deterministically: rank rows within each stratum by
+    ``(md5_60(salt:id), id)`` — a salted total order, i.e. a uniform
+    random permutation reproducible across engines — and keep ranks
+    below ``n_per_stratum``. The balanced-corpus primitive (equal
+    documents per (lang, source) cell regardless of raw skew).
+
+    Output: the input columns plus ``rank_in_limit`` (0-based rank
+    within the stratum under the salted order). One shuffle on the
+    strata columns; the rank is the two-phase salted window of
+    :func:`olx_spark.operators.ranking.ordered_limit`, so a dominant
+    stratum's sort spreads over ``salt_buckets`` tasks.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    if not strata_cols:
+        raise ValueError("strata_cols must name at least one column")
+    h = _salted_hash(id_col, salt)
+    return ordered_limit(
+        df.withColumn("__h", h),
+        n_per_stratum,
+        [F.col("__h"), F.col(id_col)],
+        partition_cols=list(strata_cols),
+        salt_buckets=salt_buckets,
+    ).drop("__h")

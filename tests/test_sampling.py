@@ -1,0 +1,115 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from olx_spark.operators.sampling import hash_bernoulli_sample, stratified_sample
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark, n=400):
+    rows = [
+        (i, f"doc text {i}", ["en", "en", "en", "de"][i % 4], ["web", "wiki"][i % 2])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# ---------------------------------------------------------------- bernoulli
+def test_bernoulli_matches_hash_threshold_exactly(spark):
+    df = _docs(spark)
+    got = sorted(
+        r["doc_id"] for r in hash_bernoulli_sample(df, "doc_id", 0.25).collect()
+    )
+    want = sorted(
+        i for i in range(400) if _md5_60(f"sample-v1:{i}") % 1_000_000 < 250_000
+    )
+    assert got == want
+    assert 0.15 < len(got) / 400 < 0.35  # sane rate on 400 draws
+
+
+def test_bernoulli_deterministic_across_partitioning(spark):
+    df = _docs(spark)
+    a = set(r["doc_id"] for r in hash_bernoulli_sample(df, "doc_id", 0.1).collect())
+    b = set(
+        r["doc_id"]
+        for r in hash_bernoulli_sample(df.repartition(7), "doc_id", 0.1).collect()
+    )
+    assert a == b
+
+
+def test_bernoulli_salts_draw_differently(spark):
+    df = _docs(spark)
+    a = set(r["doc_id"] for r in hash_bernoulli_sample(df, "doc_id", 0.5, "s-a").collect())
+    b = set(r["doc_id"] for r in hash_bernoulli_sample(df, "doc_id", 0.5, "s-b").collect())
+    assert a != b  # independent draws (P(equal) ~ 2^-400)
+
+
+def test_bernoulli_edge_fractions_and_validation(spark):
+    import pytest
+
+    df = _docs(spark, 50)
+    assert hash_bernoulli_sample(df, "doc_id", 0.0).count() == 0
+    assert hash_bernoulli_sample(df, "doc_id", 1.0).count() == 50
+    with pytest.raises(ValueError):
+        hash_bernoulli_sample(df, "doc_id", 1.5)
+
+
+# --------------------------------------------------------------- stratified
+def test_stratified_exact_counts_per_stratum(spark):
+    df = _docs(spark)  # strata sizes: en/web 100, en/wiki 200, de/wiki 100...
+    out = stratified_sample(df, ["lang", "source"], 30, "doc_id")
+    counts = {
+        (r["lang"], r["source"]): r["n"]
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in df.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {k: min(30, v) for k, v in sizes.items()}
+
+
+def test_stratified_matches_driver_side_oracle(spark):
+    df = _docs(spark, 120)
+    out = stratified_sample(df, ["lang"], 5, "doc_id").collect()
+    rows = [(i, ["en", "en", "en", "de"][i % 4]) for i in range(120)]
+    want = {}
+    for lang in ("en", "de"):
+        ids = sorted(
+            (i for i, l in rows if l == lang),
+            key=lambda i: (_md5_60(f"sample-v1:{i}"), i),
+        )[:5]
+        for rk, i in enumerate(ids):
+            want[i] = (lang, rk)
+    got = {r["doc_id"]: (r["lang"], r["rank_in_limit"]) for r in out}
+    assert got == want
+
+
+def test_stratified_two_phase_equals_single_phase(spark):
+    df = _docs(spark)
+    a = sorted(
+        (r["doc_id"], r["rank_in_limit"])
+        for r in stratified_sample(df, ["lang"], 17, "doc_id", salt_buckets=8).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["rank_in_limit"])
+        for r in stratified_sample(df, ["lang"], 17, "doc_id", salt_buckets=1).collect()
+    )
+    assert a == b
+
+
+def test_stratified_validation(spark):
+    import pytest
+
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        stratified_sample(df, [], 5, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(df, ["lang"], 0, "doc_id")
