@@ -506,6 +506,28 @@ def q_pack_shards(spark, sf):
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
+def q_hll_distinct(spark, sf):
+    # cardinality at scale: per-type distinct-user estimate via a
+    # PORTABLE HyperLogLog (operators/sketches — md5-60 hash, exact
+    # integer harmonic sum) next to the exact count. The sketch
+    # shuffles <= 2**p register rows per group instead of every key;
+    # determinism by construction lets the oracle replay the identical
+    # registers + estimator in SQL (equality, not tolerance).
+    from olx_spark.operators.sketches import hll_distinct
+
+    e = _t(spark, sf, "events")
+    est = hll_distinct(
+        e, F.col("user_id").cast("string"), ["event_type"], p=8,
+        out_col="n_users_est",
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_users_exact", F.round("n_users_est", 6).alias("n_users_est")
+    )
+
+
 def q_pagerank(spark, sf):
     # entity-importance scoring: fixed-iteration PageRank over the
     # bipartite order<->part co-occurrence graph (node id = 2*orderkey
@@ -1072,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_pack_shards": q_pack_shards,
+        "q_hll_distinct": q_hll_distinct,
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
@@ -1720,6 +1743,59 @@ def _sql_simhash16() -> str:
 
 
 
+def _sql_hll_distinct(p: int = 8) -> str:
+    # replays operators/sketches exactly: md5-60 hash, top-p register
+    # index, zero-run rank via the padded-bin strpos (no float log2),
+    # exact-integer harmonic sum, identical alpha/threshold double
+    # literals (imported from the operator so they can never drift)
+    from olx_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    w = 60 - p
+    k1 = w + 1
+    num = _alpha(m) * m * m * float(1 << k1)  # alpha * m^2 * 2^(W+1)
+    return f"""
+        with h as (
+            select event_type,
+                   {_sql_md5_60("user_id::varchar")} as hh
+            from events
+        ), b as (
+            select event_type, (hh >> {w})::int as idx,
+                   case when (hh & ((1::bigint << {w}) - 1)) = 0 then {k1}
+                        else strpos(lpad(bin(hh & ((1::bigint << {w}) - 1)),
+                                         {w}, '0'), '1')
+                   end as rho
+            from h
+        ), r as (
+            select event_type, idx, max(rho) as rho from b group by 1, 2
+        ), s as (
+            select event_type, count(*) as nz,
+                   sum((1::bigint << ({k1} - rho))::bigint)::bigint as sc
+            from r group by 1
+        ), est as (
+            select event_type,
+                   {num!r}::double
+                       / (sc + ({m} - nz) * (1::bigint << {k1})) as raw,
+                   {m} - nz as zeros
+            from s
+        ), fin as (
+            select event_type,
+                   case when raw <= {2.5 * m!r}::double and zeros > 0
+                        then {float(m)!r}::double
+                             * ln({float(m)!r}::double / zeros)
+                        else raw end as e
+            from est
+        )
+        select x.event_type,
+               x.n_users_exact,
+               round(fin.e, 6) as n_users_est
+        from (
+            select event_type, count(distinct user_id) as n_users_exact
+            from events group by 1
+        ) x join fin using (event_type)
+    """
+
+
 def _sql_pagerank(iters: int = 6, damping: float = 0.85) -> str:
     """Unrolled power iteration: one chained CTE per step — aggregates
     are not allowed in a recursive CTE member, and unrolling keeps the
@@ -2025,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
                    (start_offset // 2000)::bigint as shard_id
             from o
         """,
+        "q_hll_distinct": _sql_hll_distinct(),
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),
