@@ -528,6 +528,27 @@ def q_hll_distinct(spark, sf):
     )
 
 
+def q_cms_hot_keys(spark, sf):
+    # heavy-hitter / hot-key estimation: a 4x256 count-min grid over
+    # event user_ids (operators/cms — portable md5-60 row hashes,
+    # exact bigint counters) probed for the exact top-20 users. The
+    # grid shuffles <= d*w counter rows instead of every distinct key
+    # (the crawl's hot-host detection shape); estimates one-sidedly
+    # overcount, and the oracle replays the identical grid in SQL.
+    from olx_spark.operators.cms import cms_build, cms_lookup
+    from olx_spark.operators.ranking import ordered_limit
+
+    e = _t(spark, sf, "events")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    top = ordered_limit(
+        exact, 20, [F.desc("n_exact"), F.asc("user_id")]
+    ).drop("rank_in_limit")
+    grid = cms_build(e, "user_id", d=4, w=256)
+    return cms_lookup(grid, top, "user_id", d=4, w=256).select(
+        "user_id", "n_exact", "n_est"
+    )
+
+
 def q_pagerank(spark, sf):
     # entity-importance scoring: fixed-iteration PageRank over the
     # bipartite order<->part co-occurrence graph (node id = 2*orderkey
@@ -1095,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_pack_shards": q_pack_shards,
         "q_hll_distinct": q_hll_distinct,
+        "q_cms_hot_keys": q_cms_hot_keys,
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
         "q_token_count": q_token_count,
@@ -2102,6 +2124,29 @@ def oracle_sql() -> dict[str, str]:
             from o
         """,
         "q_hll_distinct": _sql_hll_distinct(),
+        "q_cms_hot_keys": f"""
+            with grid as (
+                select r.j,
+                       ({_sql_md5_60("'cms' || r.j::varchar || ':' || user_id::varchar")})
+                           % 256 as b,
+                       count(*)::bigint as cnt
+                from events cross join range(4) r(j)
+                group by 1, 2
+            ), top as (
+                select user_id, count(*)::bigint as n_exact
+                from events group by 1
+                order by n_exact desc, user_id limit 20
+            ), probe as (
+                select t.user_id, t.n_exact, r.j,
+                       ({_sql_md5_60("'cms' || r.j::varchar || ':' || t.user_id::varchar")})
+                           % 256 as b
+                from top t cross join range(4) r(j)
+            )
+            select p.user_id, p.n_exact,
+                   min(coalesce(g.cnt, 0))::bigint as n_est
+            from probe p left join grid g on p.j = g.j and p.b = g.b
+            group by 1, 2
+        """,
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),

@@ -63,6 +63,7 @@ HEADLINE = [
     "q_stratified_sample",
     "q_pack_shards",
     "q_hll_distinct",
+    "q_cms_hot_keys",
     "q_pagerank",
 ]
 
