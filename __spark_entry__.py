@@ -506,6 +506,20 @@ def q_pack_shards(spark, sf):
     ).select("doc_id", "n_tokens", "start_offset", "shard_id")
 
 
+def q_corpus_mix(spark, sf):
+    # pretraining-mix sampling: per-language Bernoulli rates (en 1.0,
+    # de/fr 0.5, everything else 0.2) via the salted md5-60 fate hash
+    # — a pure scan-adjacent filter, no shuffle; the oracle replays
+    # the same CASE cut in SQL.
+    from olx_spark.operators.sampling import corpus_mix_sample
+
+    d = _t(spark, sf, "documents")
+    return corpus_mix_sample(
+        d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5}, "doc_id",
+        default_fraction=0.2, salt="mix-v1",
+    ).select("doc_id", "lang", "source")
+
+
 def q_hll_distinct(spark, sf):
     # cardinality at scale: per-type distinct-user estimate via a
     # PORTABLE HyperLogLog (operators/sketches — md5-60 hash, exact
@@ -1115,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_pack_shards": q_pack_shards,
+        "q_corpus_mix": q_corpus_mix,
         "q_hll_distinct": q_hll_distinct,
         "q_cms_hot_keys": q_cms_hot_keys,
         "q_pagerank": q_pagerank,
@@ -2122,6 +2137,15 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, n_tokens, start_offset,
                    (start_offset // 2000)::bigint as shard_id
             from o
+        """,
+        "q_corpus_mix": f"""
+            select doc_id, lang, source
+            from documents
+            where ({_sql_md5_60("'mix-v1:' || doc_id::varchar")}) % 1000000
+                  < case lang when 'en' then 1000000
+                              when 'de' then 500000
+                              when 'fr' then 500000
+                              else 200000 end
         """,
         "q_hll_distinct": _sql_hll_distinct(),
         "q_cms_hot_keys": f"""

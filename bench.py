@@ -62,6 +62,7 @@ HEADLINE = [
     "q_split_assign",
     "q_stratified_sample",
     "q_pack_shards",
+    "q_corpus_mix",
     "q_hll_distinct",
     "q_cms_hot_keys",
     "q_pagerank",

@@ -98,3 +98,33 @@ def stratified_sample(
         partition_cols=list(strata_cols),
         salt_buckets=salt_buckets,
     ).drop("__h")
+
+
+def corpus_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Per-group Bernoulli rates — the PRETRAINING-MIX step: sample
+    each source/domain at its own rate (e.g. wiki 1.0, web 0.1) so the
+    kept corpus approaches a target mixture. Same fate contract as
+    :func:`hash_bernoulli_sample` (salted md5-60 of the id: re-runs,
+    resumes and late rows agree; disjoint salts draw independently),
+    same scale shape (a pure filter — the per-group cut is a broadcast
+    CASE over ``group_col``, no shuffle, scan-adjacent).
+
+    Groups absent from ``fractions`` keep ``default_fraction`` (0.0 =
+    drop unknown sources — the safe default for a curated mix).
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    cut = F.lit(int(round(default_fraction * 1_000_000)))
+    for g, f in sorted(fractions.items()):
+        cut = F.when(F.col(group_col) == g, F.lit(int(round(f * 1_000_000)))).otherwise(cut)
+    return df.filter(F.pmod(_salted_hash(id_col, salt), F.lit(1_000_000)) < cut)

@@ -113,3 +113,57 @@ def test_stratified_validation(spark):
         stratified_sample(df, [], 5, "doc_id")
     with pytest.raises(ValueError):
         stratified_sample(df, ["lang"], 0, "doc_id")
+
+
+class TestCorpusMix:
+    def test_rates_and_fate_stability(self, spark):
+        from olx_spark.operators.sampling import corpus_mix_sample
+
+        df = spark.range(20_000).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("zh")
+            .alias("lang"),
+        )
+        out = corpus_mix_sample(
+            df, "lang", {"en": 1.0, "de": 0.5}, "doc_id", default_fraction=0.1
+        )
+        rates = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert rates["en"] == 6667  # fraction 1.0 keeps every row
+        assert abs(rates["de"] / 6667 - 0.5) < 0.05
+        assert abs(rates["zh"] / 6666 - 0.1) < 0.03
+        # fate stability: same ids kept on a re-run
+        again = corpus_mix_sample(
+            df, "lang", {"en": 1.0, "de": 0.5}, "doc_id", default_fraction=0.1
+        )
+        assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+    def test_mix_subset_of_bernoulli(self, spark):
+        # a group at fraction f keeps exactly the rows the plain
+        # Bernoulli sampler at f keeps under the same salt (shared
+        # threshold-window contract)
+        from olx_spark.operators.sampling import (
+            corpus_mix_sample,
+            hash_bernoulli_sample,
+        )
+
+        df = spark.range(5_000).select(
+            F.col("id").cast("string").alias("doc_id"), F.lit("de").alias("lang")
+        )
+        mix = corpus_mix_sample(df, "lang", {"de": 0.3}, "doc_id", salt="s9")
+        bern = hash_bernoulli_sample(df, "doc_id", 0.3, salt="s9")
+        assert mix.exceptAll(bern).count() == 0 and bern.exceptAll(mix).count() == 0
+
+    def test_validation(self):
+        from olx_spark.operators.sampling import corpus_mix_sample
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            corpus_mix_sample(None, "g", {"a": 1.5}, "id")
+        with _pt.raises(ValueError):
+            corpus_mix_sample(None, "g", {"a": 0.5}, "id", default_fraction=-0.1)
