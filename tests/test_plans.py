@@ -168,3 +168,38 @@ def test_anti_join_strategy(spark):
     plan = plan_of(out)
     # small seen side must broadcast (no full shuffle of the frontier)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_corpus_mix_no_exchange(spark):
+    # the pretraining-mix sampler is a pure filter: no shuffle anywhere
+    from olx_spark.operators.sampling import corpus_mix_sample
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = corpus_mix_sample(df, "lang", {"en": 1.0, "de": 0.5}, "doc_id")
+    assert "Exchange" not in plan_of(out)
+
+
+def test_cms_lookup_broadcasts_probes(spark):
+    # a small query set must broadcast against the counter grid — the
+    # big sketch never moves for a point lookup
+    from olx_spark.operators.cms import cms_build, cms_lookup
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    grid = cms_build(df, "user_id", 4, 256)
+    q = df.select("user_id").distinct().limit(10)
+    plan = plan_of(cms_lookup(grid, q, "user_id", 4, 256))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_registers_single_mapside_combined_exchange(spark):
+    # one shuffle, partial-aggregated before it: the sketch moves
+    # <= 2**p register rows per map task, never the raw keys
+    from olx_spark.operators.sketches import hll_registers
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(hll_registers(df, F.col("user_id").cast("string"), p=10))
+    assert plan.count("Exchange") == 1
+    # tree prints top-down: the map-side (partial) aggregate sits
+    # BELOW the Exchange, i.e. after it in the string
+    _, _, below = plan.partition("Exchange")
+    assert "HashAggregate" in below  # map-side combine feeds the shuffle
