@@ -822,6 +822,13 @@ class ScaledCrawlEngine:
             replace={"seen_shards"},
             finalize_state=_finalize,
             on_written=lambda name: seen_written.set() if name == "seen" else None,
+            # parsed/frontier/seen_shards are mutually independent
+            # (disjoint inputs off the shared cached prefix): their
+            # write jobs run overlapped — the per-round serial tail
+            # the short high-core scaling legs were paying (ad-fetch,
+            # listing-fetch and shard-merge jobs previously queued
+            # one after another even when slots were free)
+            parallel_after="seen",
         )
         progressed = sum(_counts()["ads"].values()) > 0 or _counts()["listings"] > 0
         if use_bloom and progressed:
