@@ -443,3 +443,62 @@ def test_bloom_probe_rejects_mismatched_geometry(spark):
     wrong.set_state(f.to_df())
     with pytest.raises(Exception, match="geometry mismatch"):
         wrong.probe(df).collect()
+
+
+def test_commit_round_parallel_after_semantics(spark, tmp_path_factory):
+    """parallel_after: the sequential prefix writes first (a later
+    callable must see its effects), the remaining callables resolve in
+    dict order BEFORE any overlapped write result is consumed, the
+    overlapped writes commit a manifest identical to the sequential
+    path (dict-ordered registration, zero-row pruning intact), and a
+    failing overlapped write aborts the whole commit."""
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    d = str(tmp_path_factory.mktemp("parallel"))
+    st = SnapshotStore(d, spark)
+    events = []
+
+    def lazy(name, df):
+        def f():
+            events.append(name)
+            return df
+        return f
+
+    st.commit_round(
+        0,
+        {
+            "first": spark.range(3),
+            "a": lazy("a", spark.range(5)),
+            "b": lazy("b", spark.range(7)),
+            "empty": lazy("empty", spark.range(0)),
+        },
+        {"next_round": 1},
+        parallel_after="first",
+    )
+    assert events == ["a", "b", "empty"]  # dict-order resolution kept
+    m = st.read_manifest()
+    assert list(m["tables"]) == ["first", "a", "b"]  # registration order
+    assert "empty" not in m["tables"]  # zero-row prune still applies
+    assert st.read_table("a").count() == 5
+    assert st.read_table("b").count() == 7
+
+    # a failing overlapped WRITE (job error inside the thread pool)
+    # must fail the commit and leave no trace (stage dir removed,
+    # manifest unchanged)
+    from pyspark.sql import functions as _F
+
+    bad = spark.range(1).withColumn("x", _F.raise_error(_F.lit("write failed")))
+
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="write failed"):
+        st.commit_round(
+            1,
+            {"first": spark.range(1), "a": spark.range(1), "bad": bad},
+            {"next_round": 2},
+            parallel_after="first",
+        )
+    assert st.committed_rounds() == [0]
+    import os as _os
+
+    assert not [e for e in _os.listdir(d) if e.startswith(".stage-")]
