@@ -598,9 +598,28 @@ class ScaledCrawlEngine:
             (n, s["count"] - s["scheduled"], s["scheduled"])
             for n, s in state.items()
         ]
-        limits_df = self.spark.createDataFrame(
-            limits, "name string, remaining long, base_seq long"
-        )
+        ads_base = gated.filter(F.col("kind") == "ad")
+        if len(limits) <= 2048:
+            # literal-map lookup instead of createDataFrame + broadcast
+            # join: the join cost a parallelize job + BroadcastExchange
+            # EVERY round (stage-profile class eff 0.43 at 2v8 — pure
+            # per-round fixed cost). The maps are plan literals: no job,
+            # no exchange, same semantics (a name missing from state
+            # yields null remaining -> row filtered, like the inner join)
+            rem_m = F.create_map(
+                *[F.lit(v) for n, r, _b in limits for v in (n, r)]
+            )
+            seq_m = F.create_map(
+                *[F.lit(v) for n, _r, b in limits for v in (n, b)]
+            )
+            ads_base = ads_base.withColumn(
+                "remaining", rem_m[F.col("name")].cast("long")
+            ).withColumn("base_seq", seq_m[F.col("name")].cast("long"))
+        else:  # a seed list this wide belongs in a distributed join
+            limits_df = self.spark.createDataFrame(
+                limits, "name string, remaining long, base_seq long"
+            )
+            ads_base = ads_base.join(F.broadcast(limits_df), "name")
         # url_fp final tie-break: (priority, round, parent, pos) is not
         # total when one host's pages collide — see per_host_budget
         w_seed = Window.partitionBy("name").orderBy(
@@ -608,8 +627,7 @@ class ScaledCrawlEngine:
             "discovery_pos", "url_fp",
         )
         ads_sched = (
-            gated.filter(F.col("kind") == "ad")
-            .join(F.broadcast(limits_df), "name")
+            ads_base
             .withColumn("seed_rank", F.row_number().over(w_seed) - 1)
             .filter(F.col("seed_rank") < F.col("remaining"))
             .withColumn("seq", F.col("base_seq") + F.col("seed_rank"))
