@@ -599,13 +599,18 @@ class ScaledCrawlEngine:
             for n, s in state.items()
         ]
         ads_base = gated.filter(F.col("kind") == "ad")
-        if len(limits) <= 2048:
+        if len(limits) <= 64:
             # literal-map lookup instead of createDataFrame + broadcast
             # join: the join cost a parallelize job + BroadcastExchange
             # EVERY round (stage-profile class eff 0.43 at 2v8 — pure
             # per-round fixed cost). The maps are plan literals: no job,
             # no exchange, same semantics (a name missing from state
-            # yields null remaining -> row filtered, like the inner join)
+            # yields null remaining -> row filtered, like the inner join).
+            # CAP AT 64: GetMapValue on a literal map is a LINEAR key
+            # scan per row (no hash), so two lookups x K seeds x M ad
+            # rows is O(2KM) string compares — at 512 seeds that beats
+            # the join's per-round fixed cost only for toy row counts;
+            # the broadcast hash join stays O(1)/row for wide seed lists
             rem_m = F.create_map(
                 *[F.lit(v) for n, r, _b in limits for v in (n, r)]
             )

@@ -98,6 +98,8 @@ def parse_event_dir(evdir: str) -> dict:
     agg: dict[str, dict] = {}
     # task metrics keyed by (stageId, attempt) then folded into the class
     task_time: dict[tuple, float] = {}
+    task_max: dict[tuple, float] = {}
+    task_n: dict[tuple, int] = {}
     sh_read: dict[tuple, float] = {}
     sh_write: dict[tuple, float] = {}
     stage_class: dict[tuple, str] = {}
@@ -144,9 +146,10 @@ def parse_event_dir(evdir: str) -> dict:
                 elif et == "SparkListenerTaskEnd":
                     key = (ev["Stage ID"], ev["Stage Attempt ID"])
                     tm = ev.get("Task Metrics") or {}
-                    task_time[key] = task_time.get(key, 0.0) + tm.get(
-                        "Executor Run Time", 0
-                    ) / 1000.0
+                    t_run = tm.get("Executor Run Time", 0) / 1000.0
+                    task_time[key] = task_time.get(key, 0.0) + t_run
+                    task_max[key] = max(task_max.get(key, 0.0), t_run)
+                    task_n[key] = task_n.get(key, 0) + 1
                     srm = tm.get("Shuffle Read Metrics") or {}
                     sh_read[key] = (
                         sh_read.get(key, 0.0)
@@ -160,16 +163,18 @@ def parse_event_dir(evdir: str) -> dict:
     for key, name in stage_class.items():
         a = agg.setdefault(
             name,
-            {"n": 0, "wall_s": 0.0, "task_s": 0.0, "shuf_read_mb": 0.0,
-             "shuf_write_mb": 0.0},
+            {"n": 0, "wall_s": 0.0, "task_s": 0.0, "task_max_s": 0.0,
+             "tasks": 0, "shuf_read_mb": 0.0, "shuf_write_mb": 0.0},
         )
         a["n"] += 1
         a["wall_s"] += stage_wall.get(key, 0.0)
         a["task_s"] += task_time.get(key, 0.0)
+        a["task_max_s"] = max(a["task_max_s"], task_max.get(key, 0.0))
+        a["tasks"] += task_n.get(key, 0)
         a["shuf_read_mb"] += sh_read.get(key, 0.0) / 1e6
         a["shuf_write_mb"] += sh_write.get(key, 0.0) / 1e6
     for a in agg.values():
-        for k in ("wall_s", "task_s", "shuf_read_mb", "shuf_write_mb"):
+        for k in ("wall_s", "task_s", "task_max_s", "shuf_read_mb", "shuf_write_mb"):
             a[k] = round(a[k], 3)
     return agg
 
