@@ -948,6 +948,22 @@ def q_ivf_ann(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    # SemDeDup semantic dedup (Abbas et al. 2023): seeded-random cells
+    # (the SQL-oracle-recomputable path; train=True fits k-means at
+    # scale), within-cell upper-triangular prune at cos >= 0.35 —
+    # per-cluster pairwise, never corpus-global. Full DuckDB twin
+    # replays cells + prune (_sql_semdedup).
+    from olx_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return semantic_dedup(emb, dim=64, n_clusters=16, threshold=0.35).select(
+        F.col("vec_id").alias("doc_id"), "cell", "kept", "dup_of"
+    )
+
+
 def q_image_features(spark, sf):
     # multimodal plumbing: decode + features over a binary image column
     # (Arrow-batched mapInPandas). The DuckDB twin
@@ -1154,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_ann_lsh": q_ann_lsh,
         "q_ivf_ann": q_ivf_ann,
+        "q_semdedup": q_semdedup,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
@@ -1462,6 +1479,56 @@ def _sql_ivf_ann(n_centroids: int = 16, dim: int = 64, k: int = 5, nprobe: int =
                        order by cs desc, cand_id) as rank
             from scored
         ) where rank <= {k}
+    """
+
+
+def _sql_semdedup(
+    n_clusters: int = 16, dim: int = 64, threshold: float = 0.35, seed: int = 7
+) -> str:
+    """DuckDB twin of semantic_dedup: same seeded-constant centroids and
+    argmax cell assignment as _sql_ivf_ann, then the paper's
+    upper-triangular prune replayed exactly — removed iff some
+    same-cell doc with a SMALLER id has cosine >= threshold, dup_of =
+    the minimum such id. Threshold comparisons are raw doubles in both
+    engines (the fixture's nearest within-cell cosine sits >= 2.8e-5
+    from 0.35 at both test sfs — far outside fold-order disagreement)."""
+    from olx_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_clusters, seed)
+    rows = ", ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cv) + "])"
+        for ci, cv in enumerate(cents)
+    )
+    return f"""
+        with c as (
+            select vec_id, [x::double for x in embedding] as v from embeddings
+        ), cents(cid, cv) as (values {rows}),
+        dots as (
+            select vec_id, cid,
+                   list_sum([v[i] * cv[i] for i in range(1, {dim + 1})]) as d
+            from c cross join cents
+        ), cells as (  -- argmax with ties to the LARGER cid (struct-max twin)
+            select vec_id, cid as cell from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id
+                           order by d desc, cid desc) as rn
+                from dots
+            ) where rn = 1
+        ), removed as (
+            select cb.vec_id as doc_id, min(ca.vec_id) as dup_of
+            from cells ca
+            join cells cb on ca.cell = cb.cell and ca.vec_id < cb.vec_id
+            join c a on a.vec_id = ca.vec_id
+            join c b on b.vec_id = cb.vec_id
+            where list_sum([a.v[i] * b.v[i] for i in range(1, {dim + 1})]) /
+                  (sqrt(list_sum([x * x for x in a.v])) *
+                   sqrt(list_sum([x * x for x in b.v]))) >= {threshold!r}
+            group by cb.vec_id
+        )
+        select cells.vec_id as doc_id, cells.cell,
+               case when r.dup_of is null then 1 else 0 end as kept,
+               r.dup_of
+        from cells left join removed r on r.doc_id = cells.vec_id
     """
 
 
@@ -2206,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_near_dups": _sql_simhash_near_dups(),
         "q_ann_lsh": _sql_ann_lsh(),
         "q_ivf_ann": _sql_ivf_ann(),
+        "q_semdedup": _sql_semdedup(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),

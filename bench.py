@@ -66,6 +66,7 @@ HEADLINE = [
     "q_hll_distinct",
     "q_cms_hot_keys",
     "q_pagerank",
+    "q_semdedup",
 ]
 
 REPS = 3

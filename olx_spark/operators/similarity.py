@@ -692,3 +692,106 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    train: bool = False,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster — the pairwise cost is paid
+    per-cluster (sum of c_i^2), never corpus-global, which is the whole
+    point of the clustering step. The published pruning rule is the
+    upper-triangular max: doc ``i`` is removed iff some same-cluster
+    doc that precedes it in a fixed order has cosine >= ``threshold``.
+    The paper orders by distance-to-centroid; this implementation
+    orders by ``id_col`` so the result is a deterministic function of
+    the input alone (engine-independent — the DuckDB oracle replays it
+    exactly). For transitive-closure dup GROUPS over the surviving
+    pair set, compose with :func:`olx_spark.operators.graph.dup_components`.
+
+    Returns one row per input doc: ``(id_col, cell, kept, dup_of)``
+    where ``kept`` is 1/0 and ``dup_of`` is the SMALLEST same-cluster
+    id with cosine >= threshold (null when kept).
+
+    Scale shape (100 TB): cell assignment is a vectorized pandas UDF
+    (one numpy matmul per Arrow batch, centroids a closure constant —
+    zero shuffle); the assigned frame is materialized ONCE (reliable
+    under ``spark.olx.checkpoint.reliable``) and reused by the sizing
+    agg, both pair-join sides, and the final left join; the
+    within-cluster pair join shuffles both sides on ``cell`` only.
+    Clusters above ``max_cluster`` skip pruning (every row kept,
+    logged loudly — no silent drops): a mega-cluster means the
+    centroid count is too small for the corpus; scale ``n_clusters``
+    ~ sqrt(N) like the paper does, don't let one cell go quadratic.
+    Singleton cells never enter the join (n >= 2 pre-filter).
+
+    Centroid source mirrors :func:`ivf_topk`: explicit ``centroids`` >
+    ``train=True`` (seeded sample k-means) > seeded random (the
+    SQL-oracle-recomputable default).
+    """
+    if centroids is not None:
+        cents = centroids
+    elif train:
+        cents = kmeans_centroids(
+            corpus, dim, n_clusters, seed, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = ivf_centroids(dim, n_clusters, seed)
+    cells = materialize(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
+            "cell", _cell_assigner(cents)(F.col("__v"))
+        )
+    )
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    over = sizes.filter(F.col("n") > max_cluster).agg(
+        F.count("*").alias("n_over"),
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("rows_over"),
+    ).first()
+    if over["n_over"]:
+        logger.warning(
+            "semantic_dedup: %d cluster(s) larger than max_cluster=%d "
+            "(%d rows; largest %d) skipped pruning — every row in them "
+            "is KEPT. Raise n_clusters (paper scales it ~sqrt(N)) or "
+            "max_cluster.",
+            over["n_over"],
+            max_cluster,
+            over["rows_over"],
+            over["max_n"],
+        )
+    ok = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= max_cluster)
+    ).select("cell")
+    joinable = cells.join(ok, "cell")
+    a = joinable.select(
+        "cell", F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = joinable.select(
+        "cell", F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .groupBy(F.col("__idb").alias(id_col))
+        .agg(F.min("__ida").alias("dup_of"))
+    )
+    return cells.join(removed, id_col, "left").select(
+        id_col,
+        "cell",
+        F.when(F.col("dup_of").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+        "dup_of",
+    )

@@ -334,3 +334,136 @@ def test_kmeans_centroids_small_corpus_falls_back(spark, caplog):
         got = kmeans_centroids(df, dim=2, n_centroids=8, seed=3)
     assert got == ivf_centroids(2, 8, 3)
     assert any("falling back" in r.message for r in caplog.records)
+
+
+def _semdedup_numpy_reference(ids, V, cents, tau):
+    """In-test replay of the SemDeDup rule: argmax cell (ties -> larger
+    cid), removed iff a smaller-id same-cell doc has cosine >= tau,
+    dup_of = the minimum such id."""
+    import numpy as np
+
+    V = np.asarray(V, dtype=np.float64)
+    cents = np.asarray(cents, dtype=np.float64)
+    dots = V @ cents.T
+    n_c = cents.shape[0]
+    cell = n_c - 1 - dots[:, ::-1].argmax(axis=1)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = {}
+    ids = np.asarray(ids)
+    for cid in set(cell.tolist()):
+        m = cell == cid
+        sid, sub = ids[m], Vn[m]
+        order = np.argsort(sid)
+        sid, sub = sid[order], sub[order]
+        S = sub @ sub.T
+        for j in range(len(sid)):
+            dup_of = None
+            for i in range(j):
+                if S[i, j] >= tau:
+                    dup_of = int(sid[i])
+                    break  # ids sorted: first hit IS the minimum
+            out[int(sid[j])] = (int(cid), 0 if dup_of is not None else 1, dup_of)
+    return out
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Row-exact equality with an independent numpy replay of the
+    published rule (upper-triangular prune, id order) on a clustered
+    corpus with planted near-duplicates."""
+    import numpy as np
+
+    from olx_spark.operators.similarity import ivf_centroids, semantic_dedup
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    centers = rng.standard_normal((6, dim))
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + 0.25 * rng.standard_normal(dim)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # planted near-dups: tiny perturbations of existing rows
+    for j, src in enumerate([3, 50, 51, 120]):
+        v = np.asarray(rows[src][1]) + 1e-3 * rng.standard_normal(dim)
+        rows.append((200 + j, (v / np.linalg.norm(v)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.92
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+        for r in semantic_dedup(
+            corpus, dim=dim, n_clusters=8, threshold=tau, seed=5
+        ).collect()
+    }
+    want = _semdedup_numpy_reference(
+        [r[0] for r in rows], [r[1] for r in rows],
+        ivf_centroids(dim, 8, 5), tau,
+    )
+    assert got == want
+    # the planted dups were actually pruned (sanity that tau bites)
+    assert sum(1 for _, k, _d in got.values() if k == 0) >= 4
+
+
+def test_semantic_dedup_oversize_cluster_kept_and_logged(spark, caplog):
+    """A cluster above max_cluster skips pruning: every row in it is
+    KEPT (no silent drops) and the skip is logged loudly."""
+    import logging
+
+    from olx_spark.operators.similarity import semantic_dedup
+
+    # 40 identical vectors -> one mega-cell of exact duplicates
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with caplog.at_level(logging.WARNING):
+        out = semantic_dedup(
+            corpus, dim=4, n_clusters=4, threshold=0.9, max_cluster=10
+        ).collect()
+    assert len(out) == 40
+    assert all(r["kept"] == 1 and r["dup_of"] is None for r in out)
+    assert any("skipped pruning" in r.message for r in caplog.records)
+    # same corpus under a permissive cap: everything but the smallest
+    # id is pruned onto it
+    out2 = semantic_dedup(
+        corpus, dim=4, n_clusters=4, threshold=0.9, max_cluster=1000
+    ).collect()
+    assert sum(r["kept"] for r in out2) == 1
+    assert {r["dup_of"] for r in out2 if r["kept"] == 0} == {0}
+
+
+def test_semantic_dedup_trained_cells_deterministic(spark):
+    """train=True routes through seeded k-means cells: planted
+    near-identical pairs land in one cell and prune; two runs are
+    byte-identical (seeded end to end)."""
+    import numpy as np
+
+    from olx_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    dim = 12
+    centers = rng.standard_normal((4, dim))
+    rows = []
+    for i in range(120):
+        v = centers[i % 4] + 0.2 * rng.standard_normal(dim)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for j, src in enumerate([7, 8]):
+        v = np.asarray(rows[src][1]) + 1e-3 * rng.standard_normal(dim)
+        rows.append((300 + j, (v / np.linalg.norm(v)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return sorted(
+            (r["vec_id"], r["cell"], r["kept"], r["dup_of"])
+            for r in semantic_dedup(
+                corpus, dim=dim, n_clusters=4, threshold=0.92, train=True, seed=9
+            ).collect()
+        )
+
+    r1 = run()
+    pruned = {vid: d for vid, _c, k, d in r1 if k == 0}
+    # the planted copies prune onto SOME smaller same-generator-cluster
+    # doc (dup_of is the MINIMUM similar neighbor, which with tight
+    # generator clusters is an early base doc, not necessarily the copy
+    # source): 300 copies doc 7 (cluster i%4==3), 301 copies doc 8 (==0)
+    assert pruned[300] % 4 == 3 and pruned[300] < 300
+    assert pruned[301] % 4 == 0 and pruned[301] < 301
+    assert r1 == run()
