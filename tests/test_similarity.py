@@ -467,3 +467,43 @@ def test_semantic_dedup_trained_cells_deterministic(spark):
     assert pruned[300] % 4 == 3 and pruned[300] < 300
     assert pruned[301] % 4 == 0 and pruned[301] < 301
     assert r1 == run()
+
+
+def test_semantic_dedup_numpy_equality_config_sweep(spark):
+    """Seeded config sweep (dims x cluster counts x thresholds x corpus
+    shapes) — every config must match the numpy replay row-exactly,
+    including edge shapes: all-singleton cells, one giant cell below
+    the cap, tau above every sim (nothing pruned), tau below every sim
+    (everything prunes onto the minimum id per cell)."""
+    import numpy as np
+
+    from olx_spark.operators.similarity import ivf_centroids, semantic_dedup
+
+    rng = np.random.default_rng(47)
+    configs = [
+        # (n_rows, n_gen_clusters, noise, dim, n_cells, tau)
+        (60, 3, 0.05, 8, 4, 0.9),
+        (80, 8, 0.5, 8, 2, 0.5),   # fat cells, mid tau
+        (50, 5, 0.3, 12, 32, 0.99),  # many cells -> singletons, high tau
+        (40, 1, 0.01, 6, 4, 0.0),  # one tight blob, tau=0: prune all but firsts
+    ]
+    for n, g, noise, dim, n_cells, tau in configs:
+        centers = rng.standard_normal((g, dim))
+        rows = []
+        for i in range(n):
+            v = centers[i % g] + noise * rng.standard_normal(dim)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+            for r in semantic_dedup(
+                corpus, dim=dim, n_clusters=n_cells, threshold=tau, seed=13
+            ).collect()
+        }
+        want = _semdedup_numpy_reference(
+            [r[0] for r in rows], [r[1] for r in rows],
+            ivf_centroids(dim, n_cells, 13), tau,
+        )
+        assert got == want, (n, g, noise, dim, n_cells, tau)
