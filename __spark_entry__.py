@@ -964,6 +964,19 @@ def q_semdedup(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    # distributed BPE tokenizer training (Sennrich 2016): ONE
+    # corpus-scale word-count shuffle compresses the corpus to its
+    # vocabulary; 12 merge steps iterate on the small vocab frame
+    # (pair-count agg + 1-row argmax + JVM fold rewrite per step).
+    # Deterministic -> full oracle: the DuckDB twin unrolls the same
+    # steps as materialized CTEs (_sql_bpe_merges).
+    from olx_spark.operators.bpe import bpe_merges_df
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return bpe_merges_df(d, "text", n_merges=12)
+
+
 def q_image_features(spark, sf):
     # multimodal plumbing: decode + features over a binary image column
     # (Arrow-batched mapInPandas). The DuckDB twin
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ivf_ann": q_ivf_ann,
         "q_semdedup": q_semdedup,
+        "q_bpe_merges": q_bpe_merges,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
@@ -1529,6 +1543,54 @@ def _sql_semdedup(
                case when r.dup_of is null then 1 else 0 end as kept,
                r.dup_of
         from cells left join removed r on r.doc_id = cells.vec_id
+    """
+
+
+def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
+    """DuckDB twin of bpe_train: the same merge steps unrolled as a
+    chained CTE. Each step's pair count + argmax (ties: count desc,
+    then pair lexicographic) + greedy merge apply is replayed exactly;
+    the apply is a ``list_reduce`` fold with the IDENTICAL semantics as
+    the Spark-side ``aggregate`` fold (merge when the accumulated
+    string's last space-delimited symbol equals `a` and the next is
+    `b` — symbols never contain spaces, so ``ends_with(acc, ' '||a)``
+    is an exact last-symbol test). CTEs are MATERIALIZED: each step
+    references its predecessor twice (pair scan + rewrite), so plain
+    inlined CTEs would expand the chain exponentially."""
+    steps, outs = [], []
+    prev = "v0"
+    for k in range(1, n_merges + 1):
+        steps.append(f"""
+        p{k} as materialized (
+            select (u).a as a, (u).b as b, sum(cnt) as c from (
+                select unnest([{{'a': l[i], 'b': l[i+1]}} for i in range(1, len(l))]) as u, cnt
+                from (select string_split(s, ' ') as l, cnt from {prev})
+            ) group by 1, 2
+        ), b{k} as materialized (
+            select a, b, c from p{k} order by c desc, a, b limit 1
+        ), v{k} as materialized (
+            select list_reduce(string_split(s, ' '), (acc, x) ->
+                case when (acc = m.a or ends_with(acc, ' ' || m.a)) and x = m.b
+                     then left(acc, len(acc) - len(m.a)) || m.a || m.b
+                     else acc || ' ' || x end) as s, cnt
+            from {prev} cross join b{k} m
+        )""")
+        outs.append(
+            f"select {k} as merge_rank, a as left_sym, b as right_sym, "
+            f"a || b as merged, c as pair_count from b{k}"
+        )
+        prev = f"v{k}"
+    return f"""
+        with words as materialized (
+            select w, count(*) as cnt from (
+                select unnest([x for x in string_split_regex(lower(text), '[^a-z]+') if x <> '']) as w
+                from documents where doc_id < {lim}
+            ) group by w
+        ), v0 as materialized (
+            select array_to_string(list_append([w[i] for i in range(1, len(w)+1)], '</w>'), ' ') as s, cnt
+            from words
+        ),{','.join(steps)}
+        {' union all '.join(outs)}
     """
 
 
@@ -2274,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh": _sql_ann_lsh(),
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
+        "q_bpe_merges": _sql_bpe_merges(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),

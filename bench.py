@@ -67,6 +67,7 @@ HEADLINE = [
     "q_cms_hot_keys",
     "q_pagerank",
     "q_semdedup",
+    "q_bpe_merges",
 ]
 
 REPS = 3

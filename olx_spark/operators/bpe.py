@@ -1,0 +1,211 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909) — the vocabulary-construction step of a training-data
+pipeline, beyond the reference's scope (the reference stores raw ad
+text row-at-a-time, `DownloadAds.scala:33`; it has no tokenizer).
+
+Shape of the computation (and why it scales):
+
+1. **Corpus pass (the only 100-TB-sized stage)**: words -> counts.
+   One map-side-combinable ``groupBy(word)`` shuffle compresses the
+   corpus to its VOCABULARY — a frame of (distinct word, count) rows,
+   typically 10^5..10^7 rows regardless of corpus bytes. Every
+   subsequent step touches only this compressed frame; this
+   corpus-to-vocab compression is exactly how production trainers
+   (HF tokenizers, SentencePiece) make BPE tractable, and it is the
+   part that must be distributed.
+2. **Merge loop (vocab-sized)**: classic BPE — count adjacent symbol
+   pairs weighted by word count, take the argmax (ties broken
+   deterministically: count desc, then pair lexicographic), rewrite
+   each word's symbol sequence by greedy left-to-right merging, repeat
+   ``n_merges`` times. Here each step is one small map-side-combinable
+   aggregation + a 1-row collect + a JVM-side higher-order-function
+   fold over the symbol arrays — 2 tiny jobs per merge. Lineage is cut
+   every ``materialize_every`` steps through the
+   ``spark.olx.checkpoint.reliable`` knob (same pattern as
+   ``graph.pagerank``). For production-sized merge counts (30-50k) one
+   would collect the compressed vocab to a single node and run the
+   heap-based trainer there — the corpus-scale work is identical; the
+   loop below keeps the vocab distributed, which is the right shape
+   when the vocab itself is huge or ``n_merges`` is modest.
+
+Determinism: the result is a pure function of (corpus, n_merges,
+min_freq) — no hashing, no sampling — so ``q_bpe_merges`` carries a
+FULL value oracle: the DuckDB twin unrolls the same merge steps as a
+chained CTE with ``list_reduce`` replaying the identical greedy fold.
+
+Pre-tokenization: lowercase alpha words (``[^a-z]+`` split). This is
+deliberately the simplest public scheme — byte-level pre-tokenizers
+slot in at :func:`word_vocab` without touching the merge loop — and
+keeps the SQL twin exact (no unicode-indexing parity risk).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from olx_spark.session import materialize
+
+END_OF_WORD = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: Column | str) -> DataFrame:
+    """(word, cnt) over lowercase alpha words — the one corpus-scale
+    shuffle (map-side combined)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        df.select(F.explode(F.split(F.lower(c), "[^a-z]+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Space-joined symbol string: characters + the end-of-word marker
+    (symbols never contain spaces, so the join is lossless)."""
+    return F.concat_ws(
+        " ", F.concat(F.split(word, ""), F.array(F.lit(END_OF_WORD)))
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a||b over a
+    space-joined symbol string — a JVM-side ``aggregate`` fold (one
+    pass, whole-stage codegen; the classic BPE apply step). Overlapping
+    runs merge non-overlapping-left-first: 'a a a' -> 'aa a'."""
+    arr = F.split(syms, " ")
+    merged = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.slice(arr, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.array_join(merged, " ")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: Column | str,
+    n_merges: int,
+    min_freq: int = 1,
+    materialize_every: int = 4,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    ``[(merge_rank, left_sym, right_sym, merged, pair_count), ...]``
+    (rank is 1-based, in learning order). Stops early when the best
+    remaining pair's count drops below ``min_freq`` or no pairs remain.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = word_vocab(df, text_col).select(
+        _initial_symbols(F.col("word")).alias("s"), "cnt"
+    )
+    vocab = materialize(vocab)  # cut the corpus lineage before the loop
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        pairs = vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("a"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("b"),
+                )
+            ).alias("p"),
+            "cnt",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_freq:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        vocab = vocab.select(_apply_merge(F.col("s"), a, b).alias("s"), "cnt")
+        if rank % materialize_every == 0:
+            vocab = materialize(vocab)
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    text_col: Column | str,
+    n_merges: int,
+    min_freq: int = 1,
+) -> DataFrame:
+    """``bpe_train`` as a DataFrame (the ``q_bpe_merges`` surface)."""
+    spark = df.sparkSession
+    merges = bpe_train(df, text_col, n_merges, min_freq)
+    schema = (
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: Column | str,
+    merges: list[tuple[int, str, str, str, int]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize text with a learned merge list: per word, apply merges
+    greedily in rank order (the standard BPE encoder). Arrow-batched
+    pandas UDF with a per-batch word cache — each DISTINCT word in a
+    batch is encoded once (Zipf makes the cache hit rate high); the
+    merge list ships once per executor as a closure constant."""
+    ranked = [(a, b) for (_r, a, b, _m, _c) in sorted(merges)]
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [END_OF_WORD]
+            for a, b in ranked:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        def enc(t: str) -> list[str]:
+            if t is None:
+                return []
+            toks: list[str] = []
+            for w in re.split(r"[^a-z]+", t.lower()):
+                if w:
+                    toks.extend(enc_word(w))
+            return toks
+
+        return texts.map(enc)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.withColumn(out_col, encode(c))
