@@ -203,3 +203,53 @@ def test_hll_registers_single_mapside_combined_exchange(spark):
     # BELOW the Exchange, i.e. after it in the string
     _, _, below = plan.partition("Exchange")
     assert "HashAggregate" in below  # map-side combine feeds the shuffle
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    # the within-cluster prune must be an EQUI join on cell (shuffled
+    # hash / sort-merge), never a cartesian or nested-loop product —
+    # the cosine threshold is a post-join filter, not a join condition
+    # Catalyst could degrade on
+    from olx_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    plan = plan_of(semantic_dedup(emb, dim=64, n_clusters=16, threshold=0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no per-row Python on the pair path: the only Python stage is the
+    # vectorized cell assigner (ArrowEvalPython), never BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_count_is_mapside_combined(spark):
+    # one merge step's pair aggregation: partial HashAggregate BELOW
+    # the single Exchange — pairs combine map-side, the shuffle carries
+    # (pair, partial count) rows, never one row per pair occurrence
+    from olx_spark.operators.bpe import word_vocab, _initial_symbols
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    vocab = word_vocab(docs, "text").select(
+        _initial_symbols(F.col("word")).alias("s"), "cnt"
+    )
+    arr = F.split("s", " ")
+    pairs = vocab.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("a"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("b"),
+            )
+        ).alias("p"),
+        "cnt",
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+    agg = pairs.groupBy("a", "b").agg(F.sum("cnt").alias("c"))
+    plan = plan_of(agg)
+    # two Exchanges total: word-count shuffle + pair shuffle; the
+    # partial aggregate for the PAIR shuffle sits below the topmost one
+    _, _, below = plan.partition("Exchange")
+    assert "HashAggregate" in below
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
