@@ -977,6 +977,45 @@ def q_bpe_merges(spark, sf):
     return bpe_merges_df(d, "text", n_merges=12)
 
 
+def _bench_selector():
+    # deterministic fate-hash split of `documents` into a benchmark
+    # "eval set" (~1/37 of docs) and the training corpus — the
+    # decontamination fixture (no external data per the brief)
+    from olx_spark.functions.text import md5_60
+
+    return (
+        F.pmod(
+            md5_60(F.concat(F.lit("bench-v1:"), F.col("doc_id").cast("string"))),
+            F.lit(37),
+        )
+        == 0
+    )
+
+
+def q_decontaminate(spark, sf):
+    # benchmark DECONTAMINATION (GPT-3 appendix C / Dolma): flag
+    # training docs whose distinct word 3-grams overlap the held-out
+    # eval set. Benchmark n-gram hashes broadcast against the exploded
+    # corpus stream; full DuckDB twin replays shingles + overlap.
+    from olx_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    sel = _bench_selector()
+    return decontaminate(
+        docs.filter(~sel), docs.filter(sel), n=3, min_overlap_frac=0.1
+    )
+
+
+def q_perplexity_filter(spark, sf):
+    # CCNet-style LM QUALITY stage: bigram stupid-backoff LM fit on a
+    # 30% fate-hash slice, every doc scored (2 vocab-keyed joins),
+    # corpus bucketed head/middle/tail by perplexity terciles. Full
+    # DuckDB twin replays counts, backoff, and the tercile cut.
+    from olx_spark.operators.lm import perplexity_filter
+
+    return perplexity_filter(_t(spark, sf, "documents"))
+
+
 def q_image_features(spark, sf):
     # multimodal plumbing: decode + features over a binary image column
     # (Arrow-batched mapInPandas). The DuckDB twin
@@ -1185,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_semdedup": q_semdedup,
         "q_bpe_merges": q_bpe_merges,
+        "q_decontaminate": q_decontaminate,
+        "q_perplexity_filter": q_perplexity_filter,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
@@ -1600,6 +1641,106 @@ def _sql_escape(s: str) -> str:
 
 @functools.lru_cache(maxsize=None)  # pure function of constants; the
 # graph build + SQL assembly is ~0.5 s of driver Python per call
+def _sql_decontaminate(n: int = 3, min_overlap: float = 0.1, min_hits: int = 1) -> str:
+    """DuckDB twin of q_decontaminate: the same fate-hash bench/corpus
+    split, distinct word n-gram md5-60 hashes on both sides, left-join
+    overlap count, rounded fraction, flag."""
+    bsel = f"{_sql_md5_60(chr(39) + 'bench-v1:' + chr(39) + ' || doc_id::varchar')} % 37 = 0"
+    return f"""
+        with bench as (
+            select text from documents where {bsel}
+        ), corpus as (
+            select doc_id, text from documents where not ({bsel})
+        ), bsh as (
+            select distinct {_sql_md5_60('ng')} as ngram_h
+            from (select unnest({_sql_shingles(n)}) as ng from bench)
+        ), dsh as (
+            select distinct doc_id, {_sql_md5_60('ng')} as ngram_h
+            from (select doc_id, unnest({_sql_shingles(n)}) as ng from corpus)
+        ), agg as (
+            select d.doc_id, count(*)::bigint as n_ngrams,
+                   sum(case when b.ngram_h is not null then 1 else 0 end)::bigint as n_hits
+            from dsh d left join bsh b using (ngram_h)
+            group by 1
+        )
+        select c.doc_id,
+               coalesce(a.n_ngrams, 0)::bigint as n_ngrams,
+               coalesce(a.n_hits, 0)::bigint as n_hits,
+               case when coalesce(a.n_ngrams, 0) = 0 then 0.0::double
+                    else round(a.n_hits::double / a.n_ngrams, 6) end as overlap_frac,
+               (case when coalesce(a.n_ngrams, 0) > 0
+                      and coalesce(a.n_hits, 0) >= {min_hits}
+                      and (case when coalesce(a.n_ngrams, 0) = 0 then 0.0::double
+                           else round(a.n_hits::double / a.n_ngrams, 6) end)
+                          >= {min_overlap}::double
+                then 1 else 0 end)::int as contaminated
+        from corpus c left join agg a using (doc_id)
+    """
+
+
+def _sql_perplexity_filter(train_pct: int = 30, alpha: float = 0.4) -> str:
+    """DuckDB twin of q_perplexity_filter: same sentinel-prefixed token
+    streams, fate-hash train slice, unigram/bigram counts, stupid
+    backoff per transition, rounded per-doc mean log10 + ppl, tercile
+    cut via quantile_cont (== Spark percentile, verified by
+    q_quantiles)."""
+    stream = (
+        f"case when length(trim(text)) = 0 then ['<s>'] "
+        f"else list_prepend('<s>', string_split({_sql_norm('text')}, ' ')) end"
+    )
+    tsel = f"{_sql_md5_60(chr(39) + 'lm-train-v1:' + chr(39) + ' || doc_id::varchar')} % 100 < {train_pct}"
+    return f"""
+        with toks as (
+            select doc_id, {stream} as stream from documents
+        ), train as (
+            select stream from toks where {tsel}
+        ), uni as (
+            select w, count(*)::bigint as c_w
+            from (select unnest(stream) as w from train) group by 1
+        ), tot as (
+            select sum(c_w)::bigint as n_total from uni
+        ), bij as (
+            select b.w_prev, b.w, b.c_bi, u.c_w as c_prev
+            from (
+                select w_prev, w, count(*)::bigint as c_bi
+                from (
+                    select stream[i] as w_prev, stream[i + 1] as w
+                    from (select stream, unnest(range(1, len(stream))) as i from train)
+                ) group by 1, 2
+            ) b join uni u on u.w = b.w_prev
+        ), pairs as (
+            select doc_id, stream[i] as w_prev, stream[i + 1] as w
+            from (select doc_id, stream, unnest(range(1, len(stream))) as i from toks)
+        ), lp as (
+            select p.doc_id,
+                   log10(case when b.c_bi is not null then b.c_bi::double / b.c_prev
+                              when u.c_w is not null then {alpha}::double * u.c_w / t.n_total
+                              else {alpha}::double / t.n_total end) as lp
+            from pairs p
+            left join bij b on b.w_prev = p.w_prev and b.w = p.w
+            left join uni u on u.w = p.w
+            cross join tot t
+        ), agg as (
+            select doc_id, count(*)::bigint as n_tokens,
+                   round(sum(lp) / count(*), 6) as logprob
+            from lp group by 1
+        ), sc as (
+            select d.doc_id, coalesce(a.n_tokens, 0)::bigint as n_tokens,
+                   a.logprob, round(power(10.0, -a.logprob), 4) as ppl
+            from (select doc_id from documents) d left join agg a using (doc_id)
+        ), cuts as (
+            select quantile_cont(ppl, 1.0/3) as t1, quantile_cont(ppl, 2.0/3) as t2
+            from sc where ppl is not null
+        )
+        select doc_id, n_tokens, logprob, ppl,
+               case when ppl is null then 'empty'
+                    when ppl <= t1 then 'head'
+                    when ppl <= t2 then 'middle'
+                    else 'tail' end as bucket
+        from sc cross join cuts
+    """
+
+
 def _sql_crawl_reference() -> str:
     """DuckDB twin of the reference-exact crawl engine: the RAW fixture
     graph (seed listing pages with hrefs in page order incl.
@@ -2337,6 +2478,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
         "q_bpe_merges": _sql_bpe_merges(),
+        "q_decontaminate": _sql_decontaminate(),
+        "q_perplexity_filter": _sql_perplexity_filter(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),

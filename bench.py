@@ -68,6 +68,8 @@ HEADLINE = [
     "q_pagerank",
     "q_semdedup",
     "q_bpe_merges",
+    "q_decontaminate",
+    "q_perplexity_filter",
 ]
 
 REPS = 3
