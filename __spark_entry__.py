@@ -1016,6 +1016,29 @@ def q_perplexity_filter(spark, sf):
     return perplexity_filter(_t(spark, sf, "documents"))
 
 
+def q_dsir_resample(spark, sf):
+    # DSIR importance resampling (Xie et al. 2023): hashed
+    # unigram+bigram bucket log-ratios between a fate-hash TARGET
+    # slice (~1/11 of docs — the "high-quality held-out" proxy, no
+    # external data per the brief) and the raw remainder; every raw
+    # doc scored through a broadcast 256-row lam table (one
+    # corpus-scale shuffle), then deterministic Gumbel top-k
+    # (TakeOrderedAndProject). Full DuckDB twin replays hashing,
+    # smoothing, scoring, and the Gumbel draw.
+    from olx_spark.functions.text import md5_60
+    from olx_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf, "documents")
+    sel = (
+        F.pmod(
+            md5_60(F.concat(F.lit("dsir-target-v1:"), F.col("doc_id").cast("string"))),
+            F.lit(11),
+        )
+        == 0
+    )
+    return dsir_resample(docs.filter(~sel), docs.filter(sel), k=200)
+
+
 def q_image_features(spark, sf):
     # multimodal plumbing: decode + features over a binary image column
     # (Arrow-batched mapInPandas). The DuckDB twin
@@ -1226,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_decontaminate": q_decontaminate,
         "q_perplexity_filter": q_perplexity_filter,
+        "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
@@ -1738,6 +1762,69 @@ def _sql_perplexity_filter(train_pct: int = 30, alpha: float = 0.4) -> str:
                     when ppl <= t2 then 'middle'
                     else 'tail' end as bucket
         from sc cross join cuts
+    """
+
+
+def _sql_dsir_resample(
+    n_buckets: int = 256, smoothing: float = 1.0, k: int = 200
+) -> str:
+    """DuckDB twin of q_dsir_resample: same fate-hash target/raw
+    split, unigram+bigram md5-60 bucket hashing, Laplace-smoothed
+    bucket log-ratios over a dense range() spine, per-doc summed
+    score, deterministic Gumbel draw, top-k cut with the
+    (gkey desc, doc_id) total order."""
+    tsel = f"{_sql_md5_60(chr(39) + 'dsir-target-v1:' + chr(39) + ' || doc_id::varchar')} % 11 = 0"
+    feats = (
+        f"case when length(trim(text)) = 0 then []::varchar[] "
+        f"else list_concat({_sql_shingles(1)}, {_sql_shingles(2)}) end"
+    )
+    s, sb = float(smoothing), float(smoothing) * n_buckets
+    m = 1 << 20  # GUMBEL_M (operators/dsir.py)
+    return f"""
+        with tgt as (
+            select text from documents where {tsel}
+        ), raw as (
+            select doc_id, text from documents where not ({tsel})
+        ), ft as (
+            select {_sql_md5_60('g')} % {n_buckets} as bucket
+            from (select unnest({feats}) as g from tgt)
+        ), fr as (
+            select doc_id, {_sql_md5_60('g')} % {n_buckets} as bucket
+            from (select doc_id, unnest({feats}) as g from raw)
+        ), cp as (
+            select bucket, count(*)::bigint as c_p from ft group by 1
+        ), cq as (
+            select bucket, count(*)::bigint as c_q from fr group by 1
+        ), tp as (select coalesce(sum(c_p), 0)::bigint as t_p from cp),
+        tq as (select coalesce(sum(c_q), 0)::bigint as t_q from cq),
+        lam as (
+            select r.range::int as bucket,
+                   ln((coalesce(c.c_p, 0) + {s}) / (t.t_p + {sb}))
+                 - ln((coalesce(q.c_q, 0) + {s}) / (u.t_q + {sb})) as lam
+            from range({n_buckets}) r
+            left join cp c on c.bucket = r.range
+            left join cq q on q.bucket = r.range
+            cross join tp t cross join tq u
+        ), sc as (
+            select f.doc_id, count(*)::bigint as n_feats,
+                   round(sum(l.lam), 6) as log_weight
+            from fr f join lam l using (bucket)
+            group by 1
+        ), g as (
+            select r.doc_id,
+                   coalesce(s.n_feats, 0)::bigint as n_feats,
+                   coalesce(s.log_weight, 0.0)::double as log_weight,
+                   round(coalesce(s.log_weight, 0.0)
+                         + -ln(-ln((({_sql_md5_60(chr(39) + 'dsir-gumbel-v1:' + chr(39) + ' || doc_id::varchar')} % {m}) + 0.5) / {float(m)})), 6)
+                       as gkey
+            from raw r left join sc s using (doc_id)
+        )
+        select doc_id, n_feats, log_weight, gkey,
+               (row_number() over (order by gkey desc, doc_id) - 1)::int
+                   as rank_in_limit
+        from g
+        order by gkey desc, doc_id
+        limit {k}
     """
 
 
@@ -2480,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _sql_bpe_merges(),
         "q_decontaminate": _sql_decontaminate(),
         "q_perplexity_filter": _sql_perplexity_filter(),
+        "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),

@@ -70,6 +70,7 @@ HEADLINE = [
     "q_bpe_merges",
     "q_decontaminate",
     "q_perplexity_filter",
+    "q_dsir_resample",
 ]
 
 REPS = 3
