@@ -977,6 +977,20 @@ def q_bpe_merges(spark, sf):
     return bpe_merges_df(d, "text", n_merges=12)
 
 
+def q_bpe_encode(spark, sf):
+    # BPE ENCODE at corpus scale: train the same 12 merges as
+    # q_bpe_merges, then tokenize EVERY document via the vocab-level
+    # path — each distinct word encoded once through 12 chained JVM
+    # folds, corpus mapped through a vocab-keyed join, per-doc token
+    # stream fingerprinted (md5-60) in word order. Full DuckDB twin
+    # replays train + encode chains (_sql_bpe_encode).
+    from olx_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe_train(docs.filter(F.col("doc_id") < 120), "text", n_merges=12)
+    return bpe_encode_docs(docs, "text", merges)
+
+
 def _bench_selector():
     # deterministic fate-hash split of `documents` into a benchmark
     # "eval set" (~1/37 of docs) and the training corpus — the
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_semdedup": q_semdedup,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
         "q_decontaminate": q_decontaminate,
         "q_perplexity_filter": q_perplexity_filter,
         "q_dsir_resample": q_dsir_resample,
@@ -1611,17 +1626,28 @@ def _sql_semdedup(
     """
 
 
-def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
-    """DuckDB twin of bpe_train: the same merge steps unrolled as a
-    chained CTE. Each step's pair count + argmax (ties: count desc,
-    then pair lexicographic) + greedy merge apply is replayed exactly;
-    the apply is a ``list_reduce`` fold with the IDENTICAL semantics as
-    the Spark-side ``aggregate`` fold (merge when the accumulated
-    string's last space-delimited symbol equals `a` and the next is
-    `b` — symbols never contain spaces, so ``ends_with(acc, ' '||a)``
-    is an exact last-symbol test). CTEs are MATERIALIZED: each step
-    references its predecessor twice (pair scan + rewrite), so plain
-    inlined CTEs would expand the chain exponentially."""
+def _sql_bpe_fold(src_list: str, a: str = "m.a", b: str = "m.b") -> str:
+    """The greedy BPE merge apply as a DuckDB ``list_reduce`` fold with
+    the IDENTICAL semantics as the Spark-side ``aggregate`` fold (merge
+    when the accumulated string's last space-delimited symbol equals
+    `a` and the next is `b` — symbols never contain spaces, so
+    ``ends_with(acc, ' '||a)`` is an exact last-symbol test)."""
+    return (
+        f"list_reduce({src_list}, (acc, x) -> "
+        f"case when (acc = {a} or ends_with(acc, ' ' || {a})) and x = {b} "
+        f"then left(acc, len(acc) - len({a})) || {a} || {b} "
+        f"else acc || ' ' || x end)"
+    )
+
+
+def _sql_bpe_train_ctes(n_merges: int, lim: int) -> tuple[str, list[str]]:
+    """The BPE training chain (shared by _sql_bpe_merges and
+    _sql_bpe_encode): words/v0 + per-step pair-count (p{k}), argmax
+    (b{k} — ties: count desc, then pair lexicographic) and greedy
+    rewrite (v{k}) CTEs, unrolled. Returns (cte_text, merge_row_sqls).
+    CTEs are MATERIALIZED: each step references its predecessor twice
+    (pair scan + rewrite), so plain inlined CTEs would expand the
+    chain exponentially."""
     steps, outs = [], []
     prev = "v0"
     for k in range(1, n_merges + 1):
@@ -1634,10 +1660,7 @@ def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
         ), b{k} as materialized (
             select a, b, c from p{k} order by c desc, a, b limit 1
         ), v{k} as materialized (
-            select list_reduce(string_split(s, ' '), (acc, x) ->
-                case when (acc = m.a or ends_with(acc, ' ' || m.a)) and x = m.b
-                     then left(acc, len(acc) - len(m.a)) || m.a || m.b
-                     else acc || ' ' || x end) as s, cnt
+            select {_sql_bpe_fold("string_split(s, ' ')")} as s, cnt
             from {prev} cross join b{k} m
         )""")
         outs.append(
@@ -1645,8 +1668,7 @@ def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
             f"a || b as merged, c as pair_count from b{k}"
         )
         prev = f"v{k}"
-    return f"""
-        with words as materialized (
+    ctes = f"""words as materialized (
             select w, count(*) as cnt from (
                 select unnest([x for x in string_split_regex(lower(text), '[^a-z]+') if x <> '']) as w
                 from documents where doc_id < {lim}
@@ -1654,8 +1676,68 @@ def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
         ), v0 as materialized (
             select array_to_string(list_append([w[i] for i in range(1, len(w)+1)], '</w>'), ' ') as s, cnt
             from words
-        ),{','.join(steps)}
+        ),{','.join(steps)}"""
+    return ctes, outs
+
+
+def _sql_bpe_merges(n_merges: int = 12, lim: int = 120) -> str:
+    """DuckDB twin of bpe_train: the same merge steps unrolled as a
+    chained CTE (see _sql_bpe_train_ctes / _sql_bpe_fold)."""
+    ctes, outs = _sql_bpe_train_ctes(n_merges, lim)
+    return f"""
+        with {ctes}
         {' union all '.join(outs)}
+    """
+
+
+def _sql_bpe_encode(n_merges: int = 12, lim: int = 120) -> str:
+    """DuckDB twin of q_bpe_encode: re-train the merge chain (same
+    CTEs as _sql_bpe_merges), then encode the FULL corpus vocabulary
+    through the same greedy fold chained once per merge (ev{k} CTEs),
+    and reassemble per document: word stream in document order joined
+    against the encoded vocab, md5-60 fingerprint of the space-joined
+    token stream, zero-word docs kept with the empty-string
+    fingerprint."""
+    ctes, _outs = _sql_bpe_train_ctes(n_merges, lim)
+    enc_steps = []
+    prev = "ev0"
+    for k in range(1, n_merges + 1):
+        enc_steps.append(f"""
+        ev{k} as materialized (
+            select w, {_sql_bpe_fold("string_split(s, ' ')")} as s
+            from {prev} cross join b{k} m
+        )""")
+        prev = f"ev{k}"
+    return f"""
+        with {ctes},
+        docw as materialized (
+            select doc_id, u.i as pos, u.w from (
+                select doc_id,
+                       unnest([{{'i': i, 'w': l[i]}} for i in range(1, len(l) + 1)]) as u
+                from (select doc_id,
+                             string_split_regex(lower(text), '[^a-z]+') as l
+                      from documents)
+            ) where u.w <> ''
+        ), ev0 as materialized (
+            select w,
+                   array_to_string(list_append([w[i] for i in range(1, len(w)+1)], '</w>'), ' ') as s
+            from (select distinct w from docw)
+        ),{','.join(enc_steps)},
+        wmap as materialized (
+            select w, s as toks_str, len(string_split(s, ' '))::bigint as n_toks
+            from {prev}
+        ), per_doc as (
+            select d.doc_id, count(*)::bigint as n_words,
+                   sum(m.n_toks)::bigint as n_tokens,
+                   {_sql_md5_60("string_agg(m.toks_str, ' ' order by d.pos)")} as tokens_fp
+            from docw d join wmap m on m.w = d.w
+            group by 1
+        )
+        select x.doc_id,
+               coalesce(p.n_words, 0)::bigint as n_words,
+               coalesce(p.n_tokens, 0)::bigint as n_tokens,
+               coalesce(p.tokens_fp, {_sql_md5_60("''")})::bigint as tokens_fp
+        from (select doc_id from documents) x left join per_doc p using (doc_id)
     """
 
 
@@ -2565,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
         "q_bpe_merges": _sql_bpe_merges(),
+        "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
         "q_perplexity_filter": _sql_perplexity_filter(),
         "q_dsir_resample": _sql_dsir_resample(),

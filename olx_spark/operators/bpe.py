@@ -154,6 +154,95 @@ def bpe_merges_df(
     return spark.createDataFrame(merges, schema)
 
 
+def bpe_encode_docs(
+    df: DataFrame,
+    text_col: Column | str,
+    merges: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list — the SCALE path:
+    encode each DISTINCT word once (vocab-sized frame, ``n_merges``
+    chained JVM ``aggregate`` folds — the same ``_apply_merge``
+    expression the trainer uses, so encode == train semantics by
+    construction), then map the corpus through a VOCABULARY-keyed
+    shuffled join (the ``lm.py`` convention: a 100-TB vocab is
+    millions of keys — never operator-forced broadcast; AQE may still
+    broadcast a small one). Per document this returns
+    ``(id_col, n_words, n_tokens, tokens_fp)`` where ``tokens_fp`` is
+    the portable md5-60 fingerprint of the space-joined token stream
+    in document word order — value-pinning the full tokenization
+    without hauling token arrays through the result.
+
+    Corpus-scale costs: the word explode + vocab join (one shuffle)
+    and the per-doc reassembly groupBy (one shuffle, position-sorted
+    ``collect_list`` — linear in document length). Everything else is
+    vocab-sized. The per-word greedy fold is row-identical to
+    :func:`bpe_encode`'s skip-2 scan (pinned by pytest): merging into
+    the accumulator's last element IS the left-to-right
+    non-overlapping pass, because a merged token ``a||b`` can never
+    equal the left symbol ``a`` again.
+    """
+    from olx_spark.functions.text import md5_60
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(c), "[^a-z]+")).alias("pos", "word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    # one fold per SELECT layer with a periodic materialize — chaining
+    # the fold EXPRESSIONS directly would nest each step's subtree ~5x
+    # inside the next (Catalyst's project-collapse re-inlines aliases),
+    # i.e. a 5^n_merges expression blowup; the trainer's loop has the
+    # same structure for the same reason
+    enc = (
+        words.select("word")
+        .distinct()
+        .select("word", _initial_symbols(F.col("word")).alias("s"))
+    )
+    for i, (_rank, a, b, _m, _c) in enumerate(sorted(merges), 1):
+        enc = enc.select("word", _apply_merge(F.col("s"), a, b).alias("s"))
+        if i % 4 == 0:
+            enc = materialize(enc)
+    vocab = enc.select(
+        "word",
+        F.col("s").alias("toks_str"),
+        F.size(F.split("s", " ")).alias("n_toks"),
+    )
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            md5_60(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "toks_str"))
+                        ),
+                        lambda x: x["toks_str"],
+                    ),
+                    " ",
+                )
+            ).alias("tokens_fp"),
+        )
+    )
+    empty_fp = md5_60(F.lit(""))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens_fp"), empty_fp).alias("tokens_fp"),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: Column | str,

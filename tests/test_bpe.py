@@ -12,6 +12,7 @@ from conftest import SF_DIR
 from olx_spark.operators.bpe import (
     END_OF_WORD,
     bpe_encode,
+    bpe_encode_docs,
     bpe_merges_df,
     bpe_train,
     word_vocab,
@@ -149,3 +150,38 @@ def test_word_vocab_counts(spark):
     )
     got = {r["word"]: r["cnt"] for r in word_vocab(df, "text").collect()}
     assert got == {"dog": 3, "cat": 2}
+
+
+def test_bpe_encode_docs_matches_row_encode(spark, corpus, corpus_texts):
+    """The vocab-level scale path (encode each distinct word once,
+    map the corpus through a vocab join) must produce the exact same
+    per-document token stream as the per-row encode — pinned via the
+    md5-60 fingerprint, counts, and an empty/punct-only doc."""
+    import hashlib
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    texts = corpus_texts + ["", "1234 !!"]  # zero-word docs keep fp('')
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(corpus, "text", n_merges=15)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens_fp"])
+        for r in bpe_encode_docs(df, "text", merges).collect()
+    }
+    assert set(got) == set(range(len(texts)))  # every doc kept
+
+    row = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df, "text", merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        assert got[i] == (
+            len(words),
+            len(row[i]),
+            md5_60(" ".join(row[i])),
+        ), f"doc {i}"
+    assert got[len(texts) - 1] == (0, 0, md5_60(""))

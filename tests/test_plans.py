@@ -253,3 +253,25 @@ def test_bpe_pair_count_is_mapside_combined(spark):
     _, _, below = plan.partition("Exchange")
     assert "HashAggregate" in below
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_docs_plan_is_vocab_joined(spark):
+    # the corpus-scale encode: all folds run on the DISTINCT-word
+    # frame (vocab-sized), the corpus maps through a JOIN — never a
+    # cartesian/NLJ, never per-row Python; the per-doc reassembly is
+    # a sort-free collect_list aggregate (array_sort inside the agg)
+    from olx_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    merges = bpe_train(docs, "text", n_merges=4)
+    out = bpe_encode_docs(docs, "text", merges)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no GLOBAL Sort: document order is restored via array_sort over
+    # (pos, toks) structs inside the aggregate, not a shuffle-sort.
+    # (SortMergeJoin's partition-local sorts print `], false, 0`.)
+    assert "], true, 0" not in plan
