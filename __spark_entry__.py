@@ -1206,6 +1206,57 @@ def q_phash_near_dup(spark, sf):
     return phash_near_dups(df, max_dist=6)
 
 
+def _curation_corpus_rows(n: int = 72, seed: int = 5) -> list[tuple]:
+    """Metadata rows (image_id, w, h, caption, phash) for the curation
+    query: the deterministic fixture corpus (sizes {32,64,96} plant
+    resolution and aspect violations naturally) plus hand-planted
+    caption violations and phash duplicates — one dup that LOSES the
+    rank (id sorts after the original), one that WINS (id sorts
+    before), and one whose original FAILS a metadata rule (the passing
+    copy must still rank 1). Memoized like the image corpora."""
+    key = ("curation", n, seed)
+    if key not in _CORPUS_CACHE:
+        from olx_spark.fixtures.images import make_image_row
+
+        base = [make_image_row(i, seed=seed, with_bytes=False) for i in range(n)]
+        rows = [(r["image_id"], r["w"], r["h"], r["caption"], r["phash"]) for r in base]
+        first_pass = next(
+            r for r in base if min(r["w"], r["h"]) >= 48 and max(r["w"], r["h"]) * 2 <= 5 * min(r["w"], r["h"])
+        )
+        first_fail = next(r for r in base if min(r["w"], r["h"]) < 48)
+        rows += [
+            ("planted-caption-empty", 64, 64, "", 9001),
+            ("planted-caption-one", 64, 64, "tower", 9002),
+            ("planted-caption-long", 64, 64, " ".join(["w"] * 65), 9003),
+            ("planted-caption-junk", 64, 64, "#### 1234 !!! 555", 9004),
+            ("planted-caption-null", 64, 64, None, 9005),
+            # dup that loses: 'zz-dup' > original image_id
+            ("zz-dup-late", first_pass["w"], first_pass["h"], first_pass["caption"], first_pass["phash"]),
+            # dup that wins: 'aa-dup' < 'img-...'
+            ("aa-dup-early", first_pass["w"], first_pass["h"], "a fine copy of it", first_pass["phash"]),
+            # same phash as a rule-FAILING row: must still be kept at rank 1
+            ("ok-shadow-of-fail", 64, 64, "clean caption here", first_fail["phash"]),
+        ]
+        _CORPUS_CACHE[key] = rows
+    return _CORPUS_CACHE[key]
+
+
+def q_curate_images(spark, sf):
+    # LAION/DataComp-style image+caption CURATION over the input_hint
+    # table: resolution / aspect / caption-length / caption-quality
+    # rules (pure JVM exprs; payload bytes column never read) then
+    # phash dedup of survivors via one windowed shuffle. Full DuckDB
+    # twin replays the rule logic itself (_sql_curate_images), not
+    # inlined expected values.
+    from olx_spark.operators.curation import curate_image_captions
+
+    df = spark.createDataFrame(
+        _curation_corpus_rows(),
+        "image_id string, w int, h int, caption string, phash long",
+    )
+    return curate_image_captions(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1272,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_features": q_video_features,
         "q_video_frames": q_video_frames,
         "q_phash_near_dup": q_phash_near_dup,
+        "q_curate_images": q_curate_images,
     }
 
 
@@ -2044,6 +2096,52 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_curate_images() -> str:
+    """DuckDB twin of q_curate_images: embeds the corpus METADATA as
+    VALUES and replays the rule LOGIC itself (thresholds, precedence,
+    survivor-only phash dedup window) — a logic twin, not an inlined
+    expected-output table, so a semantics drift in either engine's
+    rule chain fails the hash."""
+    vals = []
+    for image_id, w, h, caption, phash in _curation_corpus_rows():
+        cap = "NULL" if caption is None else f"'{_sql_escape(caption)}'"
+        vals.append(f"('{image_id}', {w}, {h}, {cap}, {phash})")
+    return f"""
+        with src as (
+            select * from (values {", ".join(vals)})
+                 t(image_id, w, h, caption, phash)
+        ), meta as (
+            select image_id, phash,
+                case when trim(coalesce(caption, '')) = '' then 0
+                     else len(string_split_regex(trim(caption), '\\s+')) end as n_words,
+                case when len(coalesce(caption, '')) = 0 then 0.0
+                     else len(regexp_replace(coalesce(caption, ''), '[^a-zA-Z ]', '', 'g'))::double
+                          / len(caption) end as alpha_frac
+            from src
+        ), staged as (
+            select meta.image_id, meta.phash, n_words,
+                case when least(m.w, m.h) < 48 then 'resolution'
+                     when greatest(m.w, m.h)::double / least(m.w, m.h) > 2.5 then 'aspect'
+                     when n_words < 2 then 'caption_short'
+                     when n_words > 64 then 'caption_long'
+                     when alpha_frac < 0.5 then 'caption_quality'
+                     else '' end as meta_reason
+            from meta join src m using (image_id)
+        ), ranked as (
+            select *, row_number() over (
+                partition by phash, (meta_reason = '') order by image_id
+            ) as rn
+            from staged
+        )
+        select image_id, n_words::int as n_words,
+               case when meta_reason <> '' then meta_reason
+                    when rn > 1 then 'dup_phash' else '' end as drop_reason,
+               (case when meta_reason <> '' then meta_reason
+                     when rn > 1 then 'dup_phash' else '' end = '')::int as kept
+        from ranked
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; decodes 48 jpeg images
 def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """DuckDB twin of q_jpeg_features: expected features computed by
@@ -2659,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "q_video_features": _sql_video_features(),
         "q_video_frames": _sql_video_frames(),
         "q_phash_near_dup": _sql_phash_near_dup(),
+        "q_curate_images": _sql_curate_images(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh

@@ -68,9 +68,11 @@ HEADLINE = [
     "q_pagerank",
     "q_semdedup",
     "q_bpe_merges",
+    "q_bpe_encode",
     "q_decontaminate",
     "q_perplexity_filter",
     "q_dsir_resample",
+    "q_curate_images",
 ]
 
 REPS = 3
