@@ -1257,6 +1257,49 @@ def q_curate_images(spark, sf):
     return curate_image_captions(df)
 
 
+#: CLIP-filter fixture embedding dimension (tiny: the operator is the
+#: unit under test, not the embedding model)
+_CLIP_D = 6
+
+
+def _clip_component(prefix: str, c, j: int):
+    """Deterministic pseudo-embedding component in [-1, 1]: the shared
+    portable md5_60 hash of ``prefix || value || ':' || j`` mapped to a
+    multiple of 1/1000 — exact-double replayable in DuckDB. A stand-in
+    for model inference (not available in-sandbox); the OPERATOR under
+    test only sees two array<double> columns."""
+    from olx_spark.functions.text import md5_60
+
+    h = md5_60(F.concat(F.lit(prefix), c, F.lit(f":{j}")))
+    return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+
+def q_clip_filter(spark, sf):
+    # DataComp-style CLIP-score alignment filter: keep the top 25% of
+    # image+caption pairs by embedding cosine. Scale path is the
+    # two-pass histogram select (no global sort; only the boundary
+    # bucket runs an exact top-r); the oracle replays the SEMANTICS
+    # (rank by score desc, id asc; rn <= ceil(frac*n)) directly, so a
+    # drift in the histogram/boundary machinery fails the hash.
+    from olx_spark.operators.curation import clip_score_filter
+
+    df = spark.createDataFrame(
+        _curation_corpus_rows(),
+        "image_id string, w int, h int, caption string, phash long",
+    )
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    vecs = df.select(
+        "image_id",
+        F.array(
+            *[_clip_component("img:", F.col("image_id"), j) for j in range(_CLIP_D)]
+        ).alias("img_vec"),
+        F.array(
+            *[_clip_component("txt:", cap, j) for j in range(_CLIP_D)]
+        ).alias("txt_vec"),
+    )
+    return clip_score_filter(vecs, keep_frac=0.25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1324,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frames": q_video_frames,
         "q_phash_near_dup": q_phash_near_dup,
         "q_curate_images": q_curate_images,
+        "q_clip_filter": q_clip_filter,
     }
 
 
@@ -2142,6 +2186,46 @@ def _sql_curate_images() -> str:
     """
 
 
+def _sql_clip_filter() -> str:
+    """DuckDB twin of q_clip_filter: embeds the corpus (image_id,
+    caption) as VALUES, re-derives the SAME md5_60 pseudo-embeddings,
+    and expresses the filter by its SEMANTICS — row_number over
+    (cosine desc, image_id) <= ceil(0.25 * n) — not by replaying the
+    histogram/boundary scale machinery, so a selection drift in that
+    machinery fails the hash."""
+    vals = []
+    for image_id, _w, _h, caption, _phash in _curation_corpus_rows():
+        cap = "NULL" if caption is None else f"'{_sql_escape(caption)}'"
+        vals.append(f"('{image_id}', {cap})")
+    h60 = "(('0x' || substr(md5({e}), 1, 15))::bigint)"
+    iv = h60.format(e="'img:' || image_id || ':' || j::varchar")
+    tv = h60.format(e="'txt:' || coalesce(caption, '') || ':' || j::varchar")
+    return f"""
+        with src as (
+            select * from (values {", ".join(vals)}) t(image_id, caption)
+        ), vecs as (
+            select image_id,
+                [(({iv} % 2001) - 1000) / 1000.0 for j in range(0, {_CLIP_D})] as a,
+                [(({tv} % 2001) - 1000) / 1000.0 for j in range(0, {_CLIP_D})] as b
+            from src
+        ), scored as (
+            select image_id,
+                list_sum([a[i] * b[i] for i in range(1, len(a) + 1)]) /
+                (sqrt(list_sum([x * x for x in a])) *
+                 sqrt(list_sum([x * x for x in b]))) as cs
+            from vecs
+        ), ranked as (
+            select image_id, cs,
+                row_number() over (order by cs desc, image_id) as rn,
+                count(*) over () as n
+            from scored
+        )
+        select image_id, round(cs, 6) as clip_score,
+               (rn <= ceil(0.25 * n))::int as kept
+        from ranked
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; decodes 48 jpeg images
 def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """DuckDB twin of q_jpeg_features: expected features computed by
@@ -2758,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "q_video_frames": _sql_video_frames(),
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_curate_images": _sql_curate_images(),
+        "q_clip_filter": _sql_clip_filter(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh

@@ -73,6 +73,7 @@ HEADLINE = [
     "q_perplexity_filter",
     "q_dsir_resample",
     "q_curate_images",
+    "q_clip_filter",
 ]
 
 REPS = 3

@@ -23,6 +23,8 @@ image_id — crawl-order-stable under the fixture's id scheme.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,4 +96,114 @@ def curate_image_captions(
         "n_words",
         reason.alias("drop_reason"),
         (reason == "").cast("int").alias("kept"),
+    )
+
+
+def clip_score_filter(
+    df: DataFrame,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    id_col: str = "image_id",
+    keep_frac: float = 0.25,
+    score_buckets: int = 1024,
+) -> DataFrame:
+    """DataComp-style CLIP-score alignment filter: keep the top
+    ``ceil(keep_frac * n)`` image+caption pairs by the cosine between
+    their image and text embedding columns (the DataComp "CLIP score
+    L/14 top-30%" headline baseline, re-expressed over pre-computed
+    embedding columns — model inference happens upstream; this is the
+    SELECTION operator).
+
+    Semantics (exact, deterministic): score = cosine(img, txt) in
+    double; rows rank by (score desc, ``id_col`` asc); ``n`` counts
+    rows with a defined score (both vectors non-null, non-empty, with
+    nonzero norms — degenerate rows get ``clip_score = null`` and are
+    never kept). Output is the auditable per-row verdict shape shared
+    with :func:`curate_image_captions`: ``(id, clip_score, kept)`` for
+    EVERY input row, ``clip_score`` rounded to 6 dp.
+
+    Scale design (100 TB): a global top-fraction cut must not sort the
+    corpus. The plan here is the classic two-pass histogram select:
+
+    1. one corpus pass builds a ``<= 2*score_buckets+1``-row histogram
+       of ``floor(score * score_buckets)`` (map-side combined groupBy;
+       collected to the driver — KB-sized),
+    2. the driver walks buckets from the top to find the threshold
+       bucket ``tb`` and the remainder ``r`` still needed from inside
+       it,
+    3. only the boundary bucket (~``n / score_buckets`` rows) runs an
+       exact distributed top-``r`` (``TakeOrderedAndProject`` via
+       :func:`olx_spark.operators.ranking.ordered_limit`) whose id set
+       is broadcast back,
+    4. the verdict pass is then a shuffle-free map: ``kept = bucket >
+       tb OR id in boundary-set``.
+
+    No shuffle ever moves the corpus: the histogram exchange carries
+    ``score_buckets``-sized partials and the boundary top-``r`` carries
+    one bucket. ``score_buckets`` trades driver/boundary size against
+    histogram width. No Python UDFs anywhere (cosine is an
+    ``aggregate``/``zip_with`` codegen expression).
+
+    The reference stores every parsed ad unconditionally
+    (``db/H2.scala:61``); alignment filtering is part of the engine's
+    LLM-training-data brief over the same image+caption payload.
+    """
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0,1], got {keep_frac}")
+    if score_buckets < 1:
+        raise ValueError(f"score_buckets must be >= 1, got {score_buckets}")
+    from olx_spark.operators.ranking import ordered_limit
+    from olx_spark.operators.similarity import _dot, _norm
+
+    img, txt = F.col(img_col), F.col(txt_col)
+    norms = _norm(img) * _norm(txt)
+    score = F.when(
+        img.isNotNull() & txt.isNotNull() & (norms > 0.0),
+        _dot(img, txt) / norms,
+    )  # else null: degenerate pair, never kept
+    scored = df.select(
+        F.col(id_col).alias("__clip_id"),
+        score.alias("__clip_score"),
+    ).withColumn(
+        "__clip_sb",
+        F.floor(F.col("__clip_score") * F.lit(float(score_buckets))).cast("long"),
+    )
+    hist = {
+        r["__clip_sb"]: r["cnt"]
+        for r in scored.filter(F.col("__clip_score").isNotNull())
+        .groupBy("__clip_sb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(hist.values())
+    k = min(n, math.ceil(keep_frac * n))
+
+    if k <= 0:
+        kept = F.lit(False)
+    else:
+        cum, tb, r = 0, None, 0
+        for b in sorted(hist, reverse=True):
+            if cum + hist[b] >= k:
+                tb, r = b, k - cum
+                break
+            cum += hist[b]
+        if r == hist[tb]:
+            # bucket boundary lands exactly on k: no within-bucket cut
+            kept = F.col("__clip_sb") >= tb
+        else:
+            boundary = ordered_limit(
+                scored.filter(F.col("__clip_sb") == tb),
+                r,
+                [F.col("__clip_score").desc(), F.col("__clip_id").asc()],
+            ).select(F.col("__clip_id"), F.lit(1).alias("__clip_bkeep"))
+            scored = scored.join(F.broadcast(boundary), "__clip_id", "left")
+            # left-join miss gives null __clip_bkeep: coalesce, or the
+            # three-valued OR would propagate null into kept
+            kept = (F.col("__clip_sb") > tb) | (
+                F.coalesce(F.col("__clip_bkeep"), F.lit(0)) == 1
+            )
+    return scored.select(
+        F.col("__clip_id").alias(id_col),
+        F.round("__clip_score", 6).alias("clip_score"),
+        (F.col("__clip_score").isNotNull() & kept).cast("int").alias("kept"),
     )

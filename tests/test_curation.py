@@ -79,3 +79,151 @@ def test_plan_one_shuffle_no_python(spark):
     # (phash, passed)); every rule is a JVM expression — no Python
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- clip filter
+
+
+def _clip_replay(rows, keep_frac):
+    """Independent Python replay of clip_score_filter semantics:
+    left-fold double cosine, rank by (score desc, id asc), keep
+    ceil(frac * n_scored). Returns {id: (round(score,6)|None, kept)}."""
+    import math as m
+
+    scored = []
+    out = {}
+    for rid, a, b in rows:
+        if a is None or b is None or not a or not b:
+            out[rid] = (None, 0)
+            continue
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        den = m.sqrt(na) * m.sqrt(nb)
+        if den <= 0.0:
+            out[rid] = (None, 0)
+            continue
+        scored.append((rid, dot / den))
+    k = min(len(scored), m.ceil(keep_frac * len(scored)))
+    keep = {rid for rid, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:k]}
+    for rid, s in scored:
+        out[rid] = (round(s, 6), int(rid in keep))
+    return out
+
+
+def _clip_rows(n=60, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (f"p{i:03d}", [rng.uniform(-1, 1) for _ in range(6)],
+         [rng.uniform(-1, 1) for _ in range(6)])
+        for i in range(n)
+    ]
+    rows += [
+        ("z-null-img", None, [1.0] * 6),
+        ("z-null-txt", [1.0] * 6, None),
+        ("z-zero-img", [0.0] * 6, [1.0] * 6),
+        ("z-empty", [], []),
+        # exact ties: identical vector pairs -> identical score; the
+        # id tiebreak decides who crosses the cut
+        ("t-tie-a", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+        ("t-tie-b", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    return rows
+
+
+@pytest.mark.parametrize("keep_frac", [0.0, 0.1, 1.0 / 3.0, 0.9, 1.0])
+@pytest.mark.parametrize("score_buckets", [1, 4, 1024])
+def test_clip_filter_matches_replay(spark, keep_frac, score_buckets):
+    from olx_spark.operators.curation import clip_score_filter
+
+    rows = _clip_rows()
+    df = spark.createDataFrame(
+        rows, "image_id string, img_vec array<double>, txt_vec array<double>"
+    )
+    got = {
+        r["image_id"]: (r["clip_score"], r["kept"])
+        for r in clip_score_filter(
+            df, keep_frac=keep_frac, score_buckets=score_buckets
+        ).collect()
+    }
+    assert got == _clip_replay(rows, keep_frac)
+
+
+def test_clip_filter_degenerates_never_kept_and_dont_count(spark):
+    from olx_spark.operators.curation import clip_score_filter
+
+    # 3 scorable rows + 3 degenerate: ceil(0.5 * 3) = 2 kept (NOT
+    # ceil(0.5 * 6) = 3 — degenerates are outside n)
+    rows = [
+        ("a", [1.0, 0.0], [1.0, 0.0]),   # cs = 1.0
+        ("b", [1.0, 0.0], [1.0, 1.0]),   # cs ~ 0.707
+        ("c", [1.0, 0.0], [0.0, 1.0]),   # cs = 0.0
+        ("d", None, [1.0, 0.0]),
+        ("e", [0.0, 0.0], [1.0, 0.0]),
+        ("f", [], [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, img_vec array<double>, txt_vec array<double>"
+    )
+    got = {
+        r["image_id"]: (r["clip_score"], r["kept"])
+        for r in clip_score_filter(df, keep_frac=0.5).collect()
+    }
+    assert got["a"] == (1.0, 1)
+    assert got["b"] == (0.707107, 1)
+    assert got["c"] == (0.0, 0)
+    for rid in ("d", "e", "f"):
+        assert got[rid] == (None, 0)
+
+
+def test_clip_filter_tie_at_cut_prefers_smaller_id(spark):
+    from olx_spark.operators.curation import clip_score_filter
+
+    # two identical-score rows straddle the cut: k=1 -> 'aa' wins
+    rows = [
+        ("aa", [1.0, 0.0], [1.0, 0.0]),
+        ("bb", [1.0, 0.0], [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, img_vec array<double>, txt_vec array<double>"
+    )
+    got = {
+        r["image_id"]: r["kept"]
+        for r in clip_score_filter(df, keep_frac=0.5).collect()
+    }
+    assert got == {"aa": 1, "bb": 0}
+
+
+def test_clip_filter_validates_params(spark):
+    from olx_spark.operators.curation import clip_score_filter
+
+    df = spark.createDataFrame(
+        [("a", [1.0], [1.0])],
+        "image_id string, img_vec array<double>, txt_vec array<double>",
+    )
+    with pytest.raises(ValueError):
+        clip_score_filter(df, keep_frac=1.5)
+    with pytest.raises(ValueError):
+        clip_score_filter(df, score_buckets=0)
+
+
+def test_clip_filter_plan_no_python_no_smj(spark):
+    from olx_spark.operators.curation import clip_score_filter
+
+    rows = _clip_rows(n=200, seed=7)
+    df = spark.createDataFrame(
+        rows, "image_id string, img_vec array<double>, txt_vec array<double>"
+    )
+    # 0.37 forces a within-bucket boundary cut at fine buckets
+    out = clip_score_filter(df, keep_frac=0.37, score_buckets=1024)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # cosine + bucketing are codegen expressions; the boundary id-set
+    # joins back broadcast, never a sort-merge shuffle of the corpus
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    if "Join" in plan:
+        assert "BroadcastHashJoin" in plan
