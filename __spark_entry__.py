@@ -1300,6 +1300,45 @@ def q_clip_filter(spark, sf):
     return clip_score_filter(vecs, keep_frac=0.25)
 
 
+def q_ar_batches(spark, sf):
+    # SDXL/NovelAI-style aspect-ratio bucket batching over the
+    # input_hint metadata: snap each image to the nearest AR bucket
+    # (exact integer cross-ratio argmin — one codegen array_min, no
+    # shuffle, no libm drift) and cut each bucket into full size-4
+    # batches in the salted md5-60 order via the two-phase prefix
+    # (the hot ~1:1 bucket sorts in n_sub parallel slices). The
+    # oracle replays ladder, argmin and batching logic in SQL.
+    from olx_spark.operators.packing import ar_bucket_batches
+
+    df = spark.createDataFrame(
+        _curation_corpus_rows(),
+        "image_id string, w int, h int, caption string, phash long",
+    )
+    return ar_bucket_batches(
+        df, "image_id", "w", "h", batch_size=4, n_sub=4
+    ).select(
+        "image_id", "bucket_id", "bucket_w", "bucket_h",
+        "sample_idx", "batch_id", "slot",
+    )
+
+
+def q_cluster_sample(spark, sf):
+    # DataComp-style cluster-balanced subset selection: nearest-
+    # centroid cluster per embedding (vectorized IVF cell assigner,
+    # zero shuffle) then at most 4 rows per cluster by the salted
+    # md5-60 permutation (stratified_sample's two-phase window) —
+    # even embedding-space coverage instead of raw density. Seeded
+    # constant centroids -> full oracle (same cells CTE as q_ivf_ann).
+    from olx_spark.operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cluster_balanced_sample(emb, "vec_id", dim=64, cap=4, n_clusters=16).select(
+        "vec_id", "cell", "rank_in_limit"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1368,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_near_dup": q_phash_near_dup,
         "q_curate_images": q_curate_images,
         "q_clip_filter": q_clip_filter,
+        "q_ar_batches": q_ar_batches,
+        "q_cluster_sample": q_cluster_sample,
     }
 
 
@@ -2226,6 +2267,98 @@ def _sql_clip_filter() -> str:
     """
 
 
+def _sql_ar_batches(batch_size: int = 4, n_sub: int = 4) -> str:
+    """DuckDB twin of q_ar_batches: embeds the corpus metadata AND the
+    same bucket ladder as VALUES and replays the logic — exact
+    integer cross-ratio argmin (ties to the smaller bucket id), salted
+    (h % n_sub, h, id) order within a bucket, full-batch cut — so a
+    drift in ladder generation, assignment or the two-phase prefix
+    machinery fails the hash. The cross-ratio is one IEEE division of
+    exact integer products in both engines: bit-identical, no ln()."""
+    from olx_spark.operators.packing import ar_bucket_ladder
+
+    src = ", ".join(
+        f"('{image_id}', {w}, {h})"
+        for image_id, w, h, _cap, _ph in _curation_corpus_rows()
+    )
+    ladder = ", ".join(
+        f"({bid}, {bw}, {bh})" for bid, (bw, bh) in enumerate(ar_bucket_ladder())
+    )
+    return f"""
+        with src as (
+            select * from (values {src}) t(image_id, w, h)
+        ), ladder as (
+            select * from (values {ladder}) t(bid, bw, bh)
+        ), asg as (
+            select image_id, bid, bw, bh from (
+                select s.image_id, l.bid, l.bw, l.bh,
+                    row_number() over (partition by s.image_id order by
+                        greatest(s.w::bigint * l.bh, s.h::bigint * l.bw)::double
+                        / least(s.w::bigint * l.bh, s.h::bigint * l.bw),
+                        l.bid) as rn
+                from src s cross join ladder l
+                where s.w > 0 and s.h > 0
+            ) where rn = 1
+        ), hh as (
+            select image_id, bid, bw, bh,
+                   {_sql_md5_60("'arb-v1:' || image_id")} as h
+            from asg
+        ), idx as (
+            select image_id, bid as bucket_id, bw as bucket_w, bh as bucket_h,
+                row_number() over (partition by bid
+                    order by h % {n_sub}, h, image_id) - 1 as sample_idx,
+                count(*) over (partition by bid) as total
+            from hh
+        )
+        select image_id, bucket_id, bucket_w, bucket_h, sample_idx,
+               (sample_idx // {batch_size}) as batch_id,
+               sample_idx % {batch_size} as slot
+        from idx
+        where sample_idx < (total // {batch_size}) * {batch_size}
+    """
+
+
+def _sql_cluster_sample(
+    n_clusters: int = 16, dim: int = 64, cap: int = 4, seed: int = 7
+) -> str:
+    """DuckDB twin of q_cluster_sample: same seeded-constant centroids
+    and argmax cell assignment as _sql_ivf_ann (ties to the larger
+    cid), then the stratified per-cell salted rank (md5-60 of
+    'cluster-v1:' || vec_id) capped at ``cap``."""
+    from olx_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_clusters, seed)
+    rows = ", ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cv) + "])"
+        for ci, cv in enumerate(cents)
+    )
+    return f"""
+        with c as (
+            select vec_id, [x::double for x in embedding] as v from embeddings
+        ), cents(cid, cv) as (values {rows}),
+        dots as (
+            select vec_id, cid,
+                   list_sum([v[i] * cv[i] for i in range(1, {dim + 1})]) as d
+            from c cross join cents
+        ), cells as (
+            select vec_id, cid as cell from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id
+                           order by d desc, cid desc) as rn
+                from dots
+            ) where rn = 1
+        ), r as (
+            select vec_id, cell,
+                   row_number() over (partition by cell order by
+                       {_sql_md5_60("'cluster-v1:' || vec_id::varchar")}, vec_id
+                   ) - 1 as rank_in_limit
+            from cells
+        )
+        select vec_id, cell, rank_in_limit
+        from r where rank_in_limit < {cap}
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; decodes 48 jpeg images
 def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """DuckDB twin of q_jpeg_features: expected features computed by
@@ -2843,6 +2976,8 @@ def oracle_sql() -> dict[str, str]:
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_curate_images": _sql_curate_images(),
         "q_clip_filter": _sql_clip_filter(),
+        "q_ar_batches": _sql_ar_batches(),
+        "q_cluster_sample": _sql_cluster_sample(),
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh

@@ -74,6 +74,8 @@ HEADLINE = [
     "q_dsir_resample",
     "q_curate_images",
     "q_clip_filter",
+    "q_ar_batches",
+    "q_cluster_sample",
 ]
 
 REPS = 3

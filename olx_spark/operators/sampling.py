@@ -100,6 +100,65 @@ def stratified_sample(
     ).drop("__h")
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    dim: int,
+    cap: int,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    salt: str = "cluster-v1",
+    salt_buckets: int = 8,
+    train: bool = False,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced subset selection over an embedding column —
+    the DataComp/SemDeDup-family "image-based" curation step: assign
+    each vector to its nearest-centroid CLUSTER, then keep at most
+    ``cap`` rows per cluster so the kept corpus covers the embedding
+    space evenly instead of mirroring the raw density skew (web
+    corpora are dominated by a few dense modes).
+
+    Composition of two audited primitives: cluster assignment is the
+    IVF cell assigner (vectorized pandas UDF, one numpy
+    ``batch @ centroids.T`` argmax per Arrow batch, centroids a
+    broadcast closure constant, ties to the LARGER centroid id —
+    ``similarity._cell_assigner``); the per-cluster cap is
+    :func:`stratified_sample` on the cell column (salted md5-60
+    permutation, two-phase window). Scale shape: one shuffle total (on
+    ``cell``), assignment is shuffle-free, and the hot cluster sorts
+    in ``salt_buckets`` parallel slices.
+
+    Centroid source mirrors ``ivf_topk``: explicit ``centroids`` >
+    ``train=True`` (seeded sample-based spherical k-means —
+    production) > seeded random (SQL-oracle-recomputable default).
+
+    Output: input columns plus ``cell`` (cluster id) and
+    ``rank_in_limit`` (0-based salted rank within the cluster).
+    """
+    from olx_spark.operators.similarity import (
+        _cell_assigner,
+        ivf_centroids,
+        kmeans_centroids,
+    )
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if centroids is not None:
+        cents = centroids
+    elif train:
+        cents = kmeans_centroids(
+            df, dim, n_clusters, seed, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = ivf_centroids(dim, n_clusters, seed)
+    assigned = df.withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
+    return stratified_sample(
+        assigned, ["cell"], cap, id_col, salt=salt, salt_buckets=salt_buckets
+    )
+
+
 def corpus_mix_sample(
     df: DataFrame,
     group_col: str,

@@ -167,3 +167,86 @@ class TestCorpusMix:
             corpus_mix_sample(None, "g", {"a": 1.5}, "id")
         with _pt.raises(ValueError):
             corpus_mix_sample(None, "g", {"a": 0.5}, "id", default_fraction=-0.1)
+
+
+# ------------------------------------------------- cluster-balanced sample
+def _vecs(spark, n=90, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    x = rng.standard_normal((n, dim))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), x
+
+
+def test_cluster_sample_matches_numpy_replay(spark):
+    import numpy as np
+
+    from olx_spark.operators.sampling import cluster_balanced_sample
+    from olx_spark.operators.similarity import ivf_centroids
+
+    df, x = _vecs(spark)
+    cents = np.asarray(ivf_centroids(8, 4, seed=7))
+    dots = x @ cents.T
+    # argmax with ties to the LARGER centroid id (the assigner contract)
+    cells = (cents.shape[0] - 1 - dots[:, ::-1].argmax(axis=1)).astype(int)
+    expect = {}
+    for cell in set(cells):
+        members = sorted(
+            (int(i) for i in np.nonzero(cells == cell)[0]),
+            key=lambda i: (_md5_60(f"cluster-v1:{i}"), i),
+        )
+        for rank, i in enumerate(members[:3]):
+            expect[i] = (cell, rank)
+    got = {
+        r["vec_id"]: (r["cell"], r["rank_in_limit"])
+        for r in cluster_balanced_sample(df, "vec_id", dim=8, cap=3, n_clusters=4).collect()
+    }
+    assert got == expect
+
+
+def test_cluster_sample_cap_and_determinism(spark):
+    from olx_spark.operators.sampling import cluster_balanced_sample
+
+    df, _ = _vecs(spark, n=120)
+    out = cluster_balanced_sample(df, "vec_id", dim=8, cap=5, n_clusters=4).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], []).append(r["rank_in_limit"])
+    assert set(per_cell) <= set(range(4))
+    for ranks in per_cell.values():
+        assert len(ranks) <= 5 and sorted(ranks) == list(range(len(ranks)))
+    again = cluster_balanced_sample(
+        df.repartition(7), "vec_id", dim=8, cap=5, n_clusters=4
+    ).collect()
+    assert sorted((r["vec_id"], r["cell"]) for r in out) == sorted(
+        (r["vec_id"], r["cell"]) for r in again
+    )
+
+
+def test_cluster_sample_trained_centroids(spark):
+    # train=True fits seeded spherical k-means on the corpus sample;
+    # still deterministic, still capped, cells still in range
+    from olx_spark.operators.sampling import cluster_balanced_sample
+
+    df, _ = _vecs(spark, n=100)
+    a = cluster_balanced_sample(df, "vec_id", dim=8, cap=4, n_clusters=4, train=True).collect()
+    b = cluster_balanced_sample(df, "vec_id", dim=8, cap=4, n_clusters=4, train=True).collect()
+    assert sorted((r["vec_id"], r["cell"], r["rank_in_limit"]) for r in a) == sorted(
+        (r["vec_id"], r["cell"], r["rank_in_limit"]) for r in b
+    )
+    per_cell = {}
+    for r in a:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert set(per_cell) <= set(range(4))
+    assert all(c <= 4 for c in per_cell.values())
+
+
+def test_cluster_sample_validation(spark):
+    import pytest
+
+    from olx_spark.operators.sampling import cluster_balanced_sample
+
+    df, _ = _vecs(spark, n=10)
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, "vec_id", dim=8, cap=0)
