@@ -1339,6 +1339,20 @@ def q_cluster_sample(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    # ExactSubstr-style duplicate-SPAN detection (Lee et al. 2022, at
+    # word granularity): positional 8-gram md5-60 fingerprints (one
+    # transform + posexplode, pure JVM), corpus gram counts via a
+    # map-side-combined groupBy + skew-splittable join back (never a
+    # count-window pinned to hot boilerplate grams), then per-doc
+    # gaps-and-islands merge into maximal spans. The oracle replays
+    # the same gram/count/island logic in SQL.
+    from olx_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1409,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clip_filter": q_clip_filter,
         "q_ar_batches": q_ar_batches,
         "q_cluster_sample": q_cluster_sample,
+        "q_dup_spans": q_dup_spans,
     }
 
 
@@ -2978,6 +2993,32 @@ def oracle_sql() -> dict[str, str]:
         "q_clip_filter": _sql_clip_filter(),
         "q_ar_batches": _sql_ar_batches(),
         "q_cluster_sample": _sql_cluster_sample(),
+        "q_dup_spans": f"""
+            with t as (
+                select doc_id, string_split_regex(trim(text), '\\s+') as w
+                from documents where length(trim(text)) > 0
+            ), p as (
+                select doc_id, w,
+                       unnest(range(0, greatest(len(w) - 7, 0)))::int as pos
+                from t
+            ), g as (
+                select doc_id, pos,
+                       {_sql_md5_60("array_to_string(w[pos+1 : pos+8], ' ')")} as gram
+                from p
+            ), c as (
+                select gram from g group by gram having count(*) >= 2
+            ), d as (
+                select doc_id, pos from g join c using (gram)
+            ), grp as (
+                select doc_id, pos,
+                       pos - row_number() over (
+                           partition by doc_id order by pos) as gg
+                from d
+            )
+            select doc_id, min(pos) as span_start, max(pos) + 7 as span_end,
+                   count(*) as n_dup_grams
+            from grp group by doc_id, gg
+        """,
         "q_ngram_jaccard": f"""
             with d as (
                 select doc_id, list_distinct({_sql_shingles(3)}) as sh

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_clip_filter",
     "q_ar_batches",
     "q_cluster_sample",
+    "q_dup_spans",
 ]
 
 REPS = 3

@@ -488,3 +488,74 @@ class BloomSeenFilter:
             self.shards_df.groupBy("shard_id").agg(F.sum("n_items").alias("n")).collect()
         )
         return {int(r["shard_id"]): int(r["n"]) for r in rows}
+
+
+def duplicate_spans(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> "DataFrame":
+    """Exact-substring duplicate-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr step, at word granularity): find, per document, the
+    maximal word spans whose every length-``n`` word gram occurs at
+    least ``min_count`` times in the whole corpus. Downstream either
+    cuts the spans out of the text or drops documents dominated by
+    them — both need the span table this operator emits.
+
+    Pipeline (pure JVM end to end — no Python, no UDF):
+
+    1. positional n-grams: one ``transform`` over ``sequence(0,
+       n_words-n)`` builds the md5-60 gram fingerprint at every
+       position (whitespace tokens, the repo's ``token_count``
+       convention), then ONE ``posexplode`` — corpus size × ~words/doc
+       rows, the same explode class as the MinHash shingle pass;
+    2. corpus gram counts: ``groupBy(gram)`` (map-side combined) and a
+       shuffle join back on the gram — NOT a count-window, so AQE's
+       skew split applies to the hot boilerplate grams that dominate
+       web corpora (a window partitioned by gram would pin each hot
+       gram to one task);
+    3. span merge: duplicated positions collapse to maximal runs by
+       gaps-and-islands (``pos - row_number()`` is constant on a
+       stride-1 run) — windows partitioned per DOCUMENT, which is
+       bounded by doc length, never by corpus size.
+
+    Output: ``(id, span_start, span_end, n_dup_grams)`` with word
+    indices inclusive (``span_end = last_pos + n - 1``); a document
+    with no duplicated gram emits no row.
+    """
+    from olx_spark.functions.text import md5_60
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    grams = F.when(
+        (F.length(t) > 0) & (F.size(words) >= n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: md5_60(F.concat_ws(" ", F.slice(words, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    counts = pos.groupBy("gram").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    dup = pos.join(counts, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        dup.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .drop("__grp")
+    )

@@ -186,3 +186,118 @@ def test_chunk_dedup_first_occurrence_is_min_struct_not_window(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+# ------------------------------------------------ duplicate spans (ExactSubstr)
+class TestDuplicateSpans:
+    def _corpus(self, spark):
+        boiler = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (0, f"alpha beta {boiler} gamma delta"),
+            (1, f"{boiler} zeta eta theta iota kappa"),
+            # two disjoint duplicated regions in one doc
+            (2, f"one two three {boiler} x y z {boiler}"),
+            (3, "completely unique words nobody else repeats anywhere here"),
+            (4, ""),
+            (5, "short doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _replay(rows, n, min_count):
+        import hashlib
+        from collections import Counter
+
+        def md5_60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        grams = {}
+        for i, txt in rows:
+            ws = txt.strip().split()
+            grams[i] = [
+                md5_60(" ".join(ws[p : p + n])) for p in range(len(ws) - n + 1)
+            ] if txt.strip() and len(ws) >= n else []
+        cnt = Counter(g for gs in grams.values() for g in gs)
+        out = set()
+        for i, gs in grams.items():
+            dup_pos = [p for p, g in enumerate(gs) if cnt[g] >= min_count]
+            run = []
+            for p in dup_pos + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    out.add((i, run[0], run[-1] + n - 1, len(run)))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from olx_spark.operators.dedup import duplicate_spans
+
+        df = self._corpus(spark)
+        rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+        for n in (3, 5):
+            got = {
+                (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+                for r in duplicate_spans(df, "doc_id", "text", n=n).collect()
+            }
+            assert got == self._replay(rows, n, 2)
+
+    def test_spans_are_maximal_and_disjoint(self, spark):
+        from olx_spark.operators.dedup import duplicate_spans
+
+        out = duplicate_spans(self._corpus(spark), "doc_id", "text", n=4).collect()
+        per_doc = {}
+        for r in out:
+            assert r["span_end"] - r["span_start"] + 1 >= 4
+            assert r["n_dup_grams"] == r["span_end"] - r["span_start"] - 4 + 2
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for spans in per_doc.values():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                # maximal: merging any two adjacent spans would need a
+                # gap — stride-1 runs were already collapsed
+                assert s2 > e1 - 4 + 2  # next run starts past a mergeable pos
+
+    def test_doc2_has_two_disjoint_spans(self, spark):
+        from olx_spark.operators.dedup import duplicate_spans
+
+        out = duplicate_spans(self._corpus(spark), "doc_id", "text", n=8)
+        spans2 = sorted(
+            (r["span_start"], r["span_end"])
+            for r in out.filter(F.col("doc_id") == 2).collect()
+        )
+        assert len(spans2) == 2  # boiler appears twice, split by x y z
+
+    def test_short_blank_and_unique_docs_emit_nothing(self, spark):
+        from olx_spark.operators.dedup import duplicate_spans
+
+        out = duplicate_spans(self._corpus(spark), "doc_id", "text", n=8).collect()
+        assert all(r["doc_id"] not in (3, 4, 5) for r in out)
+
+    def test_plan_no_gram_window_no_python(self, spark):
+        # corpus gram counting must be the groupBy+join shape (AQE skew-
+        # splittable), never a count-window partitioned by the hot gram;
+        # the whole pipeline stays JVM-side
+        from olx_spark.operators.dedup import duplicate_spans
+
+        plan = (
+            duplicate_spans(self._corpus(spark), "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln.lower():
+                assert "gram" not in ln
+
+    def test_validation(self, spark):
+        from olx_spark.operators.dedup import duplicate_spans
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError):
+            duplicate_spans(df, "doc_id", "text", n=0)
+        with pytest.raises(ValueError):
+            duplicate_spans(df, "doc_id", "text", min_count=1)
