@@ -516,7 +516,13 @@ def duplicate_spans(
        shuffle join back on the gram — NOT a count-window, so AQE's
        skew split applies to the hot boilerplate grams that dominate
        web corpora (a window partitioned by gram would pin each hot
-       gram to one task);
+       gram to one task); the positional gram table feeds BOTH the
+       count aggregate and the join-back, so it is materialized once
+       (``session.materialize``, reliable under
+       ``spark.olx.checkpoint.reliable``) instead of re-running the
+       explode + md5 per branch — same trade as the MinHash signature
+       table: one words-per-doc-sized write vs double the gram-hash
+       CPU, and the fork is what makes Spark recompute;
     3. span merge: duplicated positions collapse to maximal runs by
        gaps-and-islands (``pos - row_number()`` is constant on a
        stride-1 run) — windows partitioned per DOCUMENT, which is
@@ -541,8 +547,10 @@ def duplicate_spans(
             lambda i: md5_60(F.concat_ws(" ", F.slice(words, i + 1, n))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    pos = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    from olx_spark.session import materialize
+
+    pos = materialize(
+        df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
     )
     counts = pos.groupBy("gram").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") >= min_count
