@@ -11,8 +11,14 @@ Scale design (100 TB):
 
 - Tokenize with the same `norm_text` + single-space split the rest of
   the text family uses (JVM codegen, no Python).
-- Term frequencies and document lengths are map-side-combinable
-  groupBys over the exploded token stream.
+- ONE explode pass: the exploded token stream collapses immediately
+  into the (doc, term) frequency table, which is materialized once
+  (``session.materialize``, reliable-knob) because every downstream
+  branch — document length, document frequency, and the scoring join
+  — derives from it. Document length is ``sum(tf)`` per doc (equal to
+  the token count by construction), so nothing else ever re-reads the
+  token stream; without the cut Spark would re-run the explode per
+  branch (4x on this shape).
 - The document-frequency table is vocabulary-sized — potentially
   billions of terms — so it joins on ``term`` as a regular shuffled
   hash join (NEVER broadcast); AQE handles stop-word skew by
@@ -49,13 +55,17 @@ def bm25_top_terms(
     is reproducible across engines computing in double precision.
     Blank documents produce no rows (no tokens, no terms).
     """
+    from olx_spark.session import materialize
+
     toks = docs.select(
         F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").cast("double").alias("tf")
+    tf = materialize(
+        toks.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
     )
-    dlen = toks.groupBy(id_col).agg(F.count("*").cast("double").alias("dlen"))
+    # dlen == token count == sum of per-term counts: derive it from tf
+    # so the explode never runs a second time
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
     stats = dlen.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dlen").alias("avg_dlen"),
