@@ -98,10 +98,16 @@ def dsir_log_ratios(
     dense ``range(n_buckets)`` spine (buckets unseen on either side get
     the smoothing floor, not a dropped row). ``n_buckets + 2`` rows of
     state total — broadcastable at any corpus scale."""
+    from olx_spark.session import materialize
+
     spark = target.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    cp = _bucket_counts(target, text_col, n_buckets)
-    cq = _bucket_counts(raw, text_col, n_buckets)
+    # each count table feeds BOTH the spine join and its own total
+    # aggregate below — without a cut Spark re-runs the corpus-scale
+    # explode+hash pass per branch (2x per side). The tables are
+    # <= n_buckets rows, so the materialize is free.
+    cp = materialize(_bucket_counts(target, text_col, n_buckets))
+    cq = materialize(_bucket_counts(raw, text_col, n_buckets))
     # totals ride the join as 1-row broadcast cross joins (no collect)
     tp = cp.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t_p"))
     tq = cq.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t_q"))
