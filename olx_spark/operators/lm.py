@@ -112,8 +112,17 @@ def fit_bigram_lm(
     one vocab-sized join here saves a corpus-sized join per scoring
     pass), ``totals(n_total)`` — one row.
     """
+    from olx_spark.session import materialize
+
     stream = train.select(F.explode(_token_stream(text_col)).alias("w"))
-    unigrams = stream.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # the unigram table feeds three branches with three DIFFERENT
+    # downstream partitionings (join on w, join renamed to w_prev,
+    # global total) — no exchange reuse applies, so without a cut the
+    # train-corpus explode+count runs once per branch. The table is
+    # vocab-sized (<< corpus), so materialize it once.
+    unigrams = materialize(
+        stream.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
     bigrams = (
         train.select(F.explode(_bigrams(_token_stream(text_col))).alias("bg"))
         .select("bg.w_prev", "bg.w")
