@@ -161,12 +161,20 @@ def clip_score_filter(
         img.isNotNull() & txt.isNotNull() & (norms > 0.0),
         _dot(img, txt) / norms,
     )  # else null: degenerate pair, never kept
-    scored = df.select(
-        F.col(id_col).alias("__clip_id"),
-        score.alias("__clip_score"),
-    ).withColumn(
-        "__clip_sb",
-        F.floor(F.col("__clip_score") * F.lit(float(score_buckets))).cast("long"),
+    from olx_spark.session import materialize
+
+    # (id, score, bucket) feeds three passes (histogram, boundary
+    # top-r, verdict) — materialize once so the embedding dot product
+    # (the expensive part: an aggregate/zip_with over d-dim arrays) is
+    # computed once; the cut frame is 3 narrow columns per row.
+    scored = materialize(
+        df.select(
+            F.col(id_col).alias("__clip_id"),
+            score.alias("__clip_score"),
+        ).withColumn(
+            "__clip_sb",
+            F.floor(F.col("__clip_score") * F.lit(float(score_buckets))).cast("long"),
+        )
     )
     hist = {
         r["__clip_sb"]: r["cnt"]
