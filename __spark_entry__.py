@@ -1353,6 +1353,24 @@ def q_dup_spans(spark, sf):
     return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+def q_kmeans(spark, sf):
+    # distributed k-means (Lloyd's): the general clustering primitive
+    # behind semdedup cells / cluster-balanced sampling / IVF training.
+    # Assignment is a zero-shuffle vectorized pandas UDF; each update
+    # round is ONE map-side-combinable (cell, dim) sum shuffle; only
+    # the k x dim centroid table ever reaches the driver (MLlib
+    # layout). Exact-integer arithmetic (quantize -> integer distances
+    # -> floor-div updates, every value < 2^53) makes the whole
+    # iteration bit-deterministic across Spark/numpy/DuckDB, so unlike
+    # MLlib's k-means this carries a FULL value oracle: the DuckDB
+    # twin unrolls the same 3 Lloyd rounds as materialized CTEs
+    # (_sql_kmeans).
+    from olx_spark.operators.clustering import kmeans_cluster_stats
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_cluster_stats(emb, dim=64, k=8, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1424,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ar_batches": q_ar_batches,
         "q_cluster_sample": q_cluster_sample,
         "q_dup_spans": q_dup_spans,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -1775,6 +1794,66 @@ def _sql_semdedup(
                case when r.dup_of is null then 1 else 0 end as kept,
                r.dup_of
         from cells left join removed r on r.doc_id = cells.vec_id
+    """
+
+
+def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of kmeans_cluster_stats: the identical Lloyd rounds
+    unrolled as materialized CTEs. Bit-exact by construction — every
+    value in the chain (quantized components, squared distances,
+    floor-div centroid updates) is an integer exactly representable in
+    float64, so Spark's numpy matmuls, this SQL's list_sum folds and
+    the floor of an IEEE division agree everywhere (see
+    operators/clustering.py module docstring). Ties: dist asc, cid asc
+    (numpy argmin = first minimum). Empty cells carry the previous
+    centroid (the coalesce)."""
+    d1 = dim + 1
+    ctes = [f"""q as materialized (
+            select vec_id, [floor(x::double * {scale}.0 + 0.5)::bigint for x in embedding] as qv
+            from embeddings
+        ), c0 as materialized (
+            select (row_number() over (order by vec_id)) - 1 as cid, qv as cv
+            from (select * from q order by vec_id limit {k})
+        )"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} as materialized (
+            select vec_id, cid as cell from (
+                select vec_id, cid, row_number() over (partition by vec_id
+                    order by dist asc, cid asc) as rn
+                from (
+                    select q.vec_id, c.cid,
+                        list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) for i in range(1, {d1})]) as dist
+                    from q cross join {prev} c)
+            ) where rn = 1
+        ), c{t} as materialized (
+            select c.cid, coalesce(s.cv, c.cv) as cv
+            from {prev} c left join (
+                select cell as cid, list(val order by dim) as cv from (
+                    select cell, dim, floor(sum(v)::double / count(*))::bigint as val
+                    from (
+                        select a.cell, unnest(q.qv) as v, generate_subscripts(q.qv, 1) as dim
+                        from a{t} a join q using (vec_id)
+                    ) group by cell, dim
+                ) group by cell
+            ) s using (cid)
+        )""")
+        prev = f"c{t}"
+    return f"""
+        with {", ".join(ctes)},
+        scored as (
+            select q.vec_id, c.cid,
+                list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) for i in range(1, {d1})]) as dist
+            from q cross join {prev} c
+        ), af as (
+            select vec_id, cid as cell, dist from (
+                select vec_id, cid, dist,
+                    row_number() over (partition by vec_id order by dist asc, cid asc) as rn
+                from scored
+            ) where rn = 1
+        )
+        select af.vec_id, af.cell, af.dist, sz.cell_size
+        from af join (select cell, count(*) as cell_size from af group by cell) sz using (cell)
     """
 
 
@@ -2976,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh": _sql_ann_lsh(),
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
+        "q_kmeans": _sql_kmeans(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
