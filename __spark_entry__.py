@@ -1353,6 +1353,20 @@ def q_dup_spans(spark, sf):
     return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+def q_inverted_index(spark, sf):
+    # corpus inverted index: per term df / total postings / gap-encoded
+    # posting-list fingerprint over the first 256 postings in (doc_id,
+    # pos) order. Hot stop-terms are bounded through the two-phase
+    # salted top-k BEFORE any collect_list (no task ever holds an
+    # unbounded posting stream); truncation is an explicit flag with
+    # the exact total kept. The oracle replays tokenization, the cut
+    # and the lag-based gap encoding in SQL.
+    from olx_spark.operators.index import inverted_index
+
+    d = _t(spark, sf, "documents")
+    return inverted_index(d, max_postings=256, min_df=1)
+
+
 def q_kmeans(spark, sf):
     # distributed k-means (Lloyd's): the general clustering primitive
     # behind semdedup cells / cluster-balanced sampling / IVF training.
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sample": q_cluster_sample,
         "q_dup_spans": q_dup_spans,
         "q_kmeans": q_kmeans,
+        "q_inverted_index": q_inverted_index,
     }
 
 
@@ -1794,6 +1809,43 @@ def _sql_semdedup(
                case when r.dup_of is null then 1 else 0 end as kept,
                r.dup_of
         from cells left join removed r on r.doc_id = cells.vec_id
+    """
+
+
+def _sql_inverted_index(max_postings: int = 256, min_df: int = 1) -> str:
+    """DuckDB twin of inverted_index: same tokenization convention as
+    the BPE/train-corpus oracles (lowercase, split on [^a-z]+, empties
+    dropped BEFORE position assignment), the same (doc_id, pos) cut at
+    max_postings, and the gap encoding replayed via lag + ordered
+    string_agg — byte-identical input to the md5-60."""
+    return f"""
+        with toks as materialized (
+            select doc_id, unnest(l) as term, generate_subscripts(l, 1) - 1 as pos
+            from (select doc_id,
+                         [x for x in string_split_regex(lower(text), '[^a-z]+') if x <> ''] as l
+                  from documents)
+        ), stats as (
+            select term, count(*) as n_postings, count(distinct doc_id) as df
+            from toks group by term
+        ), bounded as (
+            select term, doc_id, pos from (
+                select term, doc_id, pos,
+                       row_number() over (partition by term order by doc_id, pos) as rn
+                from toks
+            ) where rn <= {max_postings}
+        ), enc as (
+            select term, string_agg((doc_id - prev)::varchar || '.' || pos::varchar,
+                                    ',' order by doc_id, pos) as s
+            from (select term, doc_id, pos,
+                         lag(doc_id, 1, 0) over (partition by term order by doc_id, pos) as prev
+                  from bounded)
+            group by term
+        )
+        select e.term, s.df, s.n_postings,
+               (s.n_postings > {max_postings})::int as truncated,
+               {_sql_md5_60("e.s")} as postings_fp
+        from enc e join stats s using (term)
+        where s.df >= {min_df}
     """
 
 
@@ -3056,6 +3108,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
         "q_kmeans": _sql_kmeans(),
+        "q_inverted_index": _sql_inverted_index(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
