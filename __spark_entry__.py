@@ -1353,6 +1353,23 @@ def q_dup_spans(spark, sf):
     return duplicate_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+def q_zorder(spark, sf):
+    # Z-order (Morton) layout profile over (l_orderkey, l_partkey):
+    # the Delta/Iceberg OPTIMIZE ZORDER primitive — min-max normalize
+    # (one metadata-scale agg), interleave bits (pure codegen
+    # shift/mask/add), bucket by the top z bits, then report what a
+    # parquet footer reader would see: per-bucket row count + each
+    # dimension's span. Tight spans on BOTH columns = multi-column
+    # file pruning. The oracle replays normalize/interleave/bucket
+    # bit-for-bit in SQL.
+    from olx_spark.operators.layout import zorder_bucket_profile
+
+    li = _t(spark, sf, "lineitem")
+    return zorder_bucket_profile(
+        li, ["l_orderkey", "l_partkey"], bits=8, n_buckets=16
+    )
+
+
 def q_inverted_index(spark, sf):
     # corpus inverted index: per term df / total postings / gap-encoded
     # posting-list fingerprint over the first 256 postings in (doc_id,
@@ -1458,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_kmeans": q_kmeans,
         "q_inverted_index": q_inverted_index,
+        "q_zorder": q_zorder,
     }
 
 
@@ -1809,6 +1827,54 @@ def _sql_semdedup(
                case when r.dup_of is null then 1 else 0 end as kept,
                r.dup_of
         from cells left join removed r on r.doc_id = cells.vec_id
+    """
+
+
+def _sql_zorder(
+    cols: tuple[str, str] = ("l_orderkey", "l_partkey"),
+    table: str = "lineitem",
+    bits: int = 8,
+    n_buckets: int = 16,
+) -> str:
+    """DuckDB twin of zorder_bucket_profile: identical min-max
+    normalization (floor((x-mn)*top/(mx-mn)+0.5) — every intermediate
+    exact or IEEE-identical, see operators/layout.py), identical bit
+    interleave (generated shift/mask/add terms, column j at lane j) and
+    top-bits bucketing."""
+    import math
+
+    top = float((1 << bits) - 1)
+    n = len(cols)
+    lb = int(math.log2(n_buckets))
+    width = bits * n
+    st = ", ".join(
+        f"min({c}) as mn{j}, max({c}) as mx{j}" for j, c in enumerate(cols)
+    )
+    norm = ", ".join(
+        f"case when mx{j} = mn{j} then 0 else "
+        f"floor((({c}::double - mn{j}) * {top}) / (mx{j} - mn{j})::double + 0.5)::bigint "
+        f"end as x{j}"
+        for j, c in enumerate(cols)
+    )
+    terms = " + ".join(
+        f"(((x{j} >> {b}) & 1) << {b * n + j})"
+        for j in range(n)
+        for b in range(bits)
+    )
+    mins = ", ".join(
+        f"min({c}) as min_{c}, max({c}) as max_{c}" for c in cols
+    )
+    return f"""
+        with st as (select {st} from {table}),
+        n as (
+            select {", ".join(cols)}, {norm}
+            from {table} cross join st
+        ), z as (
+            select {", ".join(cols)}, ({terms}) as zval from n
+        )
+        select (zval >> {width - lb})::int as file_bucket,
+               count(*) as n_rows, {mins}
+        from z group by 1
     """
 
 
@@ -3109,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semdedup": _sql_semdedup(),
         "q_kmeans": _sql_kmeans(),
         "q_inverted_index": _sql_inverted_index(),
+        "q_zorder": _sql_zorder(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),

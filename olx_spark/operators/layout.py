@@ -1,0 +1,162 @@
+"""Z-order (Morton) multi-column data layout.
+
+The physical-layout primitive behind Delta/Iceberg ``OPTIMIZE ZORDER``
+and the engine's own bucketed snapshot store: map N columns onto one
+interleaved-bit key so that range predicates on ANY prefix-queried
+column prune most files — the standard answer to "the table is sorted
+by orderkey, but half our scans filter partkey".
+
+Everything is pure JVM whole-stage-codegen expressions (bit shifts,
+masks, adds — no UDF anywhere) and fully deterministic cross-engine:
+
+- **normalize**: each column min-max scales to ``[0, 2^bits)`` via
+  ``floor((x - min) * (2^bits - 1) / (max - min) + 0.5)`` — the stats
+  come from ONE metadata-scale aggregate (a single row to the driver;
+  on a real lakehouse these come from table/file statistics, not a
+  scan). All intermediates stay inside float64's exact-integer range
+  for any realistic key domain (|x| < 2^42 at bits<=10), and IEEE
+  division of identical doubles is identical everywhere, so the
+  quantization is engine-portable (same argument as
+  ``operators/clustering.py``).
+- **interleave**: ``z = sum_j sum_b bit(x_j, b) << (b*N + j)`` —
+  ``bits * N`` codegen terms, column j owning bit-lane offset j.
+- **bucket**: the top ``log2(n_buckets)`` bits of z — i.e. the quadrant
+  / octant of the space — so each bucket is a tight axis-aligned cell,
+  which is exactly the file-pruning property (per-bucket min/max spans
+  ~1/sqrt(n_buckets) of each dimension instead of one dimension fully
+  sorted and the other unpruned).
+
+At 100 TB: the z-key costs one projection; writing clustered files is
+``repartition(n_files, bucket)`` + ``sortWithinPartitions(z)`` — one
+shuffle, the same cost as any repartition write, after which every
+engine reading parquet min/max footers prunes on all N columns.
+
+Reference parity: no analog in stanikol/olx (single-table inserts);
+this serves the engine's own SURVEY §1.4 layout story.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(norm_cols: list[Column], bits: int) -> Column:
+    """Bit-interleave pre-normalized ints: column j's bit b lands at
+    position ``b * n + j``. Pure codegen (shift/mask/add)."""
+    n = len(norm_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(norm_cols):
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + j
+            ).cast("long")
+    return z
+
+
+def zorder_stats(df: DataFrame, cols: list[str]) -> dict[str, tuple[int, int]]:
+    """Per-column (min, max) — ONE aggregate, one row to the driver.
+    On a production table these come from catalog statistics."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    stats: dict[str, tuple[int, int]] | None = None,
+    out_col: str = "zval",
+) -> DataFrame:
+    """Append the Morton key over ``cols`` (integer columns). ``stats``
+    overrides the min/max scan (pass catalog values at scale)."""
+    if not 1 <= bits <= 20:
+        raise ValueError("bits in [1, 20] required")
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (1 column = plain sort)")
+    st = stats or zorder_stats(df, cols)
+    top = float((1 << bits) - 1)
+    norm = []
+    for c in cols:
+        mn, mx = st[c]
+        if mn is None or mx is None:
+            raise ValueError(f"column {c} has no stats (all-null?)")
+        if mx == mn:
+            norm.append(F.lit(0).cast("long"))
+        else:
+            scaled = (
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                * F.lit(top)
+                / F.lit(float(mx - mn))
+            )
+            norm.append(F.floor(scaled + F.lit(0.5)).cast("long"))
+    return df.withColumn(out_col, _interleave(norm, bits))
+
+
+def zorder_buckets(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    n_buckets: int = 16,
+    stats: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Z-key + file-bucket assignment (top log2(n_buckets) bits of z).
+    ``n_buckets`` must be a power of two <= 2^(bits * n_cols)."""
+    lb = int(math.log2(n_buckets))
+    if 2**lb != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    width = bits * len(cols)
+    if lb > width:
+        raise ValueError(f"n_buckets exceeds key space 2^{width}")
+    z = zorder_key(df, cols, bits, stats)
+    return z.withColumn(
+        "file_bucket", F.shiftright(F.col("zval"), width - lb).cast("int")
+    )
+
+
+def zorder_bucket_profile(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    n_buckets: int = 16,
+    stats: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """The pruning-quality profile: per bucket, row count and each
+    dimension's min/max span — what a parquet reader's footer check
+    would see. Tight per-bucket spans on EVERY column = multi-column
+    pruning works."""
+    b = zorder_buckets(df, cols, bits, n_buckets, stats)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return b.groupBy("file_bucket").agg(*aggs)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 16,
+    stats: dict[str, tuple[int, int]] | None = None,
+) -> None:
+    """Materialize the clustered layout: one shuffle
+    (``repartition(n_files, file_bucket)``) + an in-partition z sort,
+    written ``partitionBy(file_bucket)`` — the directory split
+    guarantees one z-cell per file even when two bucket ids hash to
+    the same task, after which min/max footer pruning works on all
+    ``cols``."""
+    b = zorder_buckets(df, cols, bits, n_files, stats)
+    (
+        b.repartition(n_files, "file_bucket")
+        .sortWithinPartitions("file_bucket", "zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(path)
+    )
