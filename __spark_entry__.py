@@ -1402,6 +1402,54 @@ def q_kmeans(spark, sf):
     return kmeans_cluster_stats(emb, dim=64, k=8, iters=3)
 
 
+def _merge_delta(ords):
+    """Deterministic CDC delta derived from orders: two upsert versions
+    for keys %7 (last-writer-wins picks seq=2), deletes for %13 (seq=3,
+    so on %91 overlap keys the delete beats both upserts), inserts at
+    key+1_000_000 for %11. Derived by expression so the same delta is
+    replayed verbatim in the SQL oracle at any sf."""
+    k = F.col("o_orderkey")
+    up1 = ords.filter(k % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    up2 = ords.filter(k % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = ords.filter(k % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    ins = ords.filter(k % 11 == 0).select(
+        (k + F.lit(1_000_000)).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    return up1.unionByName(up2).unionByName(dels).unionByName(ins)
+
+
+def q_merge_upsert(spark, sf):
+    # lakehouse MERGE INTO / CDC upsert: compact a multi-version delta
+    # (last-writer-wins window over the DELTA only), then apply it so
+    # the 100-TB target side never shuffles — broadcast ANTI JOIN drops
+    # matched rows, the compacted delta re-inserts updates and
+    # not-matched rows, deletes never re-enter. The oracle replays
+    # delta derivation, LWW compaction and the anti-join/union merge in
+    # SQL. All values flow exactly (parquet doubles + exactly
+    # representable literal adds), so this is a full value oracle.
+    from olx_spark.operators.merge import merge_upsert
+
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return merge_upsert(ords, _merge_delta(ords), keys=["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1476,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_inverted_index": q_inverted_index,
         "q_zorder": q_zorder,
+        "q_merge_upsert": q_merge_upsert,
     }
 
 
@@ -1875,6 +1924,44 @@ def _sql_zorder(
         select (zval >> {width - lb})::int as file_bucket,
                count(*) as n_rows, {mins}
         from z group by 1
+    """
+
+
+def _sql_merge_upsert() -> str:
+    """DuckDB twin of q_merge_upsert: replays the delta derivation
+    (same %7/%13/%11 expressions), the last-writer-wins compaction
+    (row_number over seq desc, op desc) and the anti-join/union merge.
+    A logic twin — both engines run the full MERGE semantics."""
+    return """
+        with t as (
+            select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            from orders
+        ), d as (
+            select o_orderkey, o_custkey, 'X' as o_orderstatus,
+                   o_totalprice + 500.0 as o_totalprice, 'U' as op, 1 as seq
+            from t where o_orderkey % 7 = 0
+            union all
+            select o_orderkey, o_custkey, 'U', o_totalprice + 1000.0, 'U', 2
+            from t where o_orderkey % 7 = 0
+            union all
+            select o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 3
+            from t where o_orderkey % 13 = 0
+            union all
+            select o_orderkey + 1000000, o_custkey, 'N', o_totalprice, 'U', 1
+            from t where o_orderkey % 11 = 0
+        ), last as (
+            select * from (
+                select d.*, row_number() over (
+                    partition by o_orderkey order by seq desc, op desc
+                ) as rn
+                from d
+            ) where rn = 1
+        )
+        select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        from t anti join last using (o_orderkey)
+        union all
+        select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        from last where op <> 'D'
     """
 
 
@@ -3176,6 +3263,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _sql_kmeans(),
         "q_inverted_index": _sql_inverted_index(),
         "q_zorder": _sql_zorder(),
+        "q_merge_upsert": _sql_merge_upsert(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
