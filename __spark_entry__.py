@@ -1450,6 +1450,24 @@ def q_merge_upsert(spark, sf):
     return merge_upsert(ords, _merge_delta(ords), keys=["o_orderkey"])
 
 
+def q_profile_table(spark, sf):
+    # ANALYZE TABLE-style column profiler: per-column n_nulls /
+    # n_distinct / min / max in ONE scan (all measures in a single
+    # agg; exact NDV via one Expand, approx HLL++ mode for 100 TB),
+    # one row to the driver, stack-unpivoted metadata-side. This is
+    # the catalog-stats feeder q_zorder's injectable stats come from.
+    # A nullable column is derived (nullif) so the null path is
+    # oracle-checked. The oracle replays each column's aggregates.
+    from olx_spark.operators.profile import profile_table
+
+    d = _t(spark, sf, "documents").withColumn(
+        "lang_opt", F.expr("nullif(lang, 'en')")
+    )
+    return profile_table(
+        d, ["doc_id", "lang", "source", "n_chars", "lang_opt"], exact=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1525,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_zorder": q_zorder,
         "q_merge_upsert": q_merge_upsert,
+        "q_profile_table": q_profile_table,
     }
 
 
@@ -1925,6 +1944,23 @@ def _sql_zorder(
                count(*) as n_rows, {mins}
         from z group by 1
     """
+
+
+def _sql_profile_table() -> str:
+    """DuckDB twin of q_profile_table: one UNION ALL branch per
+    profiled column replaying count / null count / exact NDV / min /
+    max (aggregated on the native type, cast to varchar after)."""
+    branch = """
+        select '{c}' as column_name, count(*) as n_rows,
+               count(*) - count({c}) as n_nulls,
+               count(distinct {c}) as n_distinct,
+               min({c})::varchar as min_val, max({c})::varchar as max_val
+        from d"""
+    cols = ["doc_id", "lang", "source", "n_chars", "lang_opt"]
+    return (
+        "with d as (select *, nullif(lang, 'en') as lang_opt from documents)\n"
+        + " union all ".join(branch.format(c=c) for c in cols)
+    )
 
 
 def _sql_merge_upsert() -> str:
@@ -3264,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "q_inverted_index": _sql_inverted_index(),
         "q_zorder": _sql_zorder(),
         "q_merge_upsert": _sql_merge_upsert(),
+        "q_profile_table": _sql_profile_table(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
