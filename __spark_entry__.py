@@ -1468,6 +1468,24 @@ def q_profile_table(spark, sf):
     )
 
 
+def q_tile_stats(spark, sf):
+    # ViT-patch / region-stats plumbing over the image payload: each
+    # decoded image splits into a 4x4 tile lattice and emits exact
+    # int64 channel sums per tile (two vectorized reduceat passes, no
+    # per-pixel Python) — the letterbox/watermark/saliency primitive.
+    # Zero shuffle (tiles inherit input partitioning). The oracle
+    # carries tiles computed INDEPENDENTLY driver-side (numpy over the
+    # same deterministic corpus), certifying the distributed decode +
+    # tiling end to end; all values are exact integers.
+    from olx_spark.operators.multimodal import image_tile_stats
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("plain", 64, 7),
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_tile_stats(df, grid=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1544,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_merge_upsert": q_merge_upsert,
         "q_profile_table": q_profile_table,
+        "q_tile_stats": q_tile_stats,
     }
 
 
@@ -2516,6 +2535,47 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_tile_stats(grid: int = 4) -> str:
+    """DuckDB twin of q_tile_stats: expected tiles computed
+    INDEPENDENTLY of Spark (driver-side numpy decode + the same
+    floor(k*dim/g) boundary math over the same deterministic corpus)
+    and inlined as VALUES — every value an exact integer, so this is
+    a full-hash plumbing oracle for the distributed decode + tiling."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        original_pixels,
+    )
+
+    vals = []
+    for i in range(64):
+        w, h, fmt, arr = original_pixels(i, seed=7)
+        dec = decode_image(encode_image(arr, fmt), fmt).astype(np.int64)
+        hh, ww = dec.shape[:2]
+        g = min(grid, hh, ww)
+        rb = (np.arange(g, dtype=np.int64) * hh) // g
+        cb = (np.arange(g, dtype=np.int64) * ww) // g
+        t = np.add.reduceat(np.add.reduceat(dec, rb, axis=0), cb, axis=1)
+        hs = np.diff(np.append(rb, hh))
+        ws = np.diff(np.append(cb, ww))
+        for tr in range(g):
+            for tc in range(g):
+                vals.append(
+                    f"('img-{i % 4:03d}-{i:05d}', {tr}, {tc}, "
+                    f"{int(hs[tr] * ws[tc])}, {int(t[tr, tc, 0])}, "
+                    f"{int(t[tr, tc, 1])}, {int(t[tr, tc, 2])})"
+                )
+    return f"""
+        select image_id, tile_r::int as tile_r, tile_c::int as tile_c,
+               n_px::bigint as n_px, sum_r::bigint as sum_r,
+               sum_g::bigint as sum_g, sum_b::bigint as sum_b
+        from (values {", ".join(vals)})
+             t(image_id, tile_r, tile_c, n_px, sum_r, sum_g, sum_b)
+    """
+
+
 def _sql_curate_images() -> str:
     """DuckDB twin of q_curate_images: embeds the corpus METADATA as
     VALUES and replays the rule LOGIC itself (thresholds, precedence,
@@ -3301,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder": _sql_zorder(),
         "q_merge_upsert": _sql_merge_upsert(),
         "q_profile_table": _sql_profile_table(),
+        "q_tile_stats": _sql_tile_stats(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
