@@ -1486,6 +1486,33 @@ def q_tile_stats(spark, sf):
     return image_tile_stats(df, grid=4)
 
 
+def q_recrawl_due(spark, sf):
+    # the refresh half of a standing frontier: exponential-backoff
+    # next-due times (shiftleft power of two — exact integers, no
+    # float pow), an explicit `now` (scheduling is a pure function of
+    # state + now, replayable from snapshots), then the per-host
+    # politeness budget via the same two-phase salted top-k as the
+    # first-visit scheduler. The oracle replays backoff, due filter
+    # and budget window in SQL.
+    from olx_spark.operators.recrawl import recrawl_due
+
+    ev = _t(spark, sf, "events")
+    state = ev.select(
+        F.col("event_id").alias("url_fp"),
+        F.pmod(F.col("user_id"), F.lit(50)).alias("host"),
+        F.col("ts").alias("last_fetch_ts"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("fail_count"),
+        F.pmod(F.col("event_id"), F.lit(97)).alias("priority"),
+    )
+    return recrawl_due(
+        state,
+        "2024-01-20 00:00:00",
+        base_interval_s=86_400,
+        backoff_cap=3,
+        per_host_budget=16,
+    ).select("url_fp", "host", "due_s", "priority", "rank_in_limit")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1563,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_profile_table": q_profile_table,
         "q_tile_stats": q_tile_stats,
+        "q_recrawl_due": q_recrawl_due,
     }
 
 
@@ -1980,6 +2008,36 @@ def _sql_profile_table() -> str:
         "with d as (select *, nullif(lang, 'en') as lang_opt from documents)\n"
         + " union all ".join(branch.format(c=c) for c in cols)
     )
+
+
+def _sql_recrawl_due() -> str:
+    """DuckDB twin of q_recrawl_due: same state derivation, the exact
+    shiftleft backoff, the due filter against the literal now, and the
+    per-host budget window (row_number over priority desc, due_s,
+    url_fp)."""
+    return """
+        with state as (
+            select event_id as url_fp, user_id % 50 as host,
+                   ts as last_fetch_ts, (event_id % 5)::int as fail_count,
+                   event_id % 97 as priority
+            from events
+        ), due as (
+            select url_fp, host, priority,
+                   floor(epoch(last_fetch_ts))::bigint
+                     + 86400 * (1::bigint << least(fail_count, 3)) as due_s
+            from state
+            where floor(epoch(last_fetch_ts))::bigint
+                    + 86400 * (1::bigint << least(fail_count, 3))
+                  <= floor(epoch(timestamp '2024-01-20 00:00:00'))::bigint
+        )
+        select url_fp, host, due_s, priority, rank_in_limit from (
+            select *, row_number() over (
+                partition by host
+                order by priority desc, due_s asc, url_fp asc
+            ) - 1 as rank_in_limit
+            from due
+        ) where rank_in_limit < 16
+    """
 
 
 def _sql_merge_upsert() -> str:
@@ -3362,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_upsert": _sql_merge_upsert(),
         "q_profile_table": _sql_profile_table(),
         "q_tile_stats": _sql_tile_stats(),
+        "q_recrawl_due": _sql_recrawl_due(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),

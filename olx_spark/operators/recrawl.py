@@ -1,0 +1,82 @@
+"""Recrawl scheduling — the refresh half of a production frontier.
+
+The reference crawls each listing once per job
+(``DownloadAds.scala:25-41`` fetches, inserts, and forgets); a
+standing 10^10-URL frontier instead re-visits: every fetched URL
+carries a next-due time derived from its last fetch and failure
+history, and each scheduling round selects the due set under the same
+per-host politeness budget the first-visit path uses. This module is
+that selector.
+
+Semantics (all exact-integer, hence fully oracle-able):
+
+- **Exponential backoff**: ``due_s = unix(last_fetch_ts) +
+  base_interval_s * 2^min(fail_count, backoff_cap)`` — the power of
+  two is a ``shiftleft`` (pure codegen, no float ``pow`` to drift
+  cross-engine). Failing URLs cool down geometrically; the cap keeps
+  a permanently-broken URL at a finite revisit rate instead of
+  overflowing.
+- **Due set**: ``due_s <= unix(now_ts)``. ``now`` is an explicit
+  argument, never a clock read — scheduling is a pure function of
+  (state, now), which is what makes rounds replayable from snapshots.
+- **Per-host budget**: the due set is cut to ``per_host_budget`` rows
+  per host in (priority desc, due_s asc — most-overdue first, url_fp)
+  order via the SAME two-phase salted top-k the first-visit scheduler
+  uses (``ranking.ordered_limit``): one hot host spreads over
+  ``salt_buckets`` tasks instead of serializing a window sort, since
+  AQE skew-split does not apply to window partitions.
+
+Scale: one filter (pushed to the scan — due_s is a projection of scan
+columns) + the salted two-phase top-k's shuffles on (host, salt) and
+host. The state table is the snapshot store's ``seen`` lineage, which
+is already bucketed; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olx_spark.operators.ranking import ordered_limit
+
+
+def recrawl_due(
+    state: DataFrame,
+    now: str,
+    base_interval_s: int = 86_400,
+    backoff_cap: int = 4,
+    per_host_budget: int | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Select the recrawl-due set from ``state`` rows
+    ``(url_fp, host, last_fetch_ts, fail_count, priority, ...)`` as of
+    ``now`` (a ``'YYYY-MM-DD HH:MM:SS'`` literal — explicit, never a
+    clock read). Adds ``due_s`` (epoch seconds, exact) and, with a
+    budget, ``rank_in_limit`` within host. See module doc."""
+    if base_interval_s < 1:
+        raise ValueError(f"base_interval_s must be >= 1, got {base_interval_s}")
+    if backoff_cap < 0:
+        raise ValueError(f"backoff_cap must be >= 0, got {backoff_cap}")
+    for c in ("url_fp", "host", "last_fetch_ts", "fail_count", "priority"):
+        if c not in state.columns:
+            raise ValueError(f"state is missing column {c!r}")
+    # SQL form: the shiftleft builtin takes a column bit count there
+    # (the Python wrapper only accepts a literal)
+    backoff = F.expr(
+        f"shiftleft(cast(1 as bigint), least(fail_count, {int(backoff_cap)}))"
+    )
+    due_s = (
+        F.unix_timestamp("last_fetch_ts")
+        + F.lit(base_interval_s).cast("long") * backoff
+    )
+    now_s = F.unix_timestamp(F.to_timestamp(F.lit(now)))
+    due = state.withColumn("due_s", due_s).filter(F.col("due_s") <= now_s)
+    if per_host_budget is None:
+        return due
+    return ordered_limit(
+        due,
+        per_host_budget,
+        order_cols=[F.col("priority").desc(), F.col("due_s").asc(), F.col("url_fp").asc()],
+        partition_cols=["host"],
+        salt_buckets=salt_buckets,
+    )

@@ -1,0 +1,88 @@
+"""Recrawl scheduler (operators/recrawl.py).
+
+Backoff arithmetic pinned by hand, the due boundary is inclusive, the
+per-host budget honors (priority desc, most-overdue-first) order, and
+the two-phase salted cut is row-identical to the single-phase window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from olx_spark.operators.recrawl import recrawl_due
+
+SCHEMA = (
+    "url_fp long, host long, last_fetch_ts timestamp, "
+    "fail_count int, priority long"
+)
+T0 = "2024-01-01 00:00:00"
+
+
+def _rows(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (fp, h, base + dt.timedelta(seconds=off), fc, pr)
+            for fp, h, off, fc, pr in rows
+        ],
+        SCHEMA,
+    )
+
+
+def test_backoff_exponent_capped(spark):
+    # all fetched at T0; now = T0 + 16 days; interval 1 day, cap 4:
+    # fail 0..6 -> due at +1,2,4,8,16,16,16 days -> all due at +16d
+    st = _rows(spark, [(i, 1, 0, i, 0) for i in range(7)])
+    got = {
+        r["url_fp"]: r["due_s"]
+        for r in recrawl_due(st, "2024-01-17 00:00:00").collect()
+    }
+    t0 = 1704067200  # 2024-01-01 UTC
+    day = 86_400
+    assert got == {
+        0: t0 + day, 1: t0 + 2 * day, 2: t0 + 4 * day, 3: t0 + 8 * day,
+        4: t0 + 16 * day, 5: t0 + 16 * day, 6: t0 + 16 * day,
+    }
+
+
+def test_due_boundary_inclusive(spark):
+    st = _rows(spark, [(1, 1, 0, 0, 0), (2, 1, 1, 0, 0)])
+    # now = exactly T0 + 1 day: url 1 due (<=), url 2 one second late
+    got = [r["url_fp"] for r in recrawl_due(st, "2024-01-02 00:00:00").collect()]
+    assert got == [1]
+
+
+def test_budget_order_and_two_phase_equality(spark):
+    # one hot host with 40 urls: priority desc first, then most
+    # overdue (due_s asc), then url_fp
+    rows = [(i, 7, i * 60, i % 3, i % 5) for i in range(40)]
+    st = _rows(spark, rows)
+    kw = dict(base_interval_s=60, backoff_cap=2, per_host_budget=10)
+    two = recrawl_due(st, "2024-01-01 02:00:00", salt_buckets=8, **kw)
+    one = recrawl_due(st, "2024-01-01 02:00:00", salt_buckets=1, **kw)
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b and len(a) > 0
+    ranked = sorted(a, key=lambda r: r[-1])  # rank_in_limit ascending
+    keys = [(-r[4], r[5], r[0]) for r in ranked]  # (-prio, due_s, url_fp)
+    assert keys == sorted(keys)
+    assert len(a) == 10
+
+
+def test_no_budget_returns_full_due_set(spark):
+    st = _rows(spark, [(i, i % 4, 0, 0, 0) for i in range(20)])
+    got = recrawl_due(st, "2024-01-03 00:00:00").collect()
+    assert len(got) == 20
+    assert "rank_in_limit" not in got[0].asDict()
+
+
+def test_validation(spark):
+    st = _rows(spark, [(1, 1, 0, 0, 0)])
+    with pytest.raises(ValueError, match="base_interval_s"):
+        recrawl_due(st, T0, base_interval_s=0)
+    with pytest.raises(ValueError, match="backoff_cap"):
+        recrawl_due(st, T0, backoff_cap=-1)
+    with pytest.raises(ValueError, match="missing column"):
+        recrawl_due(st.drop("priority"), T0)
