@@ -1513,6 +1513,20 @@ def q_recrawl_due(spark, sf):
     ).select("url_fp", "host", "due_s", "priority", "rank_in_limit")
 
 
+def q_rand_proj(spark, sf):
+    # JL embedding compression: exact-integer {-1,+1} sign projection
+    # (dim 64 -> 16) where the matrix derives from the engine's
+    # portable md5-60 — a pure function of (tag,i,j), identical in
+    # driver numpy, Spark and DuckDB, no stored state. One Arrow-
+    # batched int64 matmul per batch, zero shuffle. The oracle is a
+    # FULL logic twin: it re-derives the sign matrix from md5 in SQL
+    # and replays quantize + join + sum.
+    from olx_spark.operators.projection import projected_components
+
+    emb = _t(spark, sf, "embeddings")
+    return projected_components(emb, in_dim=64, out_dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1591,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_table": q_profile_table,
         "q_tile_stats": q_tile_stats,
         "q_recrawl_due": q_recrawl_due,
+        "q_rand_proj": q_rand_proj,
     }
 
 
@@ -2008,6 +2023,30 @@ def _sql_profile_table() -> str:
         "with d as (select *, nullif(lang, 'en') as lang_opt from documents)\n"
         + " union all ".join(branch.format(c=c) for c in cols)
     )
+
+
+def _sql_rand_proj(in_dim: int = 64, out_dim: int = 16, scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_rand_proj — a FULL logic twin: the sign matrix
+    is re-derived from the same md5-60 parity in SQL, the quantization
+    is the same floor(x*scale + 0.5) on identically-widened doubles,
+    and each output component is the exact-integer sum over the
+    joined signs."""
+    sign = f"1 - 2 * ({_sql_md5_60(chr(39) + 'rp-v1:' + chr(39) + ' || i || ' + chr(39) + ':' + chr(39) + ' || j')} % 2)"
+    return f"""
+        with signs as (
+            select i, j, {sign} as s
+            from (select unnest(range(0, {in_dim})) as i)
+                 cross join (select unnest(range(0, {out_dim})) as j)
+        ), comps as (
+            select vec_id,
+                   generate_subscripts(embedding, 1) - 1 as i,
+                   floor(unnest(embedding)::double * {scale} + 0.5)::bigint as q
+            from embeddings
+        )
+        select c.vec_id, s.j::int as dim_j, sum(c.q * s.s)::bigint as component
+        from comps c join signs s using (i)
+        group by c.vec_id, s.j
+    """
 
 
 def _sql_recrawl_due() -> str:
@@ -3421,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_table": _sql_profile_table(),
         "q_tile_stats": _sql_tile_stats(),
         "q_recrawl_due": _sql_recrawl_due(),
+        "q_rand_proj": _sql_rand_proj(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
