@@ -1527,6 +1527,23 @@ def q_rand_proj(spark, sf):
     return projected_components(emb, in_dim=64, out_dim=16)
 
 
+def q_ssjoin(spark, sf):
+    # exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    # EVERY pair with token-set Jaccard >= 0.6, no approximation, no
+    # all-pairs product — prefixes hold each doc's RAREST tokens
+    # (ascending global frequency), so candidate buckets are
+    # structurally skew-proof and the length filter rides the join
+    # condition. The exact complement of q_minhash_lsh. Corpus subset
+    # (doc_id % 5 = 0) bounds the oracle twin, same discipline as
+    # q_ngram_jaccard — the synthetic corpus is pathologically
+    # templated (>50% of all pairs similar). Full value oracle: all
+    # integers + one IEEE division.
+    from olx_spark.operators.ssjoin import jaccard_similarity_join
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return jaccard_similarity_join(d, "doc_id", "text", threshold=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1606,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_stats": q_tile_stats,
         "q_recrawl_due": q_recrawl_due,
         "q_rand_proj": q_rand_proj,
+        "q_ssjoin": q_ssjoin,
     }
 
 
@@ -2023,6 +2041,54 @@ def _sql_profile_table() -> str:
         "with d as (select *, nullif(lang, 'en') as lang_opt from documents)\n"
         + " union all ".join(branch.format(c=c) for c in cols)
     )
+
+
+def _sql_ssjoin(t: float = 0.6, mod: int = 5) -> str:
+    """DuckDB twin of q_ssjoin: the identical prefix-filter pipeline —
+    same tokenization, same (freq asc, token asc) global order, same
+    prefix cut |d| - ceil(t*|d|) + 1, same length filter in the join,
+    same exact verification. Every float op (ceil/compare/divide) is
+    the same IEEE expression on the same exact integers."""
+    return f"""
+        with toks as materialized (
+            select distinct doc_id as doc, tok as token from (
+                select doc_id,
+                       unnest([x for x in string_split_regex(lower(text), '[^a-z]+')
+                               if x <> '']) as tok
+                from documents where doc_id % {mod} = 0)
+        ), freq as (
+            select token, count(*) as f from toks group by token
+        ), sizes as (
+            select doc, count(*) as size from toks group by doc
+        ), ranked as (
+            select t.doc, t.token, s.size,
+                   row_number() over (
+                       partition by t.doc order by f.f asc, t.token asc
+                   ) - 1 as pos
+            from toks t join freq f using (token) join sizes s using (doc)
+        ), prefix as (
+            select doc, token, size from ranked
+            where pos < size - ceil({t} * size) + 1
+        ), cand as (
+            select distinct a.doc as doc_a, b.doc as doc_b
+            from prefix a join prefix b
+              on a.token = b.token and a.doc < b.doc
+             and a.size * {t} <= b.size and b.size * {t} <= a.size
+        ), inter as (
+            select c.doc_a, c.doc_b, count(*) as inter
+            from cand c
+            join toks ta on ta.doc = c.doc_a
+            join toks tb on tb.doc = c.doc_b and tb.token = ta.token
+            group by 1, 2
+        )
+        select i.doc_a, i.doc_b, sa.size as size_a, sb.size as size_b,
+               i.inter,
+               i.inter / (sa.size + sb.size - i.inter)::double as jaccard
+        from inter i
+        join sizes sa on sa.doc = i.doc_a
+        join sizes sb on sb.doc = i.doc_b
+        where i.inter / (sa.size + sb.size - i.inter)::double >= {t}
+    """
 
 
 def _sql_rand_proj(in_dim: int = 64, out_dim: int = 16, scale: int = 1_000_000) -> str:
@@ -3461,6 +3527,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_stats": _sql_tile_stats(),
         "q_recrawl_due": _sql_recrawl_due(),
         "q_rand_proj": _sql_rand_proj(),
+        "q_ssjoin": _sql_ssjoin(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),

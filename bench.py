@@ -77,6 +77,16 @@ HEADLINE = [
     "q_ar_batches",
     "q_cluster_sample",
     "q_dup_spans",
+    # round-5 late additions (absent from earlier round-5 triples;
+    # suite totals are only comparable at equal key counts)
+    "q_kmeans",
+    "q_inverted_index",
+    "q_zorder",
+    "q_merge_upsert",
+    "q_profile_table",
+    "q_tile_stats",
+    "q_recrawl_due",
+    "q_rand_proj",
 ]
 
 REPS = 3
