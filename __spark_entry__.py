@@ -1544,6 +1544,22 @@ def q_ssjoin(spark, sf):
     return jaccard_similarity_join(d, "doc_id", "text", threshold=0.6)
 
 
+def q_bm25_search(spark, sf):
+    # the search half of the index/BM25 stack: global top-25 docs by
+    # summed BM25 over a fixed query — the isin literal filter cuts
+    # the scoring join to the query terms' postings BEFORE any join,
+    # df/dlen stats ride broadcasts, top-k is TakeOrderedAndProject.
+    # "spill" is deliberately absent from the corpus vocabulary (a
+    # no-hit term must contribute nothing). Rank on the rounded score
+    # + doc_id tie-break keeps the order engine-reproducible.
+    from olx_spark.operators.text_rank import bm25_search
+
+    docs = _t(spark, sf, "documents")
+    return bm25_search(
+        docs, ["hash", "join", "filter", "spill"], k=25
+    ).select("doc_id", "score", "n_terms_hit", "rank_in_limit")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1624,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_due": q_recrawl_due,
         "q_rand_proj": q_rand_proj,
         "q_ssjoin": q_ssjoin,
+        "q_bm25_search": q_bm25_search,
     }
 
 
@@ -2041,6 +2058,49 @@ def _sql_profile_table() -> str:
         "with d as (select *, nullif(lang, 'en') as lang_opt from documents)\n"
         + " union all ".join(branch.format(c=c) for c in cols)
     )
+
+
+def _sql_bm25_search(k: int = 25) -> str:
+    """DuckDB twin of q_bm25_search: same tokenization/stats chain as
+    the q_bm25_top_terms twin, query filter on the literal term set,
+    per-doc sum rounded to 6, rank on the rounded score + doc_id."""
+    return f"""
+        with toks as (
+            select doc_id, unnest(string_split({_sql_norm('text')}, ' ')) as term
+            from documents
+        ), t as (
+            select doc_id, term from toks where term <> ''
+        ), tf as (
+            select doc_id, term, count(*)::double as tf from t group by 1, 2
+        ), dlen as (
+            select doc_id, sum(tf) as dlen from tf group by 1
+        ), stats as (
+            select count(*)::double as n_docs, avg(dlen) as avg_dlen from dlen
+        ), qtf as (
+            select * from tf where term in ('hash', 'join', 'filter', 'spill')
+        ), dfreq as (
+            select term, count(*)::double as df from qtf group by 1
+        ), scored as (
+            select qtf.doc_id,
+                   round(sum(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * qtf.tf * 2.2
+                       / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dlen / stats.avg_dlen))
+                   ), 6) as score,
+                   count(*) as n_terms_hit
+            from qtf
+            join dlen using (doc_id)
+            join dfreq using (term)
+            cross join stats
+            group by qtf.doc_id
+        )
+        select doc_id, score, n_terms_hit, rank_in_limit from (
+            select doc_id, score, n_terms_hit,
+                   row_number() over (order by score desc, doc_id asc) - 1
+                       as rank_in_limit
+            from scored
+        ) where rank_in_limit < {k}
+    """
 
 
 def _sql_ssjoin(t: float = 0.6, mod: int = 5) -> str:
@@ -3528,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "q_recrawl_due": _sql_recrawl_due(),
         "q_rand_proj": _sql_rand_proj(),
         "q_ssjoin": _sql_ssjoin(),
+        "q_bm25_search": _sql_bm25_search(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),

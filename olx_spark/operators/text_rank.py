@@ -98,3 +98,75 @@ def bm25_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "term", "score")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dec: int = 6,
+) -> DataFrame:
+    """Query-time retrieval: the global top-``k`` documents by summed
+    BM25 over ``query_terms`` — the search half of the
+    index/BM25 stack (``operators/index.py`` builds the posting lists;
+    this scores against them at query time).
+
+    Scale design: corpus statistics (tf, doc length, avg length) come
+    from the SAME one-explode materialized tf table as
+    :func:`bm25_top_terms`; the query filter — an ``isin`` over a
+    literal term set — cuts the scoring join to ``|query|`` terms
+    BEFORE any join runs, so per-query cost is proportional to the
+    query terms' posting lists, not the corpus. The final top-k is a
+    global :func:`~olx_spark.operators.ranking.ordered_limit`
+    (``TakeOrderedAndProject`` — distributed partial top-k, never a
+    global window). Query terms absent from the corpus contribute
+    nothing (no tf rows). The doc score is rounded to ``round_dec``
+    and ranked on the ROUNDED value with a doc-id tie-break, so the
+    ranking is reproducible across engines summing doubles in
+    different orders.
+    """
+    from olx_spark.operators.ranking import ordered_limit
+    from olx_spark.session import materialize
+
+    terms = sorted({t for t in query_terms if t})
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-empty term")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = materialize(
+        toks.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
+    )
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avg_dlen"),
+    )
+    qtf = tf.filter(F.col("term").isin(terms))
+    dfreq = qtf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dlen") / F.col("avg_dlen")
+    )
+    scored = (
+        qtf.join(dlen, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom), round_dec
+            ).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return ordered_limit(
+        scored, k, order_cols=[F.col("score").desc(), F.col(id_col).asc()]
+    )
