@@ -1560,6 +1560,28 @@ def q_bm25_search(spark, sf):
     ).select("doc_id", "score", "n_terms_hit", "rank_in_limit")
 
 
+def q_normalize_images(spark, sf):
+    # composition certified end-to-end: contrast-stretch normalize
+    # (EXACT integer round-half-up, no float anywhere in the mapping)
+    # then the feature scanner over the normalized bytes — two
+    # Arrow-batched stages, zero shuffle. The oracle carries features
+    # computed INDEPENDENTLY driver-side (numpy decode -> identical
+    # stretch -> features over the same corpus), so decode, stretch,
+    # re-encode and transport are all on the hook.
+    from olx_spark.operators.multimodal import image_features, normalize_images
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("plain", 64, 7),
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_features(normalize_images(df, out_fmt="png")).select(
+        "image_id", "w", "h", "fmt",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_gray", 4).alias("std_gray"),
+        "phash", "decode_ok",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -1641,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rand_proj": q_rand_proj,
         "q_ssjoin": q_ssjoin,
         "q_bm25_search": q_bm25_search,
+        "q_normalize_images": q_normalize_images,
     }
 
 
@@ -2799,6 +2822,49 @@ def _sql_tile_stats(grid: int = 4) -> str:
     """
 
 
+def _sql_normalize_images() -> str:
+    """DuckDB twin of q_normalize_images: expected features computed
+    INDEPENDENTLY of Spark — driver numpy decode, the identical exact-
+    integer contrast stretch, then the same feature math over the
+    stretched pixels — inlined as VALUES (floats via repr for exact
+    double round-trip)."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        original_pixels,
+        phash64,
+    )
+
+    vals = []
+    for i in range(64):
+        w, h, fmt, arr = original_pixels(i, seed=7)
+        dec = decode_image(encode_image(arr, fmt), fmt).astype(np.int64)
+        mn, mx = int(dec.min()), int(dec.max())
+        span = mx - mn
+        out = (
+            np.zeros_like(dec)
+            if span == 0
+            else ((dec - mn) * 510 + span) // (2 * span)
+        ).astype(np.uint8)
+        # round-trip through the png encoder exactly like the operator
+        out = decode_image(encode_image(out, "png"), "png")
+        gray = out.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        vals.append(
+            f"('img-{i % 4:03d}-{i:05d}', {out.shape[1]}, {out.shape[0]}, "
+            f"'png', {float(out[..., 0].mean())!r}::double, "
+            f"{float(gray.std())!r}::double, {phash64(out)}, 1)"
+        )
+    return f"""
+        select image_id, w::int as w, h::int as h, fmt,
+               round(mean_r, 4) as mean_r, round(std_gray, 4) as std_gray,
+               phash::bigint as phash, decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, w, h, fmt, mean_r, std_gray, phash, decode_ok)
+    """
+
+
 def _sql_curate_images() -> str:
     """DuckDB twin of q_curate_images: embeds the corpus METADATA as
     VALUES and replays the rule LOGIC itself (thresholds, precedence,
@@ -3589,6 +3655,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rand_proj": _sql_rand_proj(),
         "q_ssjoin": _sql_ssjoin(),
         "q_bm25_search": _sql_bm25_search(),
+        "q_normalize_images": _sql_normalize_images(),
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),

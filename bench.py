@@ -87,6 +87,8 @@ HEADLINE = [
     "q_tile_stats",
     "q_recrawl_due",
     "q_rand_proj",
+    "q_ssjoin",
+    "q_bm25_search",
 ]
 
 REPS = 3

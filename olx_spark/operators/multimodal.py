@@ -208,6 +208,64 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32, out_fmt: str 
     return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
+def normalize_images(df: DataFrame, out_fmt: str = "png") -> DataFrame:
+    """Per-image contrast stretch: linearly map each image's global
+    [min_px, max_px] onto [0, 255] — the standard normalization step
+    before training-time augmentation, and the cheap fix for the
+    washed-out/letterboxed crawl images a 100-TB corpus is full of.
+
+    The mapping is EXACT integer arithmetic (round-half-up without any
+    float: ``out = ((px - mn) * 510 + span) // (2 * span)`` with
+    ``span = mx - mn``), so normalized pixels are bit-identical on any
+    engine — which is what lets the composition query
+    (features-after-normalize) carry a full value oracle. Constant
+    images (span 0) map to 0. Output re-encodes to ``out_fmt``
+    (default lossless png — re-encoding a lossy input to its own
+    format would destroy the exactness this operator guarantees).
+
+    One Arrow-batched ``mapInPandas`` pass, zero shuffle; the stretch
+    itself is whole-array numpy. Corrupt payloads are dropped (the
+    feature scanner's decode_ok flag is the corruption report)."""
+    if out_fmt not in ("raw", "png"):
+        raise ValueError(
+            f"out_fmt must be lossless (raw|png), got {out_fmt!r}"
+        )
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt not in KNOWN_FMTS:
+                    raise ValueError(
+                        f"unknown fmt {fmt!r} for image_id={image_id!r}: "
+                        f"expected one of {KNOWN_FMTS}"
+                    )
+                try:
+                    arr = _decode(data, fmt)
+                except Exception:
+                    continue
+                a = arr.astype(np.int64)
+                mn, mx = int(a.min()), int(a.max())
+                span = mx - mn
+                if span == 0:
+                    out = np.zeros_like(a)
+                else:
+                    out = ((a - mn) * 510 + span) // (2 * span)
+                h, w = arr.shape[:2]
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "bytes": encode_image(out.astype(np.uint8), out_fmt),
+                        "w": w,
+                        "h": h,
+                        "fmt": out_fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=RESIZE_SCHEMA.fieldNames())
+
+    return df.mapInPandas(_norm, schema=RESIZE_SCHEMA)
+
+
 TILE_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),
