@@ -1030,6 +1030,17 @@ def q_perplexity_filter(spark, sf):
     return perplexity_filter(_t(spark, sf, "documents"))
 
 
+def q_nb_classify(spark, sf):
+    # fastText-style corpus classifier stage: multinomial Naive Bayes
+    # (add-one smoothing) fit on a 70% fate-hash slice with `lang` as
+    # the label, held-out docs scored and argmax-labeled (ties broken
+    # by label asc). Full DuckDB twin replays tokenization, counts,
+    # the log-domain score, and the argmax window.
+    from olx_spark.operators.classify import nb_classify
+
+    return nb_classify(_t(spark, sf, "documents"))
+
+
 def q_dsir_resample(spark, sf):
     # DSIR importance resampling (Xie et al. 2023): hashed
     # unigram+bigram bucket log-ratios between a fate-hash TARGET
@@ -1640,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_decontaminate": q_decontaminate,
         "q_perplexity_filter": q_perplexity_filter,
+        "q_nb_classify": q_nb_classify,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -2581,6 +2593,69 @@ def _sql_perplexity_filter(train_pct: int = 30, alpha: float = 0.4) -> str:
                     when ppl <= t2 then 'middle'
                     else 'tail' end as bucket
         from sc cross join cuts
+    """
+
+
+def _sql_nb_classify(train_pct: int = 70) -> str:
+    """DuckDB twin of q_nb_classify: same fate-hash split, (label, w)
+    counts, add-one log-domain score over in-vocab tokens, argmax with
+    the (score desc, label asc) total order."""
+    toks = (
+        f"case when length(trim(text)) = 0 then []::varchar[] "
+        f"else string_split({_sql_norm('text')}, ' ') end"
+    )
+    tsel = (
+        f"{_sql_md5_60(chr(39) + 'nb-train-v1:' + chr(39) + ' || doc_id::varchar')}"
+        f" % 100 < {train_pct}"
+    )
+    return f"""
+        with base as (
+            select doc_id, lang as label_true, {toks} as toks,
+                   {tsel} as is_train
+            from documents
+        ), train as (select * from base where is_train
+        ), test as (select * from base where not is_train
+        ), cwc as (
+            select label_true as label, w, count(*)::bigint as c_wc
+            from (select label_true, unnest(toks) as w from train)
+            group by 1, 2
+        ), tc as (select label, sum(c_wc)::bigint as t_c from cwc group by 1
+        ), dc as (
+            select label_true as label, count(*)::bigint as n_docs
+            from train group by 1
+        ), vv as (select count(distinct w)::bigint as v from cwc
+        ), nt as (select count(*)::bigint as n_train from train
+        ), classes as (
+            select tc.label,
+                   ln(n_docs::double / n_train) as ln_prior,
+                   ln((t_c + v)::double) as ln_denom
+            from tc join dc using (label) cross join vv cross join nt
+        ), tf as (
+            select doc_id, w, count(*)::bigint as tf
+            from (select doc_id, unnest(toks) as w from test)
+            where w in (select w from cwc)
+            group by 1, 2
+        ), seen as (
+            select doc_id, label, sum(tf * ln((c_wc + 1)::double)) as s_seen
+            from tf join cwc using (w) group by 1, 2
+        ), nd as (select doc_id, sum(tf)::bigint as n_d from tf group by 1
+        ), grid as (
+            select t.doc_id, t.label_true, c.label,
+                   c.ln_prior + coalesce(s.s_seen, 0.0)
+                     - coalesce(n.n_d, 0)::double * c.ln_denom as score
+            from test t
+            cross join classes c
+            left join nd n on n.doc_id = t.doc_id
+            left join seen s on s.doc_id = t.doc_id and s.label = c.label
+        ), ranked as (
+            select *, row_number() over (
+                partition by doc_id order by score desc, label asc
+            ) as rn from grid
+        )
+        select doc_id, label_true, label as label_pred,
+               round(score, 6) as nb_logscore,
+               (label = label_true)::int as correct
+        from ranked where rn = 1
     """
 
 
@@ -3660,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_encode": _sql_bpe_encode(),
         "q_decontaminate": _sql_decontaminate(),
         "q_perplexity_filter": _sql_perplexity_filter(),
+        "q_nb_classify": _sql_nb_classify(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -89,6 +89,7 @@ HEADLINE = [
     "q_rand_proj",
     "q_ssjoin",
     "q_bm25_search",
+    "q_nb_classify",
 ]
 
 REPS = 3
