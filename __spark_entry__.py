@@ -1041,6 +1041,15 @@ def q_nb_classify(spark, sf):
     return nb_classify(_t(spark, sf, "documents"))
 
 
+def q_pmi_collocations(spark, sf):
+    # phrase-detection stage: PMI over adjacent word pairs, support
+    # threshold 5. Counts stay exact int64; the score is ONE fixed
+    # double expression shape, replayed identically by the twin.
+    from olx_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), min_count=5)
+
+
 def q_dsir_resample(spark, sf):
     # DSIR importance resampling (Xie et al. 2023): hashed
     # unigram+bigram bucket log-ratios between a fate-hash TARGET
@@ -1652,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_perplexity_filter": q_perplexity_filter,
         "q_nb_classify": q_nb_classify,
+        "q_pmi_collocations": q_pmi_collocations,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -2656,6 +2666,40 @@ def _sql_nb_classify(train_pct: int = 70) -> str:
                round(score, 6) as nb_logscore,
                (label = label_true)::int as correct
         from ranked where rn = 1
+    """
+
+
+def _sql_pmi_collocations(min_count: int = 5) -> str:
+    """DuckDB twin of q_pmi_collocations: same tokenization, unigram/
+    adjacent-pair counts, support filter, and the identical
+    single-fraction double expression inside ln."""
+    toks = (
+        f"case when length(trim(text)) = 0 then []::varchar[] "
+        f"else string_split({_sql_norm('text')}, ' ') end"
+    )
+    return f"""
+        with t as (select {toks} as toks from documents
+        ), uni as (
+            select w, count(*)::bigint as c_w
+            from (select unnest(toks) as w from t) group by 1
+        ), tot as (select sum(c_w)::bigint as n_tok from uni
+        ), pairs as (
+            select w1, w2, count(*)::bigint as c_pair
+            from (
+                select toks[i] as w1, toks[i + 1] as w2
+                from (select toks, unnest(range(1, len(toks))) as i from t)
+            ) group by 1, 2
+        ), bt as (select sum(c_pair)::bigint as n_pair from pairs)
+        select p.w1, p.w2, p.c_pair,
+               round(ln(
+                   (p.c_pair::double * n_tok * n_tok)
+                   / (n_pair::double * u1.c_w * u2.c_w)
+               ), 6) as pmi
+        from pairs p
+        join uni u1 on u1.w = p.w1
+        join uni u2 on u2.w = p.w2
+        cross join tot cross join bt
+        where p.c_pair >= {min_count}
     """
 
 
@@ -3736,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": _sql_decontaminate(),
         "q_perplexity_filter": _sql_perplexity_filter(),
         "q_nb_classify": _sql_nb_classify(),
+        "q_pmi_collocations": _sql_pmi_collocations(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -90,6 +90,7 @@ HEADLINE = [
     "q_ssjoin",
     "q_bm25_search",
     "q_nb_classify",
+    "q_pmi_collocations",
 ]
 
 REPS = 3
