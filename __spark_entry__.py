@@ -582,6 +582,23 @@ def q_pagerank(spark, sf):
     return pr.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_hits(spark, sf):
+    # hub/authority scoring over the DIRECTED order->part graph
+    # (hubs = orders/listing pages, authorities = parts/ad pages) —
+    # the frontier-ranking complement of q_pagerank. Fixed 6
+    # iterations, L1 normalization; the oracle unrolls the same steps.
+    from olx_spark.operators.graph import hits
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    h = hits(li, iters=6)
+    return h.select(
+        "id", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
+
+
 def q_export_csv(spark, sf):
     # csv sink round-trip (SURVEY §2.1 row 20)
     import tempfile
@@ -1662,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity_filter": q_perplexity_filter,
         "q_nb_classify": q_nb_classify,
         "q_pmi_collocations": q_pmi_collocations,
+        "q_hits": q_hits,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3434,6 +3452,52 @@ def _sql_pagerank(iters: int = 6, damping: float = 0.85) -> str:
     )
 
 
+def _sql_hits(iters: int = 6) -> str:
+    """Unrolled HITS twin: same directed edge set, authorities-then-
+    hubs per iteration, L1 normalization, zero-guard on the totals."""
+    # every multiply-referenced CTE is AS MATERIALIZED: inlining would
+    # re-expand each normalization's raw frame twice per iteration —
+    # a 4^iters plan blow-up that exhausts file handles on the base
+    # parquet scan before it exhausts patience
+    base = """
+        with e as materialized (
+            select distinct l_orderkey * 2 as src, l_partkey * 2 + 1 as dst
+            from lineitem
+        ), nodes as materialized (
+            select distinct id from (
+                select src as id from e union select dst from e
+            )
+        ), h0 as (select id, 1.0 as hub from nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", ar{k} as materialized (
+            select nodes.id, coalesce(q.s, 0.0) as s
+            from nodes left join (
+                select e.dst as id, sum(h.hub) as s
+                from e join h{k - 1} h on h.id = e.src group by e.dst
+            ) q on q.id = nodes.id
+        ), at{k} as (select sum(s) as t from ar{k}
+        ), a{k} as materialized (
+            select id, case when t > 0 then s / t else 0.0 end as auth
+            from ar{k} cross join at{k}
+        ), hr{k} as materialized (
+            select nodes.id, coalesce(q.s, 0.0) as s
+            from nodes left join (
+                select e.src as id, sum(a.auth) as s
+                from e join a{k} a on a.id = e.dst group by e.src
+            ) q on q.id = nodes.id
+        ), ht{k} as (select sum(s) as t from hr{k}
+        ), h{k} as materialized (
+            select id, case when t > 0 then s / t else 0.0 end as hub
+            from hr{k} cross join ht{k}
+        )""")
+    return (
+        base + "".join(steps)
+        + f""" select a.id, round(a.auth, 8) as auth, round(h.hub, 8) as hub
+           from a{iters} a join h{iters} h on h.id = a.id"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter": """
@@ -3781,6 +3845,7 @@ def oracle_sql() -> dict[str, str]:
         "q_perplexity_filter": _sql_perplexity_filter(),
         "q_nb_classify": _sql_nb_classify(),
         "q_pmi_collocations": _sql_pmi_collocations(),
+        "q_hits": _sql_hits(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

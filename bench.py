@@ -91,6 +91,7 @@ HEADLINE = [
     "q_bm25_search",
     "q_nb_classify",
     "q_pmi_collocations",
+    "q_hits",
 ]
 
 REPS = 3

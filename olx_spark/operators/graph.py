@@ -146,6 +146,87 @@ def connected_components(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 6,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
+    list: hubs point at good authorities, authorities are pointed at
+    by good hubs. Returns ``(id, auth, hub)`` for every edge endpoint
+    — the complement of :func:`pagerank` for crawl-frontier ranking
+    (a listing/hub page deserves refetch priority because it FEEDS
+    good ad/authority pages; PageRank alone under-ranks pure hubs,
+    which have no in-links).
+
+    Update per iteration (classic two-phase, authorities first,
+    hubs from the NEW authorities)::
+
+        auth'(v) = sum over u->v of hub(u);   auth = auth' / L1(auth')
+        hub'(v)  = sum over v->u of auth(u);  hub  = hub'  / L1(hub')
+
+    L1 normalization (not Kleinberg's L2): same fixed point up to
+    scaling, but replayable in plain SQL without sqrt-of-sum ordering
+    concerns — stated so the oracle and consumers agree. FIXED
+    ``iters``, so the result is a deterministic function of the graph
+    and the DuckDB oracle unrolls the same steps. A graph whose
+    iteration drives one side's total mass to zero (no edges) yields
+    zeros, never a division error.
+
+    Scale shape (100 TB): the edge table is materialized ONCE and
+    reused by all ``2 * iters`` joins; per half-iteration the work is
+    one score-table join keyed on ``src`` (resp. ``dst``) + one
+    map-side-combined groupBy — hot hub/authority nodes are
+    partial-aggregated before the shuffle. The L1 totals are 1-row
+    aggregates over the just-materialized score frame riding explicit
+    broadcast cross joins (no driver collect). Score frames are
+    materialized every half-iteration (they are 1-row-per-node —
+    orders of magnitude below the edge table), bounding lineage and
+    making the broadcast-total scan cheap. At billions of nodes the
+    cluster-grade upgrade is the same as :func:`pagerank`'s
+    ``edge_layout="bucketed"`` but with TWO bucketed copies (by src
+    and by dst) since HITS alternates join keys; the ``reliable``
+    knob hardens the materialize against executor loss.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = materialize(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        reliable=reliable,
+    )
+    e_m = materialize(e, reliable=reliable)
+
+    def half_step(scores: DataFrame, score_col: str, join_key: str,
+                  group_key: str, out_col: str) -> DataFrame:
+        raw = (
+            e_m.join(scores.withColumnRenamed("id", join_key), join_key)
+            .groupBy(F.col(group_key).alias("id"))
+            .agg(F.sum(score_col).alias("s"))
+        )
+        full = materialize(
+            nodes.join(raw, "id", "left")
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("s")),
+            reliable=reliable,
+        )
+        tot = full.agg(F.sum("s").alias("t"))
+        return full.crossJoin(F.broadcast(tot)).select(
+            "id",
+            F.when(F.col("t") > 0, F.col("s") / F.col("t"))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+
+    auth = nodes.select("id", F.lit(1.0).alias("auth"))
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    for _ in range(iters):
+        auth = half_step(hub, "hub", "src", "dst", "auth")
+        hub = half_step(auth, "auth", "dst", "src", "hub")
+    return auth.join(hub, "id")
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

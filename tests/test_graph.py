@@ -212,3 +212,66 @@ def test_pagerank_bucketed_scan_is_exchange_free(spark):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------------------------- HITS ------
+
+def _hits_py(edges, iters):
+    """Plain-python HITS replay (L1 normalization, auth first)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: sum(hub[u] for u, w in edges if w == v) for v in nodes}
+        t = sum(auth.values())
+        auth = {v: (s / t if t > 0 else 0.0) for v, s in auth.items()}
+        hub = {v: sum(auth[w] for u, w in edges if u == v) for v in nodes}
+        t = sum(hub.values())
+        hub = {v: (s / t if t > 0 else 0.0) for v, s in hub.items()}
+    return auth, hub
+
+
+def test_hits_matches_python_reference(spark):
+    from olx_spark.operators.graph import hits
+
+    edges = [(1, 3), (2, 3), (2, 4)]
+    want_auth, want_hub = _hits_py(edges, 2)
+    # hand-checked closed form for this graph at iters=2:
+    assert abs(want_auth[3] - 0.625) < 1e-12 and abs(want_hub[2] - 8 / 13) < 1e-12
+    out = {
+        r.id: r
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), iters=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for v in out:
+        assert abs(out[v].auth - want_auth[v]) < 1e-9
+        assert abs(out[v].hub - want_hub[v]) < 1e-9
+    # pure hubs carry no authority and vice versa
+    assert out[1].auth == 0.0 and out[3].hub == 0.0
+
+
+def test_hits_star_center_is_top_authority(spark):
+    from olx_spark.operators.graph import hits
+
+    edges = [(i, 0) for i in range(1, 8)] + [(1, 9)]
+    out = {r.id: r for r in hits(
+        spark.createDataFrame(edges, "src long, dst long"), iters=4
+    ).collect()}
+    assert out[0].auth == max(r.auth for r in out.values())
+    # every spoke is a hub; spoke 1 (also feeds 9) is the best hub
+    assert out[1].hub == max(r.hub for r in out.values())
+
+
+def test_hits_no_python_udfs_and_deterministic(spark):
+    from olx_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11 + 100) for i in range(50)], "src long, dst long"
+    )
+    a = sorted(map(tuple, hits(df, iters=3).collect()))
+    b = sorted(map(tuple, hits(df, iters=3).collect()))
+    assert a == b
+    plan = hits(df, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
