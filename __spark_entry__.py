@@ -1067,6 +1067,28 @@ def q_pmi_collocations(spark, sf):
     return pmi_collocations(_t(spark, sf, "documents"), min_count=5)
 
 
+def q_char_entropy(spark, sf):
+    # gibberish/boilerplate detector: char- + word-level Shannon
+    # entropy per doc, one single-division expression shape shared
+    # with the twin; counts exact int64 until the final expression.
+    from olx_spark.operators.entropy import char_word_entropy
+
+    return char_word_entropy(_t(spark, sf, "documents"))
+
+
+def q_winsorize(spark, sf):
+    # heavy-tail robustness pass: per-event_type exact p01/p99
+    # clipping, broadcast bounds join, codegen clip — no second
+    # shuffle of the facts.
+    from olx_spark.operators.outliers import winsorize
+
+    ev = _t(spark, sf, "events")
+    return winsorize(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "value",
+        F.round("value_w", 6).alias("value_w"), "clipped",
+    )
+
+
 def q_dsir_resample(spark, sf):
     # DSIR importance resampling (Xie et al. 2023): hashed
     # unigram+bigram bucket log-ratios between a fate-hash TARGET
@@ -1680,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classify": q_nb_classify,
         "q_pmi_collocations": q_pmi_collocations,
         "q_hits": q_hits,
+        "q_char_entropy": q_char_entropy,
+        "q_winsorize": q_winsorize,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -2718,6 +2742,62 @@ def _sql_pmi_collocations(min_count: int = 5) -> str:
         join uni u2 on u2.w = p.w2
         cross join tot cross join bt
         where p.c_pair >= {min_count}
+    """
+
+
+def _sql_char_entropy() -> str:
+    """DuckDB twin of q_char_entropy: same normalized-symbol counts
+    and the identical ln(n) - sum(c ln c)/n expression shape."""
+    ent = "ln(sum(c)::double) - sum(c * ln(c::double)) / sum(c)"
+    return f"""
+        with base as (
+            select doc_id, {_sql_norm('text')} as t
+            from documents where length(trim(text)) > 0
+        ), che as (
+            select doc_id, {ent} as h, sum(c)::bigint as n
+            from (
+                select doc_id, sym, count(*)::bigint as c
+                from (select doc_id, unnest(string_split(t, '')) as sym from base)
+                group by 1, 2
+            ) group by 1
+        ), wde as (
+            select doc_id, {ent} as h, sum(c)::bigint as n
+            from (
+                select doc_id, sym, count(*)::bigint as c
+                from (select doc_id, unnest(string_split(t, ' ')) as sym from base)
+                group by 1, 2
+            ) group by 1
+        )
+        select d.doc_id,
+               round(coalesce(che.h, 0.0), 6) as char_entropy,
+               round(coalesce(wde.h, 0.0), 6) as word_entropy,
+               coalesce(che.n, 0)::bigint as n_chars_norm,
+               coalesce(wde.n, 0)::bigint as n_words
+        from documents d
+        left join che on che.doc_id = d.doc_id
+        left join wde on wde.doc_id = d.doc_id
+    """
+
+
+def _sql_winsorize(p_lo: float = 0.01, p_hi: float = 0.99) -> str:
+    """DuckDB twin of q_winsorize: quantile_cont == Spark percentile
+    (pinned by q_quantiles), same clip and strict-inequality flags."""
+    return f"""
+        with b as (
+            select event_type,
+                   quantile_cont(value, {p_lo}) as lo,
+                   quantile_cont(value, {p_hi}) as hi
+            from events group by 1
+        )
+        select e.event_id, e.event_type, e.value,
+               round(case when e.value is null then e.value
+                          else greatest(least(e.value, b.hi), b.lo) end,
+                     6) as value_w,
+               case when e.value is null then 0
+                    when e.value < b.lo then -1
+                    when e.value > b.hi then 1
+                    else 0 end as clipped
+        from events e join b using (event_type)
     """
 
 
@@ -3846,6 +3926,8 @@ def oracle_sql() -> dict[str, str]:
         "q_nb_classify": _sql_nb_classify(),
         "q_pmi_collocations": _sql_pmi_collocations(),
         "q_hits": _sql_hits(),
+        "q_char_entropy": _sql_char_entropy(),
+        "q_winsorize": _sql_winsorize(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -92,6 +92,8 @@ HEADLINE = [
     "q_nb_classify",
     "q_pmi_collocations",
     "q_hits",
+    "q_char_entropy",
+    "q_winsorize",
 ]
 
 REPS = 3
