@@ -1089,6 +1089,17 @@ def q_winsorize(spark, sf):
     )
 
 
+def q_neg_pairs(spark, sf):
+    # contrastive batch construction: deterministic in-batch negatives
+    # (CLIP-style), k=3 over 16 fate-hash batches; cyclic next-k in
+    # the (hash, id) total order — re-runs reproduce the exact pairs.
+    from olx_spark.operators.negatives import in_batch_negatives
+
+    return in_batch_negatives(
+        _t(spark, sf, "documents"), n_batches=16, k=3
+    )
+
+
 def q_dsir_resample(spark, sf):
     # DSIR importance resampling (Xie et al. 2023): hashed
     # unigram+bigram bucket log-ratios between a fate-hash TARGET
@@ -1704,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_char_entropy": q_char_entropy,
         "q_winsorize": q_winsorize,
+        "q_neg_pairs": q_neg_pairs,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -2798,6 +2810,34 @@ def _sql_winsorize(p_lo: float = 0.01, p_hi: float = 0.99) -> str:
                     when e.value > b.hi then 1
                     else 0 end as clipped
         from events e join b using (event_type)
+    """
+
+
+def _sql_neg_pairs(n_batches: int = 16, k: int = 3) -> str:
+    """DuckDB twin of q_neg_pairs: same fate-hash batch + (hash, id)
+    order, cyclic next-k stepping, self-join on (batch, target_rk)."""
+    h = _sql_md5_60(chr(39) + "negbatch-v1:" + chr(39) + " || doc_id::varchar")
+    return f"""
+        with base as (
+            select doc_id as anchor_id, h % {n_batches} as batch, h
+            from (select doc_id, {h} as h from documents)
+        ), ranked as (
+            select anchor_id, batch,
+                   row_number() over (
+                       partition by batch order by h, anchor_id
+                   ) as rk,
+                   count(*) over (partition by batch) as bn
+            from base
+        ), slots as (
+            select anchor_id, batch, rk, bn,
+                   unnest(range(1, least({k}, bn - 1) + 1)) as slot
+            from ranked
+        )
+        select s.anchor_id, v.anchor_id as neg_id, s.slot, s.batch
+        from (
+            select *, (rk - 1 + slot) % bn + 1 as target_rk from slots
+        ) s
+        join ranked v on v.batch = s.batch and v.rk = s.target_rk
     """
 
 
@@ -3928,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _sql_hits(),
         "q_char_entropy": _sql_char_entropy(),
         "q_winsorize": _sql_winsorize(),
+        "q_neg_pairs": _sql_neg_pairs(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

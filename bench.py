@@ -94,6 +94,7 @@ HEADLINE = [
     "q_hits",
     "q_char_entropy",
     "q_winsorize",
+    "q_neg_pairs",
 ]
 
 REPS = 3
