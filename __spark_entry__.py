@@ -1100,6 +1100,20 @@ def q_neg_pairs(spark, sf):
     )
 
 
+def q_minhash_delta(spark, sf):
+    # continuous-crawl incremental dedup: a fate-split "new batch"
+    # (doc_id % 10 == 0) probed against the standing corpus — banding
+    # joins delta x corpus only, never corpus x corpus.
+    from olx_spark.operators.similarity import minhash_delta_probe
+
+    docs = _t(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_delta_probe(
+        corpus, delta, "doc_id", "text", threshold=0.5
+    ).select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dsir_resample(spark, sf):
     # DSIR importance resampling (Xie et al. 2023): hashed
     # unigram+bigram bucket log-ratios between a fate-hash TARGET
@@ -1716,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_winsorize": q_winsorize,
         "q_neg_pairs": q_neg_pairs,
+        "q_minhash_delta": q_minhash_delta,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -1912,6 +1927,61 @@ def _sql_minhash_lsh(n_perm: int = 16, bands: int = 4, threshold: float = 0.5) -
             join dd sb on sb.doc_id = doc_b
         )
         select doc_a, doc_b, round(j, 6) as jaccard
+        from verified where j >= {threshold}
+    """
+
+
+def _sql_minhash_delta(
+    n_perm: int = 16, bands: int = 4, threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of q_minhash_delta: same md5-60 signatures/bands on
+    both sides, corpus-bucket size cap, delta x corpus join only,
+    exact-Jaccard verify. Multiply-referenced CTEs AS MATERIALIZED."""
+    rpb = n_perm // bands
+    sig = "[" + ", ".join(
+        f"list_min([(('0x' || substr(md5('{j}:' || s), 1, 15))::bigint) for s in sh])"
+        for j in range(n_perm)
+    ) + "]"
+
+    def band_sel(src: str) -> str:
+        return "\n            union all\n".join(
+            f"""            select doc_id, {b} as band_id,
+                   ('0x' || substr(md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], ',')), 1, 15))::bigint as band_hash
+            from {src} where len(sh) > 0"""
+            for b in range(bands)
+        )
+
+    return f"""
+        with d as materialized (
+            select doc_id, {_sql_shingles(3)} as sh from documents
+        ), sc as materialized (
+            select doc_id, sh, {sig} as sig from d where doc_id % 10 != 0
+        ), sd as materialized (
+            select doc_id, sh, {sig} as sig from d where doc_id % 10 = 0
+        ), exc as materialized (
+{band_sel('sc')}
+        ), exd as (
+{band_sel('sd')}
+        ), kept as (
+            select exc.* from exc
+            join (
+                select band_id, band_hash from exc
+                group by 1, 2 having count(*) <= {max_bucket}
+            ) ok using (band_id, band_hash)
+        ), cands as (
+            select distinct dl.doc_id as new_id, c.doc_id as dup_of
+            from exd dl join kept c using (band_id, band_hash)
+            where dl.doc_id != c.doc_id
+        ), verified as (
+            select new_id, dup_of,
+                   len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::double
+                   / len(list_distinct(sa.sh || sb.sh)) as j
+            from cands
+            join sd sa on sa.doc_id = new_id
+            join sc sb on sb.doc_id = dup_of
+        )
+        select new_id, dup_of, round(j, 6) as jaccard
         from verified where j >= {threshold}
     """
 
@@ -3969,6 +4039,7 @@ def oracle_sql() -> dict[str, str]:
         "q_char_entropy": _sql_char_entropy(),
         "q_winsorize": _sql_winsorize(),
         "q_neg_pairs": _sql_neg_pairs(),
+        "q_minhash_delta": _sql_minhash_delta(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

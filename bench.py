@@ -95,6 +95,7 @@ HEADLINE = [
     "q_char_entropy",
     "q_winsorize",
     "q_neg_pairs",
+    "q_minhash_delta",
 ]
 
 REPS = 3

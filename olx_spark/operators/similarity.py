@@ -110,30 +110,13 @@ def minhash_docs(
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_perm))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    n_perm: int = 16,
-    bands: int = 4,
-    max_bucket: int = 1000,
-    log_dropped: bool = True,
-) -> DataFrame:
-    """Banding: split the signature into ``bands`` rows each hashing
-    ``n_perm/bands`` minhashes; docs sharing any band bucket become a
-    candidate pair (doc_a < doc_b).
-
-    Scale safety: bucket sizes are computed with a COUNT-ONLY
-    aggregation first; buckets above ``max_bucket`` (degenerate
-    boilerplate shingles) are dropped before any id list exists, and
-    the pair fan-out is a self-join within surviving buckets — a
-    mega-bucket never materializes a ``collect_list`` row, so one
-    10^7-doc boilerplate bucket can't OOM an executor. With
-    ``log_dropped`` the banded rows are checkpointed once and reused by
-    the sizing agg, the drop count, and both pair-join sides
-    (:func:`_productive_buckets` — one band pass total)."""
+def _banded_rows(sigs: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows — one per band per doc with a
+    non-empty shingle set. Band hash is md5-60 (portable) so the
+    DuckDB oracle can recompute the exact same candidate set
+    (xxhash64 is Spark-only)."""
     rows_per_band = n_perm // bands
-    # band hash is md5-60 (portable) so the DuckDB oracle can recompute
-    # the exact same candidate set (xxhash64 is Spark-only)
-    banded = sigs.filter(F.size("shingles") > 0).select(
+    return sigs.filter(F.size("shingles") > 0).select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -160,6 +143,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Banding: split the signature into ``bands`` rows each hashing
+    ``n_perm/bands`` minhashes; docs sharing any band bucket become a
+    candidate pair (doc_a < doc_b).
+
+    Scale safety: bucket sizes are computed with a COUNT-ONLY
+    aggregation first; buckets above ``max_bucket`` (degenerate
+    boilerplate shingles) are dropped before any id list exists, and
+    the pair fan-out is a self-join within surviving buckets — a
+    mega-bucket never materializes a ``collect_list`` row, so one
+    10^7-doc boilerplate bucket can't OOM an executor. With
+    ``log_dropped`` the banded rows are checkpointed once and reused by
+    the sizing agg, the drop count, and both pair-join sides
+    (:func:`_productive_buckets` — one band pass total)."""
+    banded = _banded_rows(sigs, n_perm, bands)
     # count-only bucket sizing FIRST (no id lists anywhere), then keep
     # only productive, non-degenerate buckets
     kept = _productive_buckets(
@@ -217,6 +223,79 @@ def minhash_near_dups(
     sigs = materialize(minhash_docs(df, id_col, text_col, n_perm))
     pairs = lsh_candidate_pairs(sigs, n_perm, bands)
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_delta_probe(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch (``delta``) against the
+    standing ``corpus`` without re-pairing the corpus with itself —
+    the continuous-crawl shape (every round's fetched pages are
+    checked against everything already kept; corpus-internal pairs
+    were settled when those docs arrived). Returns ``(new_id, dup_of,
+    jaccard)`` for delta-x-corpus pairs with exact shingle Jaccard
+    >= ``threshold``.
+
+    Contract: ``corpus`` and ``delta`` are DISJOINT id sets (the
+    engine's frontier dedup guarantees a URL is fetched once);
+    delta-INTERNAL duplicates are a separate
+    :func:`minhash_near_dups` over the delta alone. Both are stated
+    so a pipeline composes the two without double-counting.
+
+    Scale shape (100 TB corpus, O(round) delta): the corpus signature
+    /band table is the standing artifact — on a real deployment it is
+    computed once per doc at ingest and persisted (the snapshot
+    store's bucketed-delta pattern); per round only the DELTA is
+    shingled+hashed (O(round) work). The bucket join is delta-banded
+    x corpus-banded on (band_id, band_hash) — corpus buckets larger
+    than ``max_bucket`` are dropped by a count-only sizing agg BEFORE
+    any join (boilerplate mega-buckets would otherwise fan every
+    matching delta row out by the bucket size), with the drop logged.
+    Verification joins fetch only the candidate corpus docs'
+    shingles. No corpus self-join anywhere: cost per round is
+    O(delta x avg-bucket), not O(corpus^2) or O(corpus x delta)."""
+    c_sigs = materialize(minhash_docs(corpus, id_col, text_col, n_perm))
+    d_sigs = materialize(minhash_docs(delta, id_col, text_col, n_perm))
+    c_banded = materialize(_banded_rows(c_sigs, n_perm, bands))
+    sizes = c_banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    over = sizes.filter(F.col("n") > max_bucket)
+    stats = over.agg(
+        F.count("*").alias("n_dropped"), F.sum("n").alias("rows_dropped")
+    ).first()
+    if stats["n_dropped"]:
+        logger.warning(
+            "minhash_delta_probe: dropped %d corpus mega-bucket(s) (%d rows) "
+            "larger than max_bucket=%d — a delta doc misses a dup only if "
+            "EVERY shared band overflowed",
+            stats["n_dropped"], stats["rows_dropped"], max_bucket,
+        )
+    kept_c = c_banded.join(
+        over.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti"
+    )
+    cands = (
+        _banded_rows(d_sigs, n_perm, bands)
+        .join(kept_c.withColumnRenamed("doc_id", "dup_of"), ["band_id", "band_hash"])
+        .select(F.col("doc_id").alias("new_id"), "dup_of")
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .distinct()
+    )
+    a = d_sigs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    b = c_sigs.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "dup_of")
+        .select("new_id", "dup_of", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ------------------------------------------------------------------- SimHash

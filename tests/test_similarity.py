@@ -507,3 +507,59 @@ def test_semantic_dedup_numpy_equality_config_sweep(spark):
             ivf_centroids(dim, n_cells, 13), tau,
         )
         assert got == want, (n, g, noise, dim, n_cells, tau)
+
+
+# ------------------------------------------------- incremental delta probe
+
+def test_delta_probe_finds_planted_cross_dups(spark):
+    from olx_spark.operators.similarity import minhash_delta_probe
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_rows = [(i, base if i == 7 else f"corpus doc {i} " + " ".join(
+        f"w{i}x{j}" for j in range(12))) for i in range(20)]
+    delta_rows = [(100, base), (101, "completely unrelated fresh content " +
+                                " ".join(f"z{j}" for j in range(12)))]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    out = minhash_delta_probe(corpus, delta, "doc_id", "text", threshold=0.7).collect()
+    assert {(r.new_id, r.dup_of) for r in out} == {(100, 7)}
+    assert out[0].jaccard == 1.0
+
+
+def test_delta_probe_never_pairs_corpus_with_itself(spark):
+    from olx_spark.operators.similarity import minhash_delta_probe
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # two identical docs INSIDE the corpus: must not be reported
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, dup)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(50, "different words entirely " + " ".join(f"q{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    out = minhash_delta_probe(corpus, delta, "doc_id", "text", threshold=0.1).collect()
+    assert all(r.new_id == 50 for r in out)
+    assert not out  # delta doc matches nothing
+
+
+def test_delta_probe_mega_bucket_guard_bounds_join(spark):
+    from olx_spark.operators.similarity import minhash_delta_probe
+
+    # 60 identical corpus docs -> every band bucket holds 60 rows;
+    # max_bucket=10 drops them all, so the planted delta dup is missed
+    # (documented trade) and the result is EMPTY, not quadratic.
+    same = "boilerplate footer text repeated on every single page forever"
+    corpus = spark.createDataFrame(
+        [(i, same) for i in range(60)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame([(999, same)], "doc_id long, text string")
+    out = minhash_delta_probe(
+        corpus, delta, "doc_id", "text", threshold=0.5, max_bucket=10
+    )
+    assert out.count() == 0
+    # with an adequate cap the same probe reports all 60
+    ok = minhash_delta_probe(
+        corpus, delta, "doc_id", "text", threshold=0.5, max_bucket=100
+    )
+    assert ok.count() == 60
