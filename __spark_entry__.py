@@ -747,13 +747,10 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
-def q_dup_components(spark, sf):
-    # transitive dedup groups: n-gram-Jaccard near-dup pairs -> connected
-    # components (min-label propagation + pointer jumping, O(log n)
-    # rounds) -> one deterministic component id per document (the min
-    # doc_id in the group = the keep-first-seen representative). The
-    # oracle is a DuckDB recursive-CTE transitive closure over the same
-    # pair derivation.
+def _dup_comps(spark, sf):
+    """Shared derivation for q_dup_components / q_dedup_decisions:
+    n-gram-Jaccard near-dup pairs over doc_id < 300 -> connected
+    components -> (doc_id, component)."""
     from olx_spark.functions.text import word_shingles
     from olx_spark.operators.graph import connected_components
     from olx_spark.session import materialize
@@ -781,6 +778,29 @@ def q_dup_components(spark, sf):
         d.select("doc_id"), edges, node_col="doc_id", src="doc_a", dst="doc_b"
     )
     return comps.select("doc_id", F.col("comp").alias("component"))
+
+
+def q_dup_components(spark, sf):
+    # transitive dedup groups: n-gram-Jaccard near-dup pairs -> connected
+    # components (min-label propagation + pointer jumping, O(log n)
+    # rounds) -> one deterministic component id per document (the min
+    # doc_id in the group = the keep-first-seen representative). The
+    # oracle is a DuckDB recursive-CTE transitive closure over the same
+    # pair derivation.
+    return _dup_comps(spark, sf)
+
+
+def q_dedup_decisions(spark, sf):
+    # the APPLY step of dedup: per transitive group keep the best doc
+    # (rounded quality score, ties -> min doc_id), emit keep/drop for
+    # every doc. Composes _dup_comps with keep_canonical; the oracle
+    # extends the transitive-closure CTE with the same argmax window.
+    from olx_spark.operators.dedup import keep_canonical
+
+    scores = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("score")
+    )
+    return keep_canonical(_dup_comps(spark, sf), scores)
 
 
 def q_multi_join(spark, sf):
@@ -1731,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
+        "q_dedup_decisions": q_dedup_decisions,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -1983,6 +2004,62 @@ def _sql_minhash_delta(
         )
         select new_id, dup_of, round(j, 6) as jaccard
         from verified where j >= {threshold}
+    """
+
+
+def _sql_dedup_decisions() -> str:
+    """DuckDB twin of q_dedup_decisions: the q_dup_components
+    transitive closure + the same rounded-quality argmax (score desc,
+    id asc) and keep/drop labeling."""
+    quality = f"""round(
+                0.4 * least(1.0, ({_sql_token_count('text')}) / 100.0)
+              + 0.3 * (1.0 - case when length(text) = 0 then 0.0
+                    else (length(text) - length(translate(text, '.,!?;:', ''))) / length(text) end)
+              + 0.3 * least(1.0, case when ({_sql_token_count('text')}) = 0 then 0.0
+                    else length(trim(text)) / ({_sql_token_count('text')}) end / 8.0)
+            , 6)"""
+    return f"""
+        with recursive d as (
+            select doc_id, list_distinct({_sql_shingles(3)}) as sh
+            from documents where doc_id < 300
+        ), dd as (
+            select doc_id, sh from d where len(sh) > 0
+        ), ex as (
+            select doc_id, unnest(sh) as s from dd
+        ), pairs as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+            from ex a join ex b using (s)
+            where a.doc_id < b.doc_id
+            group by 1, 2
+        ), edges0 as (
+            select doc_a as a, doc_b as b from pairs
+            join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
+            join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
+            where inter / (na.n + nb.n - inter) >= 0.2
+        ), edges as (
+            select a, b from edges0 union select b, a from edges0
+        ), r(id, root) as (
+            select doc_id, doc_id from d
+            union
+            select e.b, r.root from edges e join r on e.a = r.id
+        ), comp as (
+            select id as doc_id, min(root) as component from r group by id
+        ), q as (
+            select doc_id, {quality} as score
+            from documents where doc_id < 300
+        ), w as (
+            select component, doc_id as kept_id from (
+                select c.component, c.doc_id,
+                       row_number() over (
+                           partition by c.component
+                           order by q.score desc, c.doc_id asc
+                       ) as rn
+                from comp c join q using (doc_id)
+            ) where rn = 1
+        )
+        select c.doc_id, c.component, w.kept_id,
+               case when c.doc_id = w.kept_id then 'keep' else 'drop' end as action
+        from comp c join w using (component)
     """
 
 
@@ -4040,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winsorize": _sql_winsorize(),
         "q_neg_pairs": _sql_neg_pairs(),
         "q_minhash_delta": _sql_minhash_delta(),
+        "q_dedup_decisions": _sql_dedup_decisions(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -96,6 +96,7 @@ HEADLINE = [
     "q_winsorize",
     "q_neg_pairs",
     "q_minhash_delta",
+    "q_dedup_decisions",
 ]
 
 REPS = 3

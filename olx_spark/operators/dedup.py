@@ -567,3 +567,55 @@ def duplicate_spans(
         )
         .drop("__grp")
     )
+
+
+def keep_canonical(
+    comps: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """The APPLY step of a dedup pass: given transitive dup groups
+    (``comps``: one row per doc with its component id, e.g. from
+    ``graph.connected_components``) and a per-doc score, keep the
+    best-scoring doc of each group (ties broken by MIN id — a total
+    order, so re-runs keep the same representative) and mark the rest
+    dropped. Returns ``(id_col, comp_col, kept_id, action)`` with
+    ``action`` in {'keep', 'drop'} for EVERY input doc — the decision
+    log a pipeline persists for lineage, not just the survivor list.
+
+    Callers should pass a ROUNDED score (e.g. ``round(quality, 6)``)
+    when the score comes from float arithmetic: the argmax compares
+    raw values, and a rounded score makes the comparison replayable
+    across engines (the oracle contract used by q_dedup_decisions).
+
+    Scale shape (100 TB): one groupBy on the component id over a
+    1-row-per-doc frame (map-side combinable — the struct max folds
+    partials), then one join back on the same key, co-partitioned
+    with the groupBy's output. No windows over global orders, no
+    collect; component skew (a boilerplate mega-group) costs one
+    combiner-reduced max, not a sorted window."""
+    j = comps.join(scores.select(id_col, score_col), id_col)
+    # max(struct(score, -id)): max score, then (on equal score) the
+    # max of -id == the MIN id — argmax without a window sort
+    best = j.groupBy(comp_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("best")
+    )
+    winners = best.select(comp_col, (-F.col("best.nid")).alias("kept_id"))
+    return (
+        comps.join(winners, comp_col)
+        .select(
+            id_col,
+            comp_col,
+            "kept_id",
+            F.when(F.col(id_col) == F.col("kept_id"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )

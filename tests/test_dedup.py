@@ -301,3 +301,44 @@ class TestDuplicateSpans:
             duplicate_spans(df, "doc_id", "text", n=0)
         with pytest.raises(ValueError):
             duplicate_spans(df, "doc_id", "text", min_count=1)
+
+
+# ------------------------------------------------------ keep_canonical ----
+
+def test_keep_canonical_argmax_and_ties(spark):
+    from olx_spark.operators.dedup import keep_canonical
+
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        # comp 10: doc 2 wins on score; comp 40 singleton; comp 50 solo
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.0)],
+        "doc_id long, score double",
+    )
+    out = {r.doc_id: r for r in keep_canonical(comps, scores).collect()}
+    assert len(out) == 5  # every doc gets a decision
+    assert out[2].action == "keep" and out[2].kept_id == 2  # 0.9 tie -> min id
+    assert out[3].action == "drop" and out[3].kept_id == 2
+    assert out[1].action == "drop"
+    assert out[4].action == "keep" and out[5].action == "keep"  # singletons keep
+    # exactly one keep per component
+    keeps = {}
+    for r in out.values():
+        keeps.setdefault(r.component, []).append(r.action)
+    for comp, actions in keeps.items():
+        assert actions.count("keep") == 1
+
+
+def test_keep_canonical_no_window_exchange_shape(spark):
+    from olx_spark.operators.dedup import keep_canonical
+
+    comps = spark.createDataFrame([(i, i % 3) for i in range(30)],
+                                  "doc_id long, component long")
+    scores = spark.createDataFrame([(i, float(i % 7)) for i in range(30)],
+                                   "doc_id long, score double")
+    plan = keep_canonical(comps, scores)._jdf.queryExecution().executedPlan().toString()
+    # argmax is an aggregate, not a sorted window
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
