@@ -1590,6 +1590,20 @@ def q_tile_stats(spark, sf):
     return image_tile_stats(df, grid=4)
 
 
+def q_blur_scores(spark, sf):
+    # LAION-style blur filter: Laplacian variance per image with exact
+    # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
+    # is_blurry derived from the integers in ONE fixed double shape.
+    # The oracle carries driver-numpy-computed exact sums as VALUES.
+    from olx_spark.operators.multimodal import image_sharpness
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("plain", 64, 7),
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_sharpness(df)
+
+
 def q_recrawl_due(spark, sf):
     # the refresh half of a standing frontier: exponential-backoff
     # next-due times (shiftleft power of two — exact integers, no
@@ -1752,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
+        "q_blur_scores": q_blur_scores,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3185,6 +3200,45 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
+    """DuckDB twin of q_blur_scores: exact Laplacian sums computed
+    INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
+    VALUES; variance/flag derived by the same double expression."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import decode_image, encode_image, original_pixels
+
+    vals = []
+    for i in range(64):
+        w, h, fmt, arr = original_pixels(i, seed=7)
+        dec = decode_image(encode_image(arr, fmt), fmt)
+        n = s = s2 = 0
+        if dec.shape[0] >= 3 and dec.shape[1] >= 3:
+            g = dec.astype(np.int64).sum(axis=2)
+            lap = (
+                g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2]
+                + g[1:-1, 2:] - 4 * g[1:-1, 1:-1]
+            )
+            n, s, s2 = int(lap.size), int(lap.sum()), int((lap * lap).sum())
+        vals.append(f"('img-{i % 4:03d}-{i:05d}', {n}, {s}, {s2}, 1)")
+    return f"""
+        with t as (
+            select * from (values {", ".join(vals)})
+                 v(image_id, n_lap, sum_lap, sum_lap2, decode_ok)
+        ), d as (
+            select *, case when n_lap > 0 then
+                (sum_lap2::double - sum_lap::double * sum_lap / n_lap) / n_lap
+                else 0.0 end as var_raw
+            from t
+        )
+        select image_id, n_lap::bigint as n_lap, sum_lap::bigint as sum_lap,
+               sum_lap2::bigint as sum_lap2, decode_ok::int as decode_ok,
+               round(var_raw, 6) as var_lap,
+               (round(var_raw, 6) < {blur_threshold})::int as is_blurry
+        from d
+    """
+
+
 def _sql_tile_stats(grid: int = 4) -> str:
     """DuckDB twin of q_tile_stats: expected tiles computed
     INDEPENDENTLY of Spark (driver-side numpy decode + the same
@@ -4118,6 +4172,7 @@ def oracle_sql() -> dict[str, str]:
         "q_neg_pairs": _sql_neg_pairs(),
         "q_minhash_delta": _sql_minhash_delta(),
         "q_dedup_decisions": _sql_dedup_decisions(),
+        "q_blur_scores": _sql_blur_scores(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

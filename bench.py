@@ -97,6 +97,7 @@ HEADLINE = [
     "q_neg_pairs",
     "q_minhash_delta",
     "q_dedup_decisions",
+    "q_blur_scores",
 ]
 
 REPS = 3

@@ -600,3 +600,85 @@ def video_sample_frames(df: DataFrame, every_n: int = 1, max_frames: int | None 
             yield pd.DataFrame(rows, columns=VIDEO_FRAME_SCHEMA.fieldNames())
 
     return df.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)
+
+
+def image_sharpness(df: DataFrame, blur_threshold: float = 100.0) -> DataFrame:
+    """Blur detection — variance of the Laplacian (the OpenCV-folklore
+    sharpness score used by LAION-style image curation to drop
+    out-of-focus/flat shots), computed with EXACT integer sums so the
+    distributed result is value-reproducible cross-engine.
+
+    Per decoded image: luma-sum ``g = r + g + b`` (int64 — integer by
+    construction; the 0.299/0.587/0.114 weights would make every
+    downstream value float, and for a variance ORDERING the unweighted
+    sum ranks identically on near-gray content), 4-neighbor Laplacian
+    ``L = up + down + left + right - 4*center`` over the interior,
+    then ``(n_lap, sum_lap, sum_lap2)`` exact int64. The variance
+    ``(sum_lap2 - sum_lap^2/n)/n`` and the ``is_blurry`` flag are
+    derived JVM-side from those integers (one fixed double expression
+    shape; ints here are < 2^53 so the double conversion is exact and
+    only the final divisions are IEEE — replayable by the oracle).
+
+    Images smaller than 3x3 have no interior: ``n_lap = 0`` and
+    variance 0.0 (flagged blurry — a sub-3px image carries no detail
+    by definition). Corrupt payloads keep their row with
+    ``decode_ok = 0`` and zeros, consistent with
+    :func:`image_features`.
+
+    Scale design: one Arrow-batched ``mapInPandas``, zero shuffle
+    (rows inherit input partitioning); per image the Laplacian is
+    five shifted int64 array adds — no per-pixel Python.
+    """
+
+    def _sharp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "n_lap": [], "sum_lap": [],
+                "sum_lap2": [], "decode_ok": [],
+            }
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt not in KNOWN_FMTS:
+                    raise ValueError(
+                        f"unknown fmt {fmt!r} for image_id={image_id!r}: "
+                        f"expected one of {KNOWN_FMTS}"
+                    )
+                n = s = s2 = 0
+                ok = 1
+                try:
+                    arr = _decode(data, fmt)
+                except Exception:
+                    ok = 0
+                    arr = None
+                if arr is not None and arr.shape[0] >= 3 and arr.shape[1] >= 3:
+                    g = arr.astype(np.int64).sum(axis=2)
+                    lap = (
+                        g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2]
+                        + g[1:-1, 2:] - 4 * g[1:-1, 1:-1]
+                    )
+                    n = int(lap.size)
+                    s = int(lap.sum())
+                    s2 = int((lap * lap).sum())
+                out["image_id"].append(image_id)
+                out["n_lap"].append(n)
+                out["sum_lap"].append(s)
+                out["sum_lap2"].append(s2)
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    raw = df.mapInPandas(
+        _sharp,
+        "image_id string, n_lap long, sum_lap long, sum_lap2 long, decode_ok int",
+    )
+    var = F.when(
+        F.col("n_lap") > 0,
+        (
+            F.col("sum_lap2").cast("double")
+            - F.col("sum_lap").cast("double") * F.col("sum_lap") / F.col("n_lap")
+        )
+        / F.col("n_lap"),
+    ).otherwise(F.lit(0.0))
+    return raw.select(
+        "image_id", "n_lap", "sum_lap", "sum_lap2", "decode_ok",
+        F.round(var, 6).alias("var_lap"),
+        (F.round(var, 6) < blur_threshold).cast("int").alias("is_blurry"),
+    )

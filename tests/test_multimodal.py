@@ -354,3 +354,63 @@ def test_jpeg_hot_path_guard_modes(spark):
     assert len(image_features(small, jpeg_guard="error").collect()) == 48
     with pytest.raises(ValueError, match="jpeg_guard"):
         image_features(df, jpeg_guard="loud")
+
+
+# ---------------------------------------------------- image_sharpness ----
+
+def test_sharpness_ground_truth_flat_vs_noise(spark):
+    import numpy as np
+
+    from olx_spark.fixtures.images import encode_image
+    from olx_spark.operators.multimodal import image_sharpness
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # checkerboard: maximal Laplacian response
+    cb = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    board = np.stack([cb, cb, cb], axis=-1)
+    df = spark.createDataFrame(
+        [("flat", encode_image(flat, "png"), "png"),
+         ("noisy", encode_image(noisy, "png"), "png"),
+         ("board", encode_image(board, "png"), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = {r.image_id: r for r in image_sharpness(df).collect()}
+    assert out["flat"].var_lap == 0.0 and out["flat"].is_blurry == 1
+    assert out["flat"].sum_lap == 0 and out["flat"].sum_lap2 == 0
+    assert out["noisy"].var_lap > 100.0 and out["noisy"].is_blurry == 0
+    assert out["board"].var_lap > out["noisy"].var_lap
+    # exact-integer replay of the noisy image
+    g = noisy.astype(np.int64).sum(axis=2)
+    lap = g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:] - 4 * g[1:-1, 1:-1]
+    assert out["noisy"].n_lap == lap.size
+    assert out["noisy"].sum_lap == int(lap.sum())
+    assert out["noisy"].sum_lap2 == int((lap * lap).sum())
+
+
+def test_sharpness_tiny_and_corrupt(spark):
+    import numpy as np
+
+    from olx_spark.fixtures.images import encode_image
+    from olx_spark.operators.multimodal import image_sharpness
+
+    tiny = np.full((2, 5, 3), 10, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("tiny", encode_image(tiny, "png"), "png"),
+         ("bad", b"\x00garbage", "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = {r.image_id: r for r in image_sharpness(df).collect()}
+    assert out["tiny"].n_lap == 0 and out["tiny"].is_blurry == 1
+    assert out["tiny"].decode_ok == 1
+    assert out["bad"].decode_ok == 0 and out["bad"].n_lap == 0
+    # unknown fmt is a schema error, not corrupt data: must raise
+    import pytest as _pytest
+
+    bad_fmt = spark.createDataFrame(
+        [("x", encode_image(tiny, "png"), "webp")],
+        "image_id string, bytes binary, fmt string",
+    )
+    with _pytest.raises(Exception):
+        image_sharpness(bad_fmt).collect()
