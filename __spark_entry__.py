@@ -1590,6 +1590,18 @@ def q_tile_stats(spark, sf):
     return image_tile_stats(df, grid=4)
 
 
+def q_domain_quality(spark, sf):
+    # Dolma-style domain filtering: per-source mean quality vs the
+    # corpus mean; every doc flagged by its domain's standing. Both
+    # means rounded to 6 before the comparison (replayable flag).
+    from olx_spark.operators.curation import domain_quality_rollup
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("score")
+    )
+    return domain_quality_rollup(docs)
+
+
 def q_blur_scores(spark, sf):
     # LAION-style blur filter: Laplacian variance per image with exact
     # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
@@ -1767,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
         "q_blur_scores": q_blur_scores,
+        "q_domain_quality": q_domain_quality,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3200,6 +3213,30 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_domain_quality() -> str:
+    """DuckDB twin of q_domain_quality: same rounded per-doc quality,
+    per-source and corpus means re-rounded to 6, same >= flag."""
+    quality = f"""round(
+                0.4 * least(1.0, ({_sql_token_count('text')}) / 100.0)
+              + 0.3 * (1.0 - case when length(text) = 0 then 0.0
+                    else (length(text) - length(translate(text, '.,!?;:', ''))) / length(text) end)
+              + 0.3 * least(1.0, case when ({_sql_token_count('text')}) = 0 then 0.0
+                    else length(trim(text)) / ({_sql_token_count('text')}) end / 8.0)
+            , 6)"""
+    return f"""
+        with s as (
+            select doc_id, source, {quality} as score from documents
+        ), h as (
+            select source, count(*)::bigint as host_n,
+                   round(avg(score), 6) as host_quality
+            from s group by 1
+        ), g as (select round(avg(score), 6) as gq from s)
+        select s.doc_id, s.source, h.host_n, h.host_quality,
+               (h.host_quality >= g.gq)::int as domain_ok
+        from s join h using (source) cross join g
+    """
+
+
 def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """DuckDB twin of q_blur_scores: exact Laplacian sums computed
     INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
@@ -4173,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_delta": _sql_minhash_delta(),
         "q_dedup_decisions": _sql_dedup_decisions(),
         "q_blur_scores": _sql_blur_scores(),
+        "q_domain_quality": _sql_domain_quality(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -98,6 +98,7 @@ HEADLINE = [
     "q_minhash_delta",
     "q_dedup_decisions",
     "q_blur_scores",
+    "q_domain_quality",
 ]
 
 REPS = 3

@@ -215,3 +215,51 @@ def clip_score_filter(
         F.round("__clip_score", 6).alias("clip_score"),
         (F.col("__clip_score").isNotNull() & kept).cast("int").alias("kept"),
     )
+
+
+def domain_quality_rollup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """Domain-level quality filtering — the Dolma/RefinedWeb pattern:
+    a document's fate depends on its HOST's aggregate quality, not
+    just its own (content farms emit individually-plausible pages;
+    the per-domain mean exposes them). Rolls the per-doc score up to
+    a per-domain mean and flags every doc by whether its domain beats
+    the corpus-wide mean (a RELATIVE cut — corpus drift moves the
+    bar, the standard percentile-style choice; a fixed threshold is a
+    caller-side filter on ``host_quality``).
+
+    Callers pass a ROUNDED ``score_col`` (e.g. ``round(quality, 6)``)
+    and both means are re-rounded to 6 before the comparison, so the
+    flag is replayable cross-engine (the oracle contract).
+
+    Returns one row per doc: ``(id_col, domain_col, host_n,
+    host_quality, domain_ok)``.
+
+    Scale design (100 TB): ONE map-side-combinable groupBy builds the
+    per-domain table (web corpora have ~10^7-10^8 domains — tiny next
+    to the doc table), which joins back via explicit broadcast; the
+    corpus mean is a 1-row agg on a broadcast cross join. The fact
+    table is scanned once and never shuffled. Domain skew (one host
+    with 10^9 docs) is absorbed by the partial aggregation."""
+    s = docs.select(id_col, domain_col, score_col)
+    host = s.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("host_n"),
+        F.round(F.avg(score_col), 6).alias("host_quality"),
+    )
+    glob = s.agg(F.round(F.avg(score_col), 6).alias("gq"))
+    return (
+        s.join(F.broadcast(host), domain_col)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            id_col,
+            domain_col,
+            "host_n",
+            "host_quality",
+            (F.col("host_quality") >= F.col("gq")).cast("int").alias("domain_ok"),
+        )
+    )

@@ -227,3 +227,43 @@ def test_clip_filter_plan_no_python_no_smj(spark):
     assert "SortMergeJoin" not in plan
     if "Join" in plan:
         assert "BroadcastHashJoin" in plan
+
+
+# -------------------------------------------------- domain rollup ----
+
+def test_domain_rollup_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from olx_spark.operators.curation import domain_quality_rollup
+
+    rows = [
+        (1, "good", 0.9), (2, "good", 0.8),   # mean 0.85
+        (3, "bad", 0.1), (4, "bad", 0.2),     # mean 0.15
+    ]  # corpus mean 0.5
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r for r in domain_quality_rollup(df).collect()}
+    assert len(out) == 4
+    assert out[1].host_quality == 0.85 and out[1].host_n == 2
+    assert out[1].domain_ok == 1 and out[2].domain_ok == 1
+    assert out[3].host_quality == 0.15 and out[3].domain_ok == 0
+    # a doc's own score does not rescue it from a bad domain
+    good_doc_bad_domain = spark.createDataFrame(
+        rows + [(5, "bad", 0.99)], "doc_id long, source string, score double"
+    )
+    out2 = {r.doc_id: r for r in domain_quality_rollup(good_doc_bad_domain).collect()}
+    assert out2[5].domain_ok == 0
+
+
+def test_domain_rollup_broadcast_single_fact_scan(spark):
+    from olx_spark.operators.curation import domain_quality_rollup
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", float(i % 10) / 10) for i in range(100)],
+        "doc_id long, source string, score double",
+    )
+    plan = (
+        domain_quality_rollup(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
