@@ -1602,6 +1602,42 @@ def q_domain_quality(spark, sf):
     return domain_quality_rollup(docs)
 
 
+def q_url_templates(spark, sf):
+    # crawler-trap detection (Heritrix path-quota recipe): volatile
+    # tokens stripped to a URL template (hex runs then digit runs —
+    # pure JVM regexp chain), two-phase agg so trap templates can't
+    # skew the first shuffle, flag templates minting >100 distinct
+    # urls. The fixture plants a calendar trap (/cal/<id>) and a
+    # session-id trap (/item/<md5-prefix>) beside a bounded /page/<k>
+    # listing family on every host; the oracle replays the same
+    # regexp chain + thresholds in SQL.
+    from olx_spark.operators.traps import mine_url_templates
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), F.pmod("event_id", F.lit(8)).cast("string"))
+    stem = F.concat(F.lit("https://"), host, F.lit(".example"))
+    url = (
+        F.when(
+            F.pmod("event_id", F.lit(3)) == 0,
+            F.concat(stem, F.lit("/cal/"), F.col("event_id").cast("string"), F.lit("/view")),
+        )
+        .when(
+            F.pmod("event_id", F.lit(3)) == 1,
+            F.concat(
+                stem,
+                F.lit("/item/"),
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+                F.lit("/p"),
+            ),
+        )
+        .otherwise(
+            F.concat(stem, F.lit("/page/"), F.pmod("event_id", F.lit(30)).cast("string"))
+        )
+    )
+    urls = ev.select(host.alias("host"), url.alias("url"))
+    return mine_url_templates(urls, trap_distinct_urls=100)
+
+
 def q_blur_scores(spark, sf):
     # LAION-style blur filter: Laplacian variance per image with exact
     # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
@@ -1780,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_decisions": q_dedup_decisions,
         "q_blur_scores": q_blur_scores,
         "q_domain_quality": q_domain_quality,
+        "q_url_templates": q_url_templates,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3237,6 +3274,43 @@ def _sql_domain_quality() -> str:
     """
 
 
+def _sql_url_templates() -> str:
+    """DuckDB twin of q_url_templates: identical url synthesis from
+    events, the same hex-then-digit regexp_replace chain ('g' flag =
+    Spark's replace-all), the same two-phase distinct/hits agg and
+    >100 trap threshold."""
+    return """
+        with u as (
+            select 'h' || (event_id % 8)::varchar as host,
+                   case when event_id % 3 = 0 then
+                       'https://h' || (event_id % 8)::varchar
+                       || '.example/cal/' || event_id::varchar || '/view'
+                   when event_id % 3 = 1 then
+                       'https://h' || (event_id % 8)::varchar
+                       || '.example/item/'
+                       || substring(md5(event_id::varchar), 1, 16) || '/p'
+                   else
+                       'https://h' || (event_id % 8)::varchar
+                       || '.example/page/' || (event_id % 30)::varchar
+                   end as url
+            from events
+        ), t as (
+            select host, url,
+                   regexp_replace(
+                       regexp_replace(url, '[0-9a-f]{8,}', '{h}', 'g'),
+                       '[0-9]+', '{d}', 'g') as template
+            from u
+        ), per_url as (
+            select host, template, url, count(*)::bigint as hits
+            from t group by 1, 2, 3
+        )
+        select host, template, count(*)::bigint as n_urls,
+               sum(hits)::bigint as n_hits, min(url) as sample_url,
+               (count(*) > 100)::int as is_trap
+        from per_url group by 1, 2
+    """
+
+
 def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """DuckDB twin of q_blur_scores: exact Laplacian sums computed
     INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
@@ -4211,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_decisions": _sql_dedup_decisions(),
         "q_blur_scores": _sql_blur_scores(),
         "q_domain_quality": _sql_domain_quality(),
+        "q_url_templates": _sql_url_templates(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

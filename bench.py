@@ -99,6 +99,7 @@ HEADLINE = [
     "q_dedup_decisions",
     "q_blur_scores",
     "q_domain_quality",
+    "q_url_templates",
 ]
 
 REPS = 3
