@@ -1638,6 +1638,24 @@ def q_url_templates(spark, sf):
     return mine_url_templates(urls, trap_distinct_urls=100)
 
 
+def q_seed_distance(spark, sf):
+    # crawl-depth map: BFS shortest hop-distance from the seed set
+    # over a directed link graph (one frontier-join + anti-join per
+    # hop — the crawl engine's pending-minus-seen shape), depth-capped
+    # at 6 like a crawler's depth limit. The oracle is an EXACT
+    # recursive CTE (UNION-dedup BFS, min(dist) per node) — one of
+    # the few genuinely recursive oracles in the suite.
+    from olx_spark.operators.graph import seed_distance
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.pmod("event_id", F.lit(2000)).alias("src"),
+        F.pmod(F.col("user_id") * 13 + F.col("event_id") * 7 + 1, F.lit(2000)).alias("dst"),
+    )
+    seeds = spark.range(3).select(F.col("id").cast("long").alias("id"))
+    return seed_distance(edges, seeds, max_hops=6)
+
+
 def q_blur_scores(spark, sf):
     # LAION-style blur filter: Laplacian variance per image with exact
     # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
@@ -1817,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blur_scores": q_blur_scores,
         "q_domain_quality": q_domain_quality,
         "q_url_templates": q_url_templates,
+        "q_seed_distance": q_seed_distance,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3311,6 +3330,28 @@ def _sql_url_templates() -> str:
     """
 
 
+def _sql_seed_distance() -> str:
+    """DuckDB twin of q_seed_distance: true recursive-CTE BFS — UNION
+    (not UNION ALL) prunes repeated (id, dist) rows so the recursion
+    terminates; min(dist) per node is the BFS distance; the dist < 6
+    guard is the same depth cap as the Spark loop's max_hops."""
+    return """
+        with recursive e as (
+            select distinct event_id % 2000 as src,
+                   (user_id * 13 + event_id * 7 + 1) % 2000 as dst
+            from events
+        ), r(id, dist) as (
+            select * from (values (0::bigint, 0), (1::bigint, 0),
+                                  (2::bigint, 0)) s(id, dist)
+            union
+            select e.dst, r.dist + 1
+            from r join e on e.src = r.id
+            where r.dist < 6
+        )
+        select id, min(dist)::int as dist from r group by 1
+    """
+
+
 def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """DuckDB twin of q_blur_scores: exact Laplacian sums computed
     INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
@@ -4286,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "q_blur_scores": _sql_blur_scores(),
         "q_domain_quality": _sql_domain_quality(),
         "q_url_templates": _sql_url_templates(),
+        "q_seed_distance": _sql_seed_distance(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -100,6 +100,7 @@ HEADLINE = [
     "q_blur_scores",
     "q_domain_quality",
     "q_url_templates",
+    "q_seed_distance",
 ]
 
 REPS = 3

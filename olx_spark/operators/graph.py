@@ -350,3 +350,58 @@ def pagerank(
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             shutil.rmtree(tbl_path, ignore_errors=True)
     return ranks
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    max_hops: int = 6,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Breadth-first seed distance over a directed link graph — the
+    crawl-depth map. ``dist(v)`` = length of the shortest directed
+    path from any seed to ``v``, capped at ``max_hops`` (nodes deeper
+    than the cap are absent — exactly a crawler's depth-limit
+    semantics; the reference's unfold is depth-limited the same way
+    by its page cap, ``Olx.scala:21-24``).
+
+    Returns ``(id, dist)`` — one row per reachable node, including
+    the seeds at dist 0. Deterministic: BFS layer order is
+    data-independent (each node's dist is the ROUND it was first
+    reached, and rounds are global barriers).
+
+    Scale shape (10^10-edge web graph): per hop = ONE shuffle join of
+    the current frontier (small: one BFS layer) against the edge
+    table hash-partitioned on ``src``, plus an anti-join against the
+    visited set — the same pending-minus-seen shape as the crawl
+    engine's round derivation (`plans/scaled.py`), and the same
+    partitioning, so a bucketed edge layout makes the hop join
+    co-located. The visited table (one row per reached node) is
+    materialized per hop through :func:`olx_spark.session.materialize`
+    (lineage cut; ``spark.olx.checkpoint.reliable`` knob applies).
+    Early exit when a layer drains: a bounded-diameter graph costs
+    diameter hops, not ``max_hops``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    frontier = materialize(
+        seeds.select(F.col(seed_col).alias("id")).distinct()
+        .withColumn("dist", F.lit(0)),
+        reliable=reliable,
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        frontier = materialize(nxt, reliable=reliable)
+        if frontier.limit(1).count() == 0:
+            break
+        visited = materialize(visited.union(frontier), reliable=reliable)
+    return visited
