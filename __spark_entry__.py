@@ -1656,6 +1656,42 @@ def q_seed_distance(spark, sf):
     return seed_distance(edges, seeds, max_hops=6)
 
 
+def q_sniff_types(spark, sf):
+    # WHATWG-style magic-byte sniffing: 12-byte payloads synthesized
+    # per event (8 real file-format magics + md5 filler), declared
+    # type shifted on every 13th event to plant Content-Type lies.
+    # Spark genuinely round-trips binary (unhex -> substring -> hex);
+    # the oracle replays the same prefix-case logic on the hex string.
+    from olx_spark.functions.magic import sniff_payloads
+
+    types = ["jpeg", "png", "gif", "bmp", "wav", "gzip", "pdf", "html"]
+    magics = {
+        "jpeg": ("FFD8FF", 18), "png": ("89504E470D0A1A0A", 8),
+        "gif": ("47494638", 16), "bmp": ("424D", 20),
+        "gzip": ("1F8B", 20), "pdf": ("255044462D", 14),
+        "html": ("3C68746D6C3E", 12),
+    }
+    k = F.pmod("event_id", F.lit(8))
+    filler = F.upper(F.md5(F.col("event_id").cast("string")))
+    hexstr = F.lit(None).cast("string")
+    for i, t in enumerate(types):
+        if t == "wav":
+            h = F.concat(F.lit("52494646"), F.substring(filler, 1, 8), F.lit("57415645"))
+        else:
+            m, n = magics[t]
+            h = F.concat(F.lit(m), F.substring(filler, 1, n))
+        hexstr = F.when(k == i, h).otherwise(hexstr)
+    decl_idx = F.pmod(
+        k + F.when(F.pmod("event_id", F.lit(13)) == 0, 1).otherwise(0), F.lit(8)
+    )
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("image_id"),
+        F.unhex(hexstr).alias("bytes"),
+        F.element_at(F.array(*[F.lit(t) for t in types]), decl_idx.cast("int") + 1).alias("fmt"),
+    )
+    return sniff_payloads(ev)
+
+
 def q_blur_scores(spark, sf):
     # LAION-style blur filter: Laplacian variance per image with exact
     # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
@@ -1836,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_quality": q_domain_quality,
         "q_url_templates": q_url_templates,
         "q_seed_distance": q_seed_distance,
+        "q_sniff_types": q_sniff_types,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3352,6 +3389,64 @@ def _sql_seed_distance() -> str:
     """
 
 
+def _sql_sniff_types() -> str:
+    """DuckDB twin of q_sniff_types: the payload is exactly 12 bytes,
+    so hex(substring(bytes,1,12)) == the constructed hex string — the
+    oracle applies the same ordered prefix-case directly to it."""
+    return """
+        with p as (
+            select event_id as id,
+                   event_id % 8 as k,
+                   upper(md5(event_id::varchar)) as filler
+            from events
+        ), h as (
+            select id, k,
+                   case k
+                     when 0 then 'FFD8FF' || substring(filler, 1, 18)
+                     when 1 then '89504E470D0A1A0A' || substring(filler, 1, 8)
+                     when 2 then '47494638' || substring(filler, 1, 16)
+                     when 3 then '424D' || substring(filler, 1, 20)
+                     when 4 then '52494646' || substring(filler, 1, 8) || '57415645'
+                     when 5 then '1F8B' || substring(filler, 1, 20)
+                     when 6 then '255044462D' || substring(filler, 1, 14)
+                     else '3C68746D6C3E' || substring(filler, 1, 12)
+                   end as hx,
+                   (['jpeg','png','gif','bmp','wav','gzip','pdf','html'])[
+                       ((k + case when id % 13 = 0 then 1 else 0 end) % 8)::int + 1
+                   ] as declared
+            from p
+        )
+        select id, declared,
+               case
+                 when substring(hx, 1, 16) = '89504E470D0A1A0A' then 'png'
+                 when substring(hx, 1, 8) = '47494638' then 'gif'
+                 when substring(hx, 1, 6) = 'FFD8FF' then 'jpeg'
+                 when substring(hx, 1, 10) = '255044462D' then 'pdf'
+                 when substring(hx, 1, 4) = '1F8B' then 'gzip'
+                 when substring(hx, 1, 4) = '424D' then 'bmp'
+                 when substring(hx, 1, 8) = '52494646' then
+                   case when substring(hx, 17, 8) = '57415645'
+                        then 'wav' else 'riff' end
+                 when substring(hx, 1, 2) = '3C' then 'html'
+                 else 'unknown'
+               end as sniffed,
+               (declared != (case
+                 when substring(hx, 1, 16) = '89504E470D0A1A0A' then 'png'
+                 when substring(hx, 1, 8) = '47494638' then 'gif'
+                 when substring(hx, 1, 6) = 'FFD8FF' then 'jpeg'
+                 when substring(hx, 1, 10) = '255044462D' then 'pdf'
+                 when substring(hx, 1, 4) = '1F8B' then 'gzip'
+                 when substring(hx, 1, 4) = '424D' then 'bmp'
+                 when substring(hx, 1, 8) = '52494646' then
+                   case when substring(hx, 17, 8) = '57415645'
+                        then 'wav' else 'riff' end
+                 when substring(hx, 1, 2) = '3C' then 'html'
+                 else 'unknown'
+               end))::int as mismatch
+        from h
+    """
+
+
 def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """DuckDB twin of q_blur_scores: exact Laplacian sums computed
     INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
@@ -4328,6 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_quality": _sql_domain_quality(),
         "q_url_templates": _sql_url_templates(),
         "q_seed_distance": _sql_seed_distance(),
+        "q_sniff_types": _sql_sniff_types(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

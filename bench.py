@@ -101,6 +101,7 @@ HEADLINE = [
     "q_domain_quality",
     "q_url_templates",
     "q_seed_distance",
+    "q_sniff_types",
 ]
 
 REPS = 3
