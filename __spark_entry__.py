@@ -1692,6 +1692,34 @@ def q_sniff_types(spark, sf):
     return sniff_payloads(ev)
 
 
+def q_scd2_history(spark, sf):
+    # recrawl change ledger: SCD type-2 intervals over a synthetic
+    # observation stream (url_fp revisited across events; content
+    # flips among 4 variants keyed by user_id). One shuffle on url_fp
+    # — window, per-version groupBy and valid_to window all reuse the
+    # same partitioning. The oracle replays lag/run-sum/lead in SQL.
+    from olx_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf, "events")
+    obs = ev.select(
+        F.pmod("event_id", F.lit(300)).alias("url_fp"),
+        F.col("ts").alias("fetch_ts"),
+        F.col("event_id").alias("obs_id"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.pmod("event_id", F.lit(300)).cast("string"),
+                    F.lit("#"),
+                    F.pmod("user_id", F.lit(4)).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ).alias("content_hash"),
+    )
+    return scd2_history(obs, order_tiebreak="obs_id")
+
+
 def q_blur_scores(spark, sf):
     # LAION-style blur filter: Laplacian variance per image with exact
     # int64 sums (luma-sum gray, 4-neighbor Laplacian); variance +
@@ -1873,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": q_url_templates,
         "q_seed_distance": q_seed_distance,
         "q_sniff_types": q_sniff_types,
+        "q_scd2_history": q_scd2_history,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3447,6 +3476,44 @@ def _sql_sniff_types() -> str:
     """
 
 
+def _sql_scd2_history() -> str:
+    """DuckDB twin of q_scd2_history: same (ts, obs_id) ordering, same
+    lag change-points, running-sum version ids, per-version rollup,
+    lead valid_to and is_current flag."""
+    return """
+        with o as (
+            select event_id % 300 as url_fp, ts as fetch_ts,
+                   event_id as obs_id,
+                   substring(md5((event_id % 300)::varchar || '#'
+                                 || (user_id % 4)::varchar), 1, 12)
+                       as content_hash
+            from events
+        ), c as (
+            select *,
+                   case when lag(content_hash) over w is null
+                          or content_hash != lag(content_hash) over w
+                        then 1 else 0 end as chg
+            from o
+            window w as (partition by url_fp order by fetch_ts, obs_id)
+        ), r as (
+            select *, sum(chg) over (partition by url_fp
+                                     order by fetch_ts, obs_id
+                                     rows unbounded preceding) as version
+            from c
+        ), per as (
+            select url_fp, version, min(content_hash) as content_hash,
+                   min(fetch_ts) as valid_from, count(*)::bigint as n_obs
+            from r group by 1, 2
+        )
+        select url_fp, version::int as version, content_hash, valid_from,
+               lead(valid_from) over wv as valid_to, n_obs,
+               case when lead(valid_from) over wv is null then 1 else 0 end
+                   as is_current
+        from per
+        window wv as (partition by url_fp order by version)
+    """
+
+
 def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """DuckDB twin of q_blur_scores: exact Laplacian sums computed
     INDEPENDENTLY driver-side (numpy over the same corpus) inlined as
@@ -4424,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_templates": _sql_url_templates(),
         "q_seed_distance": _sql_seed_distance(),
         "q_sniff_types": _sql_sniff_types(),
+        "q_scd2_history": _sql_scd2_history(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -214,3 +214,62 @@ def sessionize(
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_seq", F.sum(brk).over(wsum))
+
+
+def scd2_history(
+    obs: DataFrame,
+    key: str = "url_fp",
+    ts: str = "fetch_ts",
+    value: str = "content_hash",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a per-key observation stream into SCD type-2 validity
+    intervals — the recrawl ledger: the crawl engine re-fetches a URL
+    every refresh cycle (`operators/recrawl`), and downstream
+    consumers need "what did this page SAY, and when" as intervals,
+    not as 10^2 near-identical observations per URL. (The reference
+    stores every parsed ad row append-only — ``db/H2.scala:61`` — so
+    its history is the raw stream; this is the warehouse view over
+    it.)
+
+    Returns one row per (key, run of consecutive equal ``value``):
+    ``(key, version, value, valid_from, valid_to, n_obs,
+    is_current)`` — ``version`` 1-based in observation order,
+    ``valid_to`` = the next version's ``valid_from`` (NULL while
+    current), ``is_current`` flags the open interval.
+
+    Scale shape (10^10-URL corpus x recrawls): ONE shuffle on ``key``
+    — the change-point window, the per-version groupBy (key is a
+    prefix of the group key, so rows are already clustered), and the
+    valid_to/is_current windows all reuse the same hash partitioning;
+    Catalyst plans a single Exchange (asserted in tests). Everything
+    is JVM window/agg expressions — no Python.
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    chg = F.when(
+        F.lag(value).over(w).isNull()
+        | (F.col(value) != F.lag(value).over(w)),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = obs.withColumn("version", F.sum(chg).over(wsum))
+    per = runs.groupBy(key, "version").agg(
+        F.min(value).alias(value),  # constant within a run; min = any
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    wv = Window.partitionBy(key).orderBy(F.col("version").asc())
+    return per.select(
+        key,
+        F.col("version").cast("int").alias("version"),
+        value,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_obs",
+        F.when(F.lead("valid_from").over(wv).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
