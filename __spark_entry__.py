@@ -1602,6 +1602,36 @@ def q_domain_quality(spark, sf):
     return domain_quality_rollup(docs)
 
 
+def q_boilerplate(spark, sf):
+    # CCNet/RefinedWeb boilerplate-line removal: deterministic "lines"
+    # per doc (a per-source copyright footer in 100% of the source's
+    # docs, a nav line in the even half, then 5-word content chunks),
+    # per-(source, line) doc frequency in ONE shuffle, frequent lines
+    # (>=50% of the domain's docs, >=2 docs) broadcast back as the
+    # boilerplate set, per-doc kept/stripped rollup. The oracle
+    # replays the same line construction + integer-ppm cut in SQL.
+    from olx_spark.operators.curation import boilerplate_lines
+
+    docs = _t(spark, sf, "documents")
+    words = F.split("text", " ")
+    nchunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+    )
+    header = F.concat(F.lit("(c) "), "source", F.lit(" all rights reserved"))
+    nav = F.concat(F.lit("home | about | "), "source")
+    arr = F.concat(
+        F.array(header),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.array(nav)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        chunks,
+    )
+    lines = docs.select("doc_id", "source", F.explode(arr).alias("line"))
+    return boilerplate_lines(lines)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -1902,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seed_distance": q_seed_distance,
         "q_sniff_types": q_sniff_types,
         "q_scd2_history": q_scd2_history,
+        "q_boilerplate": q_boilerplate,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3476,6 +3507,54 @@ def _sql_sniff_types() -> str:
     """
 
 
+def _sql_boilerplate(frac_ppm: int = 500_000, min_df: int = 2) -> str:
+    """DuckDB twin of q_boilerplate: same line construction (footer +
+    even-doc nav + 5-word chunks), same per-(source, line) distinct-doc
+    frequency, same exact integer-ppm cut, same per-doc rollup."""
+    return f"""
+        with base as (
+            select doc_id, source, string_split(text, ' ') as ws
+            from documents
+        ), lines as (
+            select doc_id, source,
+                   '(c) ' || source || ' all rights reserved' as line
+            from base
+            union all
+            select doc_id, source, 'home | about | ' || source
+            from base where doc_id % 2 = 0
+            union all
+            select b.doc_id, b.source,
+                   array_to_string(b.ws[t.i*5+1 : t.i*5+5], ' ') as line
+            from base b,
+                 unnest(range(cast(ceil(len(b.ws)/5.0) as bigint))) as t(i)
+        ), ldf as (
+            select source, line, count(distinct doc_id) as df_docs
+            from lines group by 1, 2
+        ), totals as (
+            select source, count(distinct doc_id) as n_docs
+            from lines group by 1
+        ), boiler as (
+            select l.source, l.line
+            from ldf l join totals t using (source)
+            where l.df_docs >= {min_df}
+              and l.df_docs * 1000000 >= {frac_ppm} * t.n_docs
+        ), flagged as (
+            select ln.doc_id, ln.source, ln.line,
+                   case when b.line is not null then 1 else 0 end as is_b
+            from lines ln
+            left join boiler b
+              on ln.source = b.source and ln.line = b.line
+        )
+        select doc_id, source,
+               count(*)::bigint as n_lines,
+               sum(is_b)::bigint as n_boiler,
+               sum(case when is_b = 0 then length(line) else 0 end)::bigint
+                   as kept_chars,
+               round(sum(is_b)::double / count(*), 6) as boiler_frac
+        from flagged group by 1, 2
+    """
+
+
 def _sql_scd2_history() -> str:
     """DuckDB twin of q_scd2_history: same (ts, obs_id) ordering, same
     lag change-points, running-sum version ids, per-version rollup,
@@ -4492,6 +4571,7 @@ def oracle_sql() -> dict[str, str]:
         "q_seed_distance": _sql_seed_distance(),
         "q_sniff_types": _sql_sniff_types(),
         "q_scd2_history": _sql_scd2_history(),
+        "q_boilerplate": _sql_boilerplate(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -217,6 +217,94 @@ def clip_score_filter(
     )
 
 
+def boilerplate_lines(
+    lines: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    domain_col: str = "source",
+    line_col: str = "line",
+    df_frac: float = 0.5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Host-frequency boilerplate removal — the CCNet/RefinedWeb line
+    dedup rule: a line appearing in ≥ ``df_frac`` of a domain's
+    documents (and in at least ``min_df`` of them) is chrome
+    (copyright footer, nav bar, cookie banner), not content, and is
+    stripped before training. The reference parser keeps whole ad
+    pages (``Ads.scala`` textarea extraction); a training pipeline
+    over the same crawl additionally needs this pass.
+
+    Input: one row per (doc, domain, line). Returns one row per doc:
+    ``(doc_col, domain_col, n_lines, n_boiler, kept_chars,
+    boiler_frac)`` — ``kept_chars`` sums the length of surviving
+    lines, ``boiler_frac`` is rounded to 6 dp.
+
+    The frequency cut is evaluated in EXACT integer arithmetic
+    (``df_docs * 1e6 >= round(df_frac*1e6) * domain_docs``) so the
+    verdict is replayable cross-engine with no float-threshold drift.
+
+    Scale design (100 TB): the line table shuffles ONCE, on
+    (domain, line), for the per-line document frequency (count of
+    distinct docs — Spark's two-phase distinct-agg absorbs hot lines
+    map-side); per-domain doc totals are a tiny rollup of that same
+    aggregate (no second scan of the line table) joined by broadcast;
+    the surviving boilerplate set is, by construction, small (each
+    domain contributes at most docs/df_frac·min_df distinct frequent
+    lines) and broadcasts back onto the line table, so the verdict
+    pass is shuffle-free; the final per-doc rollup is a map-side
+    combinable groupBy on the doc id. The corpus is never sorted and
+    never shuffled on a skewed key.
+    """
+    if not 0.0 < df_frac <= 1.0:
+        raise ValueError(f"df_frac must be in (0,1], got {df_frac}")
+    frac_ppm = int(round(df_frac * 1_000_000))
+    base = lines.select(
+        F.col(doc_col).alias("__bp_doc"),
+        F.col(domain_col).alias("__bp_dom"),
+        F.col(line_col).alias("__bp_line"),
+    )
+    # one shuffle: per-(domain, line) distinct-doc frequency
+    line_df = base.groupBy("__bp_dom", "__bp_line").agg(
+        F.countDistinct("__bp_doc").alias("__bp_df")
+    )
+    # per-domain doc totals from the per-line table — NOT a second
+    # scan of the corpus: max(df) is wrong (no line need appear in
+    # all docs), so roll up distinct docs from the base's (dom, doc)
+    # projection; Spark collapses this to the same scan pre-shuffle.
+    totals = base.groupBy("__bp_dom").agg(
+        F.countDistinct("__bp_doc").alias("__bp_docs")
+    )
+    boiler = (
+        line_df.join(F.broadcast(totals), "__bp_dom")
+        .filter(
+            (F.col("__bp_df") >= min_df)
+            & (
+                F.col("__bp_df") * F.lit(1_000_000)
+                >= F.lit(frac_ppm) * F.col("__bp_docs")
+            )
+        )
+        .select("__bp_dom", "__bp_line", F.lit(1).alias("__bp_is_boiler"))
+    )
+    flagged = base.join(
+        F.broadcast(boiler), ["__bp_dom", "__bp_line"], "left"
+    ).withColumn("__bp_b", F.coalesce("__bp_is_boiler", F.lit(0)))
+    out = flagged.groupBy("__bp_doc", "__bp_dom").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("__bp_b").alias("n_boiler"),
+        F.sum(
+            F.when(F.col("__bp_b") == 0, F.length("__bp_line")).otherwise(0)
+        ).alias("kept_chars"),
+    )
+    return out.select(
+        F.col("__bp_doc").alias(doc_col),
+        F.col("__bp_dom").alias(domain_col),
+        "n_lines",
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.col("kept_chars").cast("long").alias("kept_chars"),
+        F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_frac"),
+    )
+
+
 def domain_quality_rollup(
     docs: DataFrame,
     *,

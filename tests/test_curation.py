@@ -267,3 +267,80 @@ def test_domain_rollup_broadcast_single_fact_scan(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------- boilerplate ----
+
+def _bp_rows():
+    # domain A (4 docs): footer in all 4 (df=4, 100%), nav in 2 (50%),
+    # unique content lines. domain B (2 docs): a line shared by both
+    # (df=2, 100%) and singles. domain C (1 doc): its footer has df=1
+    # -> min_df=2 keeps it content even at 100% frequency.
+    rows = []
+    for d in range(4):
+        rows.append((d, "A", "footerA"))
+        if d < 2:
+            rows.append((d, "A", "navA"))
+        rows.append((d, "A", f"contentA{d}"))
+    for d in (10, 11):
+        rows.append((d, "B", "sharedB"))
+        rows.append((d, "B", f"uniqB{d}"))
+    rows.append((20, "C", "footerC"))
+    return rows
+
+
+def test_boilerplate_verdicts(spark):
+    from olx_spark.operators.curation import boilerplate_lines
+
+    df = spark.createDataFrame(
+        _bp_rows(), "doc_id long, source string, line string"
+    )
+    out = {r.doc_id: r for r in boilerplate_lines(df).collect()}
+    # A: footer (4/4) and nav (2/4 = 50% >= df_frac) are boilerplate
+    assert out[0].n_lines == 3 and out[0].n_boiler == 2
+    assert out[0].kept_chars == len("contentA0")
+    assert out[3].n_lines == 2 and out[3].n_boiler == 1  # no nav row
+    assert out[3].boiler_frac == 0.5
+    # B: sharedB df=2 (100%) boiler; uniqB survive
+    assert out[10].n_boiler == 1 and out[10].kept_chars == len("uniqB10")
+    # C: single doc -> df=1 < min_df: nothing stripped
+    assert out[20].n_boiler == 0 and out[20].kept_chars == len("footerC")
+
+
+def test_boilerplate_min_df_and_frac_cut(spark):
+    from olx_spark.operators.curation import boilerplate_lines
+
+    df = spark.createDataFrame(
+        _bp_rows(), "doc_id long, source string, line string"
+    )
+    # raise the bar past 50%: navA (2/4) is no longer boilerplate
+    out = {
+        r.doc_id: r
+        for r in boilerplate_lines(df, df_frac=0.75).collect()
+    }
+    assert out[0].n_boiler == 1 and out[0].n_lines == 3
+    # min_df=1 at 100%: C's lone footer becomes boilerplate
+    out1 = {
+        r.doc_id: r
+        for r in boilerplate_lines(df, df_frac=1.0, min_df=1).collect()
+    }
+    assert out1[20].n_boiler == 1 and out1[20].kept_chars == 0
+    with pytest.raises(ValueError):
+        boilerplate_lines(df, df_frac=0.0)
+
+
+def test_boilerplate_plan_broadcast_back_no_python(spark):
+    from olx_spark.operators.curation import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"line{i % 7}") for i in range(200)],
+        "doc_id long, source string, line string",
+    )
+    plan = (
+        boilerplate_lines(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the boilerplate set and the domain totals come back by broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
