@@ -1632,6 +1632,34 @@ def q_boilerplate(spark, sf):
     return boilerplate_lines(lines)
 
 
+def q_anchor_profile(spark, sf):
+    # per-target anchor-text rollup: modal anchor with deterministic
+    # (cnt desc, anchor asc) tie-break via single-expression
+    # min(struct(-cnt, anchor)) argmax — no window; histogram and
+    # distinct-src aggs both land hash-partitioned on dst so the
+    # final join adds no exchange. Oracle replays with a row_number
+    # window over the same histogram.
+    from olx_spark.operators.anchors import anchor_text_profile
+
+    ev = _t(spark, sf, "events")
+    u5 = F.pmod("user_id", F.lit(5))
+    anchor = (
+        F.when(u5 == 0, F.lit("click here"))
+        .when(u5 == 1, F.lit("home"))
+        .when(u5 == 2, F.lit("buy now"))
+        .when(u5 == 3, F.lit("details"))
+        .otherwise(F.lit("next page"))
+    )
+    links = ev.select(
+        F.pmod("event_id", F.lit(500)).alias("src_fp"),
+        F.pmod(F.col("event_id") * 7 + F.col("user_id"), F.lit(200)).alias(
+            "dst_fp"
+        ),
+        anchor.alias("anchor"),
+    )
+    return anchor_text_profile(links)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -1933,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sniff_types": q_sniff_types,
         "q_scd2_history": q_scd2_history,
         "q_boilerplate": q_boilerplate,
+        "q_anchor_profile": q_anchor_profile,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3555,6 +3584,44 @@ def _sql_boilerplate(frac_ppm: int = 500_000, min_df: int = 2) -> str:
     """
 
 
+def _sql_anchor_profile() -> str:
+    """DuckDB twin of q_anchor_profile: same link synthesis, same
+    histogram, row_number replay of the (cnt desc, anchor asc)
+    argmax, same distinct-src counts."""
+    return """
+        with links as (
+            select event_id % 500 as src_fp,
+                   (event_id * 7 + user_id) % 200 as dst_fp,
+                   case user_id % 5
+                        when 0 then 'click here' when 1 then 'home'
+                        when 2 then 'buy now' when 3 then 'details'
+                        else 'next page' end as anchor
+            from events
+        ), hist as (
+            select dst_fp, anchor, count(*) as cnt
+            from links group by 1, 2
+        ), top as (
+            select dst_fp, anchor as top_anchor, cnt as top_anchor_n,
+                   row_number() over (partition by dst_fp
+                                      order by cnt desc, anchor asc) as rn
+            from hist
+        ), agg as (
+            select dst_fp, sum(cnt)::bigint as n_links,
+                   count(*)::bigint as n_unique_anchors
+            from hist group by 1
+        ), srcs as (
+            select dst_fp, count(distinct src_fp)::bigint as n_unique_srcs
+            from links group by 1
+        )
+        select a.dst_fp, a.n_links, s.n_unique_srcs, a.n_unique_anchors,
+               t.top_anchor, t.top_anchor_n::bigint as top_anchor_n
+        from agg a
+        join srcs s using (dst_fp)
+        join top t using (dst_fp)
+        where t.rn = 1
+    """
+
+
 def _sql_scd2_history() -> str:
     """DuckDB twin of q_scd2_history: same (ts, obs_id) ordering, same
     lag change-points, running-sum version ids, per-version rollup,
@@ -4572,6 +4639,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sniff_types": _sql_sniff_types(),
         "q_scd2_history": _sql_scd2_history(),
         "q_boilerplate": _sql_boilerplate(),
+        "q_anchor_profile": _sql_anchor_profile(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
