@@ -76,6 +76,19 @@ def _image_corpus_rows(kind: str, n: int, seed: int) -> list[tuple]:
                 rows.append((f"jpg-{i:05d}", encode_image(arr, "jpeg"), "jpeg"))
             _CORPUS_CACHE[key] = rows
             return rows
+        if kind == "boxed":
+            # planted letterbox/pillarbox/uniform corpus (lossless
+            # fmts), with every (i % 8 == 5)th payload truncated to
+            # exercise the decode_ok=0 path
+            from olx_spark.fixtures.images import encode_image, letterbox_pixels
+
+            rows = []
+            for i in range(n):
+                _, _, fmt, arr = letterbox_pixels(i, seed=seed)
+                data = b"\x00\x01\x02" if i % 8 == 5 else encode_image(arr, fmt)
+                rows.append((f"box-{i:05d}", data, fmt))
+            _CORPUS_CACHE[key] = rows
+            return rows
         maker = make_near_dup_image_corpus if kind == "near_dup" else make_image_corpus
         _CORPUS_CACHE[key] = [
             (r["image_id"], r["bytes"], r["fmt"]) for r in maker(n, seed=seed)
@@ -1792,6 +1805,21 @@ def q_blur_scores(spark, sf):
     return image_sharpness(df)
 
 
+def q_image_borders(spark, sf):
+    # ffmpeg-cropdetect-style letterbox/pillarbox measurement with
+    # exact-integer edge runs; content_frac and is_boxed derived
+    # JVM-side from the integers. The oracle recomputes the border
+    # runs INDEPENDENTLY driver-side (numpy over the same planted
+    # corpus) and inlines them as VALUES.
+    from olx_spark.operators.multimodal import image_borders
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("boxed", 64, 9),
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_borders(df)
+
+
 def q_recrawl_due(spark, sf):
     # the refresh half of a standing frontier: exponential-backoff
     # next-due times (shiftleft power of two — exact integers, no
@@ -1962,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_history": q_scd2_history,
         "q_boilerplate": q_boilerplate,
         "q_anchor_profile": q_anchor_profile,
+        "q_image_borders": q_image_borders,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3699,6 +3728,63 @@ def _sql_blur_scores(blur_threshold: float = 100.0) -> str:
     """
 
 
+def _sql_image_borders() -> str:
+    """DuckDB twin of q_image_borders: exact border runs computed
+    INDEPENDENTLY driver-side (numpy edge-run scans over the same
+    planted corpus, decoding through the same lossless codecs) inlined
+    as VALUES; content_frac/is_boxed derived by the same expression."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        letterbox_pixels,
+    )
+
+    def run(mask, from_end=False):
+        m = mask[::-1] if from_end else mask
+        return int(m.size) if m.all() else int(np.argmin(m))
+
+    vals = []
+    for i in range(64):
+        if i % 8 == 5:
+            vals.append(f"('box-{i:05d}', 0, 0, 0, 0, 0, 0, 0)")
+            continue
+        _, _, fmt, arr = letterbox_pixels(i, seed=9)
+        dec = decode_image(encode_image(arr, fmt), fmt)
+        h, w = int(dec.shape[0]), int(dec.shape[1])
+        tl, brc = dec[0, 0], dec[h - 1, w - 1]
+        bt = run((dec == tl).all(axis=(1, 2)))
+        bb = run((dec == brc).all(axis=(1, 2)), True)
+        bl = run((dec == tl).all(axis=(0, 2)))
+        br = run((dec == brc).all(axis=(0, 2)), True)
+        vals.append(
+            f"('box-{i:05d}', {w}, {h}, {bt}, {bb}, {bl}, {br}, 1)"
+        )
+    return f"""
+        with t as (
+            select * from (values {", ".join(vals)})
+                 v(image_id, w, h, border_top, border_bottom,
+                   border_left, border_right, decode_ok)
+        )
+        select image_id, w::int as w, h::int as h,
+               border_top::int as border_top,
+               border_bottom::int as border_bottom,
+               border_left::int as border_left,
+               border_right::int as border_right,
+               decode_ok::int as decode_ok,
+               case when w > 0 and h > 0 then
+                   round(greatest(h - border_top - border_bottom, 0)
+                         * greatest(w - border_left - border_right, 0)
+                         / (w::double * h), 6)
+                   else 0.0 end as content_frac,
+               ((4 * (border_top + border_bottom) >= h
+                 or 4 * (border_left + border_right) >= w)
+                and decode_ok = 1 and h > 0)::int as is_boxed
+        from t
+    """
+
+
 def _sql_tile_stats(grid: int = 4) -> str:
     """DuckDB twin of q_tile_stats: expected tiles computed
     INDEPENDENTLY of Spark (driver-side numpy decode + the same
@@ -4640,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2_history": _sql_scd2_history(),
         "q_boilerplate": _sql_boilerplate(),
         "q_anchor_profile": _sql_anchor_profile(),
+        "q_image_borders": _sql_image_borders(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

@@ -347,3 +347,29 @@ def make_near_dup_image_corpus(n: int = 96, seed: int = 11) -> list[dict]:
             {"image_id": f"nd-{i:05d}", "bytes": encode_image(arr, fmt), "fmt": fmt}
         )
     return rows
+
+
+def letterbox_pixels(
+    i: int, seed: int = 9
+) -> tuple[int, int, str, np.ndarray]:
+    """(w, h, fmt, pixels) for the border-detection corpus: the base
+    image from :func:`original_pixels` with deterministic planted
+    bars, LOSSLESS fmt only (exact uint8 bar equality is the operator
+    contract — a lossy codec's ringing breaks exact bars). Rotation by
+    ``i % 4``: letterbox (black top/bottom, h//6 each), pillarbox
+    (white left/right, w//5 each), fully-uniform frame, untouched."""
+    w, h, _, arr = original_pixels(i, seed=seed)
+    fmt = ("raw", "png")[i % 2]
+    arr = arr.copy()
+    kind = i % 4
+    if kind == 0:
+        b = h // 6
+        arr[:b] = 0
+        arr[h - b:] = 0
+    elif kind == 1:
+        b = w // 5
+        arr[:, :b] = 255
+        arr[:, w - b:] = 255
+    elif kind == 2:
+        arr[:] = np.array([10, 20, 30], dtype=np.uint8)
+    return w, h, fmt, arr

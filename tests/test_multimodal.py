@@ -414,3 +414,72 @@ def test_sharpness_tiny_and_corrupt(spark):
     )
     with _pytest.raises(Exception):
         image_sharpness(bad_fmt).collect()
+
+
+# -------------------------------------------------- image_borders ----
+
+def test_borders_planted_ground_truth(spark):
+    import numpy as np
+
+    from olx_spark.fixtures.images import encode_image
+    from olx_spark.operators.multimodal import image_borders
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(1, 255, size=(60, 40, 3), dtype=np.uint8)
+    letter = base.copy(); letter[:10] = 0; letter[-10:] = 0
+    pillar = base.copy(); pillar[:, :8] = 255; pillar[:, -8:] = 255
+    flat = np.full((60, 40, 3), 7, dtype=np.uint8)
+    rows = [
+        ("letter", encode_image(letter, "raw"), "raw"),
+        ("pillar", encode_image(pillar, "png"), "png"),
+        ("flat", encode_image(flat, "raw"), "raw"),
+        ("clean", encode_image(base, "png"), "png"),
+        ("corrupt", b"\x01\x02", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r.image_id: r for r in image_borders(df).collect()}
+
+    le = out["letter"]
+    assert (le.border_top, le.border_bottom) == (10, 10)
+    assert le.is_boxed == 1  # 4*20 >= 60
+    assert le.content_frac == round(40 * 40 / (40 * 60), 6)
+
+    pi = out["pillar"]
+    assert (pi.border_left, pi.border_right) == (8, 8)
+    assert pi.is_boxed == 1  # 4*16 >= 40
+
+    fl = out["flat"]
+    assert (fl.border_top, fl.border_bottom) == (60, 60)
+    assert (fl.border_left, fl.border_right) == (40, 40)
+    assert fl.content_frac == 0.0 and fl.is_boxed == 1
+
+    cl = out["clean"]
+    assert cl.is_boxed == 0 and cl.decode_ok == 1
+
+    co = out["corrupt"]
+    assert co.decode_ok == 0 and co.is_boxed == 0 and co.w == 0
+
+
+def test_borders_unknown_fmt_raises(spark):
+    from olx_spark.operators.multimodal import image_borders
+
+    df = spark.createDataFrame(
+        [("x", b"\x00", "webp")], "image_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="unknown fmt"):
+        image_borders(df).collect()
+
+
+def test_borders_zero_shuffle_plan(spark):
+    import numpy as np
+
+    from olx_spark.fixtures.images import encode_image
+    from olx_spark.operators.multimodal import image_borders
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", encode_image(arr, "raw"), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    plan = image_borders(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # mapInPandas inherits partitioning
