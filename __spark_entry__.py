@@ -1673,6 +1673,30 @@ def q_anchor_profile(spark, sf):
     return anchor_text_profile(links)
 
 
+def q_vocab_coverage(spark, sf):
+    # tokenizer-training vocab curve over corpus bigrams: global
+    # (count desc, term asc) ranks + cumulative coverage computed by
+    # a DISTRIBUTED prefix-sum (range repartition + per-partition
+    # windows + driver offsets) — never a single-partition global
+    # window. Oracle replays with an ordinary global window (fine at
+    # oracle scale).
+    from olx_spark.operators.vocab import vocab_coverage
+
+    docs = _t(spark, sf, "documents")
+    words = F.split("text", " ")
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    terms = docs.select(F.explode(bigrams).alias("term"))
+    return vocab_coverage(terms, top_k=200)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -1991,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_anchor_profile": q_anchor_profile,
         "q_image_borders": q_image_borders,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3613,6 +3638,33 @@ def _sql_boilerplate(frac_ppm: int = 500_000, min_df: int = 2) -> str:
     """
 
 
+def _sql_vocab_coverage(top_k: int = 200) -> str:
+    """DuckDB twin of q_vocab_coverage: same bigram synthesis, global
+    window rank + running coverage (the single-partition spelling the
+    Spark side deliberately avoids)."""
+    return f"""
+        with base as (
+            select string_split(text, ' ') as ws from documents
+        ), terms as (
+            select b.ws[t.i] || ' ' || b.ws[t.i+1] as term
+            from base b, unnest(range(1, len(b.ws))) as t(i)
+        ), c as (
+            select term, count(*) as cnt from terms group by 1
+        ), r as (
+            select term, cnt,
+                   row_number() over w as rank,
+                   sum(cnt) over (order by cnt desc, term asc
+                                  rows unbounded preceding) as cum
+            from c
+            window w as (order by cnt desc, term asc)
+        )
+        select term, cnt::bigint as cnt, rank::bigint as rank,
+               round(cum / (select sum(cnt)::double from c), 6) as cum_frac,
+               (rank <= {top_k})::int as in_vocab
+        from r
+    """
+
+
 def _sql_anchor_profile() -> str:
     """DuckDB twin of q_anchor_profile: same link synthesis, same
     histogram, row_number replay of the (cnt desc, anchor asc)
@@ -4727,6 +4779,7 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate": _sql_boilerplate(),
         "q_anchor_profile": _sql_anchor_profile(),
         "q_image_borders": _sql_image_borders(),
+        "q_vocab_coverage": _sql_vocab_coverage(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
