@@ -1697,6 +1697,65 @@ def q_vocab_coverage(spark, sf):
     return vocab_coverage(terms, top_k=200)
 
 
+def q_sitemap_entries(spark, sf):
+    # sitemaps.org discovery: per-host <urlset> docs plus one
+    # <sitemapindex> hub are BUILT as XML strings in Spark, then
+    # parsed back by the tag-anchored zero-shuffle operator. The
+    # oracle does NOT re-parse — it synthesizes the expected typed
+    # rows directly from events (independent path), so the whole
+    # build→parse plumbing is value-checked.
+    from olx_spark.operators.sitemaps import parse_sitemaps
+
+    ev = _t(spark, sf, "events")
+    h = F.pmod("event_id", F.lit(8))
+    host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example"))
+    day = F.pmod("event_id", F.lit(28)) + 1
+    lastmod = F.when(
+        F.pmod("event_id", F.lit(3)) == 0,
+        F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad(day.cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    prio = F.when(
+        F.pmod("event_id", F.lit(5)) == 0, F.lit("<priority>0.8</priority>")
+    ).otherwise(F.lit(""))
+    cf = F.when(
+        F.pmod("event_id", F.lit(7)) == 0,
+        F.lit("<changefreq>daily</changefreq>"),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/p/"),
+        F.col("event_id").cast("string"), F.lit("</loc>"),
+        lastmod, prio, cf, F.lit("</url>"),
+    )
+    maps = ev.groupBy(host.alias("host")).agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.sort_array(F.collect_list(entry))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    index = (
+        maps.select(
+            F.concat(
+                F.lit("<sitemap><loc>https://"), F.col("host"),
+                F.lit("/sitemap.xml</loc></sitemap>"),
+            ).alias("e")
+        )
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'),
+                F.concat_ws("", F.sort_array(F.collect_list("e"))),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+        .select(F.lit("hub.example").alias("host"), "xml")
+    )
+    return parse_sitemaps(maps.unionByName(index))
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -2016,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_profile": q_anchor_profile,
         "q_image_borders": q_image_borders,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_sitemap_entries": q_sitemap_entries,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3638,6 +3698,38 @@ def _sql_boilerplate(frac_ppm: int = 500_000, min_df: int = 2) -> str:
     """
 
 
+def _sql_sitemap_entries() -> str:
+    """DuckDB twin of q_sitemap_entries: the expected typed rows
+    synthesized DIRECTLY from events — no XML, no parsing — so the
+    Spark side's build→parse round trip is independently checked."""
+    return """
+        with u as (
+            select 'h' || (event_id % 8)::varchar || '.example' as host,
+                   'url' as entry_type,
+                   'https://h' || (event_id % 8)::varchar
+                       || '.example/p/' || event_id::varchar as loc,
+                   case when event_id % 3 = 0 then
+                       ('2024-01-'
+                        || lpad(((event_id % 28) + 1)::varchar, 2, '0')
+                       )::timestamp
+                   end as lastmod,
+                   case when event_id % 5 = 0
+                        then 0.8::double else 0.5::double end as priority,
+                   case when event_id % 7 = 0 then 'daily' else '' end
+                       as changefreq
+            from events
+        ), idx as (
+            select distinct 'hub.example' as host, 'sitemap' as entry_type,
+                   'https://h' || (event_id % 8)::varchar
+                       || '.example/sitemap.xml' as loc,
+                   cast(null as timestamp) as lastmod,
+                   0.5::double as priority, '' as changefreq
+            from events
+        )
+        select * from u union all select * from idx
+    """
+
+
 def _sql_vocab_coverage(top_k: int = 200) -> str:
     """DuckDB twin of q_vocab_coverage: same bigram synthesis, global
     window rank + running coverage (the single-partition spelling the
@@ -4780,6 +4872,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_profile": _sql_anchor_profile(),
         "q_image_borders": _sql_image_borders(),
         "q_vocab_coverage": _sql_vocab_coverage(),
+        "q_sitemap_entries": _sql_sitemap_entries(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),
