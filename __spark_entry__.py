@@ -1756,6 +1756,39 @@ def q_sitemap_entries(spark, sf):
     return parse_sitemaps(maps.unionByName(index))
 
 
+def q_rate_limit_audit(spark, sf):
+    # politeness compliance auditor: trailing [t-W, t] RANGE-frame
+    # request counts per host over the fetch log — one shuffle, no
+    # self-join. Oracle replays the identical RANGE window in SQL.
+    from olx_spark.operators.politeness import rate_limit_audit
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        "event_id",
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(20)).cast("string")).alias(
+            "host"
+        ),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    return rate_limit_audit(log, window_s=3600, max_in_window=5)
+
+
+def q_budget_alloc(spark, sf):
+    # largest-remainder (Hamilton) split of a global fetch budget
+    # across hosts by integer weight: allocations sum EXACTLY to the
+    # budget; remainder winners picked by TakeOrderedAndProject, not
+    # a global window. Oracle replays quota/floor/frac-rank in SQL.
+    from olx_spark.operators.ranking import allocate_budget
+
+    ev = _t(spark, sf, "events")
+    hosts = ev.groupBy(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return allocate_budget(hosts, 1000)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -2076,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_borders": q_image_borders,
         "q_vocab_coverage": q_vocab_coverage,
         "q_sitemap_entries": q_sitemap_entries,
+        "q_rate_limit_audit": q_rate_limit_audit,
+        "q_budget_alloc": q_budget_alloc,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3698,6 +3733,60 @@ def _sql_boilerplate(frac_ppm: int = 500_000, min_df: int = 2) -> str:
     """
 
 
+def _sql_rate_limit_audit(window_s: int = 3600, cap: int = 5) -> str:
+    """DuckDB twin of q_rate_limit_audit: identical RANGE frame."""
+    return f"""
+        with log as (
+            select event_id,
+                   'h' || (user_id % 20)::varchar as host,
+                   floor(date_part('epoch', ts))::bigint as ts_s
+            from events
+        )
+        select event_id, host, ts_s,
+               count(*) over (partition by host order by ts_s
+                              range between {window_s} preceding
+                                        and current row)::bigint
+                   as n_in_window,
+               (count(*) over (partition by host order by ts_s
+                               range between {window_s} preceding
+                                         and current row) > {cap})::int
+                   as violation
+        from log
+    """
+
+
+def _sql_budget_alloc(total: int = 1000) -> str:
+    """DuckDB twin of q_budget_alloc: same integer weights, same
+    (w*T)/S double quota, floor base, (frac desc, host asc) remainder
+    ranking."""
+    return f"""
+        with h as (
+            select 'h' || (user_id % 50)::varchar as host,
+                   count(*)::bigint as weight
+            from events group by 1
+        ), q as (
+            select host, weight,
+                   weight::double * {total}.0
+                       / (select sum(weight)::double from h) as quota
+            from h where weight > 0
+        ), b as (
+            select host, weight, floor(quota)::bigint as base,
+                   quota - floor(quota) as frac
+            from q
+        ), r as (
+            select host,
+                   row_number() over (order by frac desc, host asc) as rn
+            from b
+        ), k as (
+            select {total} - sum(base) as kk from b
+        )
+        select b.host, b.weight, b.base,
+               (r.rn <= (select kk from k))::int as extra,
+               (b.base + (r.rn <= (select kk from k))::int)::bigint as alloc
+        from b join r using (host)
+    """
+
+
 def _sql_sitemap_entries() -> str:
     """DuckDB twin of q_sitemap_entries: the expected typed rows
     synthesized DIRECTLY from events — no XML, no parsing — so the
@@ -4873,6 +4962,8 @@ def oracle_sql() -> dict[str, str]:
         "q_image_borders": _sql_image_borders(),
         "q_vocab_coverage": _sql_vocab_coverage(),
         "q_sitemap_entries": _sql_sitemap_entries(),
+        "q_rate_limit_audit": _sql_rate_limit_audit(),
+        "q_budget_alloc": _sql_budget_alloc(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

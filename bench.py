@@ -102,6 +102,13 @@ HEADLINE = [
     "q_url_templates",
     "q_seed_distance",
     "q_sniff_types",
+    # round-5 final additions (same comparability caveat)
+    "q_scd2_history",
+    "q_boilerplate",
+    "q_anchor_profile",
+    "q_image_borders",
+    "q_vocab_coverage",
+    "q_sitemap_entries",
 ]
 
 REPS = 3

@@ -287,3 +287,46 @@ def per_host_budget(
             F.col("host_rank") * F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
         )
     )
+
+
+def rate_limit_audit(
+    fetches: DataFrame,
+    *,
+    host_col: str = "host",
+    ts_col: str = "ts_s",
+    window_s: int = 30,
+    max_in_window: int = 10,
+) -> DataFrame:
+    """Retrospective politeness compliance audit — did the crawler
+    ever exceed ``max_in_window`` requests to one host inside any
+    trailing ``window_s``-second window? The forward scheduler
+    (:func:`per_host_budget`) ENFORCES the budget per round; this is
+    the AUDITOR over the fetch log that proves it (and catches
+    multi-round leakage, clock skew between rounds, or a foreign
+    writer sharing the frontier). The reference enforces politeness
+    implicitly — one in-flight request per job
+    (``DownloadAds.scala:28`` sequential evalMap) — and audits
+    nothing.
+
+    Per fetch row: ``n_in_window`` = number of requests to the same
+    host with timestamp in ``[t - window_s, t]`` (RANGE frame —
+    simultaneous fetches count each other symmetrically, the
+    conservative reading), ``violation`` = 1 when it exceeds the cap.
+
+    Scale shape: ONE shuffle on the host key; the RANGE-frame count is
+    a single forward pass per host partition (no self-join — the naive
+    spelling is a t-range self-join that squares hot hosts). Hot-host
+    skew is bounded by the fetch log itself being politeness-limited
+    per round.
+    """
+    if window_s < 0:
+        raise ValueError(f"window_s must be >= 0, got {window_s}")
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(F.col(ts_col).asc())
+        .rangeBetween(-window_s, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return fetches.withColumn("n_in_window", n.cast("long")).withColumn(
+        "violation", (F.col("n_in_window") > max_in_window).cast("int")
+    )

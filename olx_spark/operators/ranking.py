@@ -166,3 +166,83 @@ def ordered_limit(
     # the plan stays a tiny partitioned window, not a global one)
     w = constant_partitioned_window(order_cols)
     return top.withColumn("rank_in_limit", F.row_number().over(w) - 1)
+
+
+def allocate_budget(
+    hosts: DataFrame,
+    total: int,
+    *,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Proportional-fair fetch-budget allocation — split a global
+    per-round request budget across hosts by INTEGER weight (e.g.
+    pending-count x quality bucket) using the largest-remainder
+    (Hamilton) method, so allocations are integers that sum EXACTLY
+    to ``total`` and the rounding error lands on the hosts with the
+    largest fractional claims. (The reference has no global budget —
+    one job = one host sequence, ``OlxServer.scala:56`` — a shared
+    cluster crawling 10^6 hosts needs the split to be explicit.)
+
+    ``weight_col`` MUST be integral: the quota ``total * w / sum(w)``
+    is then a ratio of exact int64s and every engine computes the
+    same double, making the (frac desc, host asc) remainder order
+    value-deterministic cross-engine — the reason this takes integer
+    weights instead of floats (a float sum's value depends on
+    partition order).
+
+    Returns one row per host with ``weight > 0``: ``(host, weight,
+    base, extra, alloc)`` where ``alloc = base + extra`` and
+    ``sum(alloc) == min(total, ...)`` exactly (hosts with zero weight
+    get nothing and are dropped).
+
+    Scale shape: the host table is orders smaller than the fetch log
+    it summarizes. Two tiny scalar aggs (weight sum, base sum) come
+    to the driver; the ``k`` remainder winners are picked by
+    :func:`ordered_limit` — ``TakeOrderedAndProject``, a distributed
+    partial top-k, never a single-partition window — and broadcast
+    back. The host table is scanned, not sorted globally.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    from olx_spark.session import materialize
+
+    h = materialize(
+        hosts.select(
+            F.col(host_col).alias("__ab_h"),
+            F.col(weight_col).cast("long").alias("__ab_w"),
+        ).filter(F.col("__ab_w") > 0)
+    )
+    sumw = h.agg(F.sum("__ab_w").alias("s")).collect()[0]["s"]
+    if not sumw or total == 0:
+        return h.select(
+            F.col("__ab_h").alias(host_col),
+            F.col("__ab_w").alias(weight_col),
+            F.lit(0).cast("long").alias("base"),
+            F.lit(0).cast("int").alias("extra"),
+            F.lit(0).cast("long").alias("alloc"),
+        )
+    quota = F.col("__ab_w").cast("double") * F.lit(float(total)) / F.lit(
+        float(sumw)
+    )
+    staged = materialize(
+        h.withColumn("__ab_base", F.floor(quota).cast("long")).withColumn(
+            "__ab_frac", quota - F.floor(quota)
+        )
+    )
+    k = total - staged.agg(F.sum("__ab_base").alias("b")).collect()[0]["b"]
+    if k > 0:
+        extras = ordered_limit(
+            staged, int(k), [F.col("__ab_frac").desc(), F.col("__ab_h").asc()]
+        ).select("__ab_h", F.lit(1).alias("__ab_x"))
+        staged = staged.join(F.broadcast(extras), "__ab_h", "left")
+    else:
+        staged = staged.withColumn("__ab_x", F.lit(None).cast("int"))
+    extra = F.coalesce(F.col("__ab_x"), F.lit(0))
+    return staged.select(
+        F.col("__ab_h").alias(host_col),
+        F.col("__ab_w").alias(weight_col),
+        F.col("__ab_base").alias("base"),
+        extra.cast("int").alias("extra"),
+        (F.col("__ab_base") + extra).cast("long").alias("alloc"),
+    )

@@ -1,5 +1,6 @@
 """Unit tests for the ranking + politeness operators in isolation."""
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -518,3 +519,83 @@ def test_hosts_from_robots_feeds_robots_filter(spark):
     assert ("h0.example", "https://h0.example/a/1/") not in kept
     assert ("h0.example", "https://h0.example/a/0/") in kept
     assert sum(1 for h, _ in kept if h == "h1.example") == 5
+
+
+# ---------------------------------------------- rate-limit audit ----
+
+def test_rate_limit_audit_hand_computed(spark):
+    from olx_spark.operators.politeness import rate_limit_audit
+
+    rows = [
+        # host a: ts 0,10,20,30,31 with W=30, cap=3
+        ("a", 0), ("a", 10), ("a", 20), ("a", 30), ("a", 31),
+        # host b: two simultaneous fetches count each other
+        ("b", 100), ("b", 100),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_s long")
+    out = rate_limit_audit(df, window_s=30, max_in_window=3).collect()
+    got = sorted((r.host, r.ts_s, r.n_in_window, r.violation) for r in out)
+    assert got == [
+        ("a", 0, 1, 0),
+        ("a", 10, 2, 0),
+        ("a", 20, 3, 0),
+        ("a", 30, 4, 1),   # [0,30] holds all four
+        ("a", 31, 4, 1),   # [1,31] holds 10,20,30,31
+        ("b", 100, 2, 0),
+        ("b", 100, 2, 0),  # RANGE frame: both peers visible
+    ]
+    with pytest.raises(ValueError):
+        rate_limit_audit(df, window_s=-1)
+
+
+def test_rate_limit_audit_one_shuffle_no_python(spark):
+    from olx_spark.operators.politeness import rate_limit_audit
+
+    df = spark.createDataFrame(
+        [(f"h{i % 5}", i) for i in range(100)], "host string, ts_s long"
+    )
+    plan = (
+        rate_limit_audit(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------- budget allocation ----
+
+def test_budget_alloc_sums_exactly_and_is_fair(spark):
+    from olx_spark.operators.ranking import allocate_budget
+
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("z", 0)],
+        "host string, weight long",
+    )
+    out = {r.host: r for r in allocate_budget(hosts, 10).collect()}
+    assert "z" not in out  # zero weight dropped
+    assert (out["a"].alloc, out["b"].alloc, out["c"].alloc) == (5, 3, 2)
+    assert all(r.alloc == r.base + r.extra for r in out.values())
+
+    # total not divisible: largest fractional remainders win; exact sum
+    out7 = {r.host: r for r in allocate_budget(hosts, 7).collect()}
+    # quotas: a 3.5, b 2.1, c 1.4 -> bases 3,2,1 (sum 6), k=1 -> a wins
+    assert (out7["a"].alloc, out7["b"].alloc, out7["c"].alloc) == (4, 2, 1)
+    assert sum(r.alloc for r in out7.values()) == 7
+
+
+def test_budget_alloc_tie_breaks_on_host_and_edge_cases(spark):
+    from olx_spark.operators.ranking import allocate_budget
+
+    tied = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("w", 2)], "host string, weight long"
+    )
+    # total=2: quotas 0.5, 0.5, 1.0 -> bases 0,0,1, k=1, frac tie
+    # between x and y -> host asc picks x
+    out = {r.host: r for r in allocate_budget(tied, 2).collect()}
+    assert (out["x"].alloc, out["y"].alloc, out["w"].alloc) == (1, 0, 1)
+
+    assert allocate_budget(tied, 0).agg({"alloc": "sum"}).collect()[0][0] == 0
+    empty = spark.createDataFrame([], "host string, weight long")
+    assert allocate_budget(empty, 5).count() == 0
+    with pytest.raises(ValueError):
+        allocate_budget(tied, -1)
