@@ -1789,6 +1789,119 @@ def q_budget_alloc(spark, sf):
     return allocate_budget(hosts, 1000)
 
 
+def q_redirect_resolve(spark, sf):
+    # redirect-map resolution by pointer jumping (O(log chain) rounds,
+    # exact hop counts, pigeonhole cycle proof): synthesized chains of
+    # length <=4 ending at each group's r0 terminal, with every 10th
+    # group closed into a 5-cycle. The oracle is a true recursive-CTE
+    # walk with terminal anti-join and no-terminal => cycle.
+    from olx_spark.operators.redirects import resolve_redirects
+
+    ev = _t(spark, sf, "events")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = ev.filter(F.pmod("event_id", F.lit(5)) != 0).select(
+        u(F.col("event_id")).alias("src"),
+        u(F.col("event_id") - 1).alias("dst"),
+    )
+    loop = ev.filter(
+        (F.pmod("event_id", F.lit(5)) == 0)
+        & (F.expr("(event_id div 5) % 10") == 0)
+    ).select(
+        u(F.col("event_id")).alias("src"),
+        u(F.col("event_id") + 4).alias("dst"),
+    )
+    return resolve_redirects(chain.unionByName(loop))
+
+
+def q_host_mirrors(spark, sf):
+    # mirror-host detection: containment of distinct content
+    # fingerprints between host pairs (a complete small mirror scores
+    # 1.0 where Jaccard dilutes). Hot-fp guard is a no-op at these
+    # moduli (<= 7 hosts per fp); the oracle replays pairing + both
+    # scores exactly.
+    from olx_spark.operators.mirrors import host_mirrors
+
+    d = _t(spark, sf, "documents")
+    fp = F.concat(
+        F.lit("f"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.pmod("doc_id", F.lit(101)) + 1000,
+        )
+        .otherwise(F.pmod("doc_id", F.lit(23)))
+        .cast("string"),
+    )
+    docs = d.select(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string")).alias(
+            "host"
+        ),
+        fp.alias("fp"),
+    )
+    return host_mirrors(docs, min_containment=0.3, min_shared=2)
+
+
+def q_containment(spark, sf):
+    # Broder containment (asymmetric near-dup: quote/aggregator
+    # detection) over word 4-gram shingles, with planted prefix-quote
+    # docs guaranteeing true positives; range-bounded corpus (the
+    # guard-bounded pair join is exact, so the oracle twin replays it
+    # completely).
+    from olx_spark.operators.mirrors import containment_pairs
+
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id", "text")
+    quotes = d.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 150).alias("text"),
+    )
+    return containment_pairs(
+        base.unionByName(quotes), n=4, min_containment=0.6, min_shingles=5
+    )
+
+
+def q_change_rate(spark, sf):
+    # Cho & Garcia-Molina Poisson change-rate estimation from revisit
+    # observations — one map-side-combinable groupBy + scalar math;
+    # the oracle replays the bias-reduced -ln((n-X+.5)/(n+.5))
+    # estimator and the clamped next-interval policy exactly.
+    from olx_spark.operators.recrawl import estimate_change_rate
+
+    ev = _t(spark, sf, "events")
+    obs = ev.select(
+        F.col("user_id").alias("url_fp"),
+        (F.pmod("event_id", F.lit(3)) == 0).cast("int").alias("changed"),
+        (F.lit(600) + F.pmod("event_id", F.lit(7)) * 300)
+        .cast("double")
+        .alias("interval_s"),
+    )
+    return estimate_change_rate(obs, min_obs=2)
+
+
+def q_edit_verify(spark, sf):
+    # edit-distance verification of candidate near-dup pairs: JVM
+    # banded levenshtein (threshold short-circuit, exact w.r.t. the
+    # ratio filter) over planted single-char mutants (pass) plus
+    # neighbor pairs (overwhelmingly fail). Oracle computes the full
+    # unthresholded distance and applies the same filter.
+    from olx_spark.operators.similarity import verify_pairs_editdist
+
+    d = _t(spark, sf, "documents")
+    mutants = d.filter(F.pmod("doc_id", F.lit(6)) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    docs = d.select("doc_id", "text").unionByName(mutants)
+    pairs = d.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    ).unionByName(
+        d.filter(F.pmod("doc_id", F.lit(6)) == 0).select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 200000).alias("doc_b"),
+        )
+    )
+    return verify_pairs_editdist(pairs, docs, min_ratio=0.6, max_len=400)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -2111,6 +2224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_entries": q_sitemap_entries,
         "q_rate_limit_audit": q_rate_limit_audit,
         "q_budget_alloc": q_budget_alloc,
+        "q_redirect_resolve": q_redirect_resolve,
+        "q_host_mirrors": q_host_mirrors,
+        "q_containment": q_containment,
+        "q_change_rate": q_change_rate,
+        "q_edit_verify": q_edit_verify,
         "q_dsir_resample": q_dsir_resample,
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
@@ -3787,6 +3905,197 @@ def _sql_budget_alloc(total: int = 1000) -> str:
     """
 
 
+def _sql_redirect_resolve() -> str:
+    """DuckDB twin of q_redirect_resolve: a TRUE recursive-CTE walk of
+    the functional redirect map — terminal rows found by NOT EXISTS
+    anti-join, sources with no terminal row within the hop cap (chains
+    are <= 4; cycles walk the cap out) are cycles."""
+    return """
+        with recursive e0 as (
+            select 'u' || event_id::varchar as src,
+                   'u' || (event_id - 1)::varchar as dst
+            from events where event_id % 5 <> 0
+            union all
+            select 'u' || event_id::varchar,
+                   'u' || (event_id + 4)::varchar
+            from events
+            where event_id % 5 = 0 and (event_id // 5) % 10 = 0
+        ), fmap as (
+            select src, min(dst) as dst from e0
+            where src <> dst group by 1
+        ), walk(src, cur, hops) as (
+            select src, dst, 1::bigint from fmap
+            union all
+            select w.src, f.dst, w.hops + 1
+            from walk w join fmap f on f.src = w.cur
+            where w.hops <= 8
+        ), term as (
+            select w.src, w.cur, w.hops from walk w
+            where not exists (select 1 from fmap f where f.src = w.cur)
+        )
+        select f.src,
+               t.cur as final_url,
+               t.hops,
+               (t.src is null)::int as is_cycle
+        from fmap f left join term t on t.src = f.src
+    """
+
+
+def _sql_host_mirrors(min_containment: float = 0.3, min_shared: int = 2) -> str:
+    """DuckDB twin of q_host_mirrors: identical fp/host synthesis,
+    distinct (fp, host) pairing, containment + jaccard math."""
+    return f"""
+        with km as (
+            select distinct
+                   'f' || (case when doc_id % 3 = 0
+                                then doc_id % 101 + 1000
+                                else doc_id % 23 end)::varchar as k,
+                   'h' || (doc_id % 7)::varchar as m
+            from documents
+        ), hot as (
+            select k from km group by k having count(*) > 64
+        ), cold as (
+            select * from km where k not in (select k from hot)
+        ), pairs as (
+            select a.m as host_a, b.m as host_b, count(*)::bigint as shared
+            from cold a join cold b on a.k = b.k and a.m < b.m
+            group by 1, 2
+        ), sizes as (
+            select m, count(*)::bigint as n from km group by 1
+        )
+        select p.host_a, p.host_b, p.shared, sa.n as n_a, sb.n as n_b,
+               p.shared / least(sa.n, sb.n)::double as containment,
+               p.shared / (sa.n + sb.n - p.shared)::double as jaccard
+        from pairs p
+        join sizes sa on sa.m = p.host_a
+        join sizes sb on sb.m = p.host_b
+        where p.shared >= {int(min_shared)}
+          and p.shared / least(sa.n, sb.n)::double >= {float(min_containment)}
+    """
+
+
+def _sql_containment(
+    n: int = 4, min_containment: float = 0.6, min_shingles: int = 5
+) -> str:
+    """DuckDB twin of q_containment: same corpus + planted prefix
+    quotes; word n-grams built as a list comprehension over
+    generate_series (inclusive list slices), then the same
+    guard/pair/containment pipeline."""
+    return f"""
+        with d as (
+            select doc_id, text from documents where doc_id % 5 = 0
+            union all
+            select doc_id + 100000, substring(text, 1, 150)
+            from documents where doc_id % 10 = 0
+        ), tok as (
+            select doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') as toks
+            from d
+        ), sharr as (
+            select doc_id,
+                   list_distinct(
+                       [array_to_string(toks[i:i + {n - 1}], ' ')
+                        for i in generate_series(
+                            1, greatest(len(toks) - {n - 1}, 0))]) as sha
+            from tok
+        ), sh as (
+            select distinct doc_id, unnest(sha) as g from sharr
+        ), sizes as (
+            select doc_id, count(*)::bigint as n from sh group by 1
+        ), elig as (
+            select * from sizes where n >= {int(min_shingles)}
+        ), shd as (
+            select sh.* from sh join elig using (doc_id)
+        ), hot as (
+            select g from shd group by g having count(*) > 64
+        ), cold as (
+            select * from shd where g not in (select g from hot)
+        ), pairs as (
+            select a.doc_id as da, b.doc_id as db, count(*)::bigint as shared
+            from cold a join cold b on a.g = b.g and a.doc_id < b.doc_id
+            group by 1, 2
+        ), directed as (
+            select da as doc_id, db as in_doc_id, shared from pairs
+            union all
+            select db, da, shared from pairs
+        )
+        select d.doc_id, d.in_doc_id, d.shared, e.n as n_shingles,
+               d.shared / e.n::double as containment
+        from directed d join elig e on e.doc_id = d.doc_id
+        where d.shared / e.n::double >= {float(min_containment)}
+    """
+
+
+def _sql_change_rate() -> str:
+    """DuckDB twin of q_change_rate: the same bias-reduced Poisson
+    estimator, structurally identical double math (ln/div order), and
+    the same r_hat <= 0 clamp instead of a divide-by-zero."""
+    return """
+        with o as (
+            select user_id as url_fp,
+                   case when event_id % 3 = 0 then 1 else 0 end as changed,
+                   (600 + (event_id % 7) * 300)::double as interval_s
+            from events
+        ), a as (
+            select url_fp, count(*)::bigint as n_obs,
+                   sum(changed)::bigint as n_changed,
+                   sum(interval_s) as sum_int
+            from o group by 1 having count(*) >= 2
+        ), m as (
+            select url_fp, n_obs, n_changed,
+                   sum_int / n_obs as avg_int,
+                   -ln((n_obs - n_changed + 0.5) / (n_obs + 0.5)) as r_hat
+            from a
+        )
+        select url_fp, n_obs, n_changed,
+               avg_int as avg_interval_s,
+               (r_hat / avg_int) * 86400.0 as lambda_per_day,
+               case when r_hat <= 0 then avg_int * 8
+                    else least(greatest(1.0 / (r_hat / avg_int),
+                                        avg_int / 8),
+                               avg_int * 8) end as next_interval_s
+        from m
+    """
+
+
+def _sql_edit_verify(min_ratio: float = 0.6, max_len: int = 400) -> str:
+    """DuckDB twin of q_edit_verify: full (unthresholded) levenshtein
+    on the same truncated texts — equivalent to Spark's banded form
+    w.r.t. the ratio filter, since any short-circuited distance is
+    provably below threshold."""
+    return f"""
+        with d as (
+            select doc_id, substring(text, 1, {int(max_len)}) as t
+            from documents
+            union all
+            select doc_id + 200000,
+                   substring('x' || substring(text, 2), 1, {int(max_len)})
+            from documents where doc_id % 6 = 0
+        ), p as (
+            select doc_id as doc_a, doc_id + 1 as doc_b
+            from documents where doc_id % 4 = 0
+            union all
+            select doc_id, doc_id + 200000
+            from documents where doc_id % 6 = 0
+        ), s as (
+            select p.doc_a, p.doc_b,
+                   levenshtein(a.t, b.t)::bigint as lev,
+                   length(a.t)::bigint as len_a,
+                   length(b.t)::bigint as len_b
+            from p
+            join d a on a.doc_id = p.doc_a
+            join d b on b.doc_id = p.doc_b
+        )
+        select doc_a, doc_b, lev, len_a, len_b,
+               1.0 - lev / greatest(len_a, len_b, 1)::double as ratio
+        from s
+        where 1.0 - lev / greatest(len_a, len_b, 1)::double
+              >= {float(min_ratio)}
+    """
+
+
 def _sql_sitemap_entries() -> str:
     """DuckDB twin of q_sitemap_entries: the expected typed rows
     synthesized DIRECTLY from events — no XML, no parsing — so the
@@ -4964,6 +5273,11 @@ def oracle_sql() -> dict[str, str]:
         "q_sitemap_entries": _sql_sitemap_entries(),
         "q_rate_limit_audit": _sql_rate_limit_audit(),
         "q_budget_alloc": _sql_budget_alloc(),
+        "q_redirect_resolve": _sql_redirect_resolve(),
+        "q_host_mirrors": _sql_host_mirrors(),
+        "q_containment": _sql_containment(),
+        "q_change_rate": _sql_change_rate(),
+        "q_edit_verify": _sql_edit_verify(),
         "q_dsir_resample": _sql_dsir_resample(),
         "q_minhash_lsh": _sql_minhash_lsh(),
         "q_crawl_reference": _sql_crawl_reference(),

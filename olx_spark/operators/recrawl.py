@@ -80,3 +80,75 @@ def recrawl_due(
         partition_cols=["host"],
         salt_buckets=salt_buckets,
     )
+
+
+def estimate_change_rate(
+    observations: DataFrame,
+    url_col: str = "url_fp",
+    changed_col: str = "changed",
+    interval_col: str = "interval_s",
+    min_obs: int = 2,
+) -> DataFrame:
+    """Per-URL Poisson change-rate estimation (Cho & Garcia-Molina,
+    "Estimating frequency of change", ACM TOIT 2003) — the statistical
+    upgrade over :func:`recrawl_due`'s fixed exponential backoff: the
+    revisit interval is DERIVED from each URL's observed change
+    history instead of guessed from failures.
+
+    Input: one row per revisit observation — ``(url_fp, changed
+    {0,1}: content fingerprint differed from the previous fetch,
+    interval_s: seconds since that previous fetch)``. Output per URL
+    with at least ``min_obs`` observations::
+
+        (url_fp, n_obs, n_changed, avg_interval_s, lambda_per_day,
+         next_interval_s)
+
+    ``lambda_per_day`` is the paper's bias-reduced estimator for a
+    Poisson change process sampled at (roughly regular) intervals:
+
+        r_hat = -ln((n - X + 0.5) / (n + 0.5))          [changes/visit]
+        lambda = r_hat / avg_interval                   [scaled /day]
+
+    (their Eq. for \\bar{X}/n with the +0.5 continuity correction that
+    keeps the estimator finite when EVERY visit saw a change, X = n).
+    ``next_interval_s`` is the utility-optimal revisit interval
+    ~ 1/lambda, clamped to [avg_interval/8, 8*avg_interval] so a
+    never-changing URL backs off geometrically, not to infinity.
+
+    Scale shape: ONE map-side-combinable groupBy on the URL key —
+    three sums and a count; the math is a handful of JVM scalar
+    expressions on the aggregated row. Fully oracle-able (exact
+    integer sums + deterministic double math).
+    """
+    if min_obs < 1:
+        raise ValueError(f"min_obs must be >= 1, got {min_obs}")
+    agg = (
+        observations.groupBy(F.col(url_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col(changed_col).cast("long")).alias("n_changed"),
+            F.sum(F.col(interval_col).cast("double")).alias("sum_int"),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+    )
+    avg_int = F.col("sum_int") / F.col("n_obs")
+    r_hat = -F.log(
+        (F.col("n_obs") - F.col("n_changed") + F.lit(0.5))
+        / (F.col("n_obs") + F.lit(0.5))
+    )
+    lam_s = r_hat / avg_int  # changes per second
+    # never-changed URLs have r_hat == 0 exactly: clamp to the max
+    # backoff explicitly instead of dividing by zero (Spark doubles
+    # give Infinity there, DuckDB errors — the guard keeps the math
+    # engine-portable)
+    next_int = F.when(r_hat <= 0, avg_int * 8).otherwise(
+        F.least(F.greatest(F.lit(1.0) / lam_s, avg_int / 8), avg_int * 8)
+    )
+    return agg.select(
+        F.col(url_col),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changed").cast("long").alias("n_changed"),
+        avg_int.alias("avg_interval_s"),
+        (lam_s * 86_400.0).alias("lambda_per_day"),
+        next_int.alias("next_interval_s"),
+    )

@@ -22,6 +22,7 @@ Scale notes:
 from __future__ import annotations
 
 import logging
+import math
 
 import numpy as np
 import pandas as pd
@@ -873,4 +874,64 @@ def semantic_dedup(
         .cast("int")
         .alias("kept"),
         "dup_of",
+    )
+
+
+def verify_pairs_editdist(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.8,
+    max_len: int = 2000,
+) -> DataFrame:
+    """Edit-distance VERIFICATION of candidate near-dup pairs — the
+    strict last gate of a dedup pipeline: banding (MinHash/SimHash)
+    proposes, token Jaccard estimates set overlap, but only a
+    character-level distance proves two pages are edit variants (a
+    price change, a typo fix) rather than merely sharing vocabulary.
+
+    Input ``pairs``: ``(doc_a, doc_b)`` — the schema every candidate
+    generator in this module emits. Output: the pairs with
+    ``ratio = 1 - lev(a, b) / max(len_a, len_b) >= min_ratio``, plus
+    ``(lev, len_a, len_b, ratio)``.
+
+    Texts are truncated to ``max_len`` chars first (the standard
+    verify-step economy: Levenshtein is O(len^2)); the JVM builtin
+    runs with its banded THRESHOLD form — any distance provably above
+    ``ceil((1 - min_ratio) * max_len)`` short-circuits to -1, turning
+    the common all-different case into an O(len * k) scan. The -1
+    short-circuit is exact w.r.t. the filter: a distance above the
+    global cap is above every per-pair cap, so the pair fails
+    ``min_ratio`` either way (asserted in tests against the
+    un-thresholded form).
+
+    Scale shape: two shuffled joins to attach texts to (the already
+    bucket-guard-bounded) candidate pairs, then pure JVM codegen —
+    no Python anywhere.
+    """
+    if not (0.0 < min_ratio <= 1.0):
+        raise ValueError(f"min_ratio must be in (0, 1], got {min_ratio}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    cap = int(math.ceil((1.0 - min_ratio) * max_len))
+    t = F.substring(F.col(text_col), 1, max_len)
+    a = docs.select(F.col(id_col).alias("doc_a"), t.alias("__ta"))
+    b = docs.select(F.col(id_col).alias("doc_b"), t.alias("__tb"))
+    lev = F.levenshtein(F.col("__ta"), F.col("__tb"), cap)
+    out = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("lev", lev.cast("long"))
+        .withColumn("len_a", F.length("__ta").cast("long"))
+        .withColumn("len_b", F.length("__tb").cast("long"))
+    )
+    ratio = F.lit(1.0) - F.col("lev") / F.greatest(
+        "len_a", "len_b", F.lit(1).cast("long")
+    ).cast("double")
+    return (
+        out.filter((F.col("lev") >= 0) & (ratio >= min_ratio))
+        .withColumn("ratio", ratio)
+        .select("doc_a", "doc_b", "lev", "len_a", "len_b", "ratio")
     )

@@ -86,3 +86,57 @@ def test_validation(spark):
         recrawl_due(st, T0, backoff_cap=-1)
     with pytest.raises(ValueError, match="missing column"):
         recrawl_due(st.drop("priority"), T0)
+
+
+# ------------------------------------------- change-rate estimation ----
+
+def test_change_rate_hand_computed(spark):
+    import math
+
+    from olx_spark.operators.recrawl import estimate_change_rate
+
+    obs = spark.createDataFrame(
+        [(1, 1, 3600.0)] * 3 + [(1, 0, 3600.0)]      # 3/4 changed
+        + [(2, 0, 7200.0)] * 4                        # never changed
+        + [(3, 1, 1800.0)] * 2                        # always changed
+        + [(9, 1, 60.0)],                             # 1 obs: filtered
+        "url_fp long, changed int, interval_s double",
+    )
+    out = {r.url_fp: r for r in estimate_change_rate(obs, min_obs=2).collect()}
+    assert 9 not in out
+
+    r1 = out[1]
+    r_hat = -math.log((4 - 3 + 0.5) / (4 + 0.5))
+    assert (r1.n_obs, r1.n_changed, r1.avg_interval_s) == (4, 3, 3600.0)
+    assert abs(r1.lambda_per_day - (r_hat / 3600.0) * 86400.0) < 1e-12
+    assert abs(r1.next_interval_s - 3600.0 / r_hat) < 1e-9  # inside clamp
+
+    # never-changed: r_hat == 0 -> max backoff, no division by zero
+    assert out[2].lambda_per_day == 0.0 or out[2].lambda_per_day == -0.0
+    assert out[2].next_interval_s == 7200.0 * 8
+
+    # always-changed: finite (the +0.5 correction), clamped at /8
+    r3 = out[3]
+    assert r3.lambda_per_day > 0
+    assert r3.next_interval_s >= 1800.0 / 8
+
+    with pytest.raises(ValueError):
+        estimate_change_rate(obs, min_obs=0)
+
+
+def test_change_rate_single_shuffle_no_python(spark):
+    from olx_spark.operators.recrawl import estimate_change_rate
+
+    obs = spark.createDataFrame(
+        [(i % 5, i % 2, 600.0) for i in range(50)],
+        "url_fp long, changed int, interval_s double",
+    )
+    plan = (
+        estimate_change_rate(obs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1  # one groupBy
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

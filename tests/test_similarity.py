@@ -563,3 +563,76 @@ def test_delta_probe_mega_bucket_guard_bounds_join(spark):
         corpus, delta, "doc_id", "text", threshold=0.5, max_bucket=100
     )
     assert ok.count() == 60
+
+
+# ------------------------------------- edit-distance verification ----
+
+def test_edit_verify_threshold_equals_unthresholded(spark):
+    # the banded -1 short-circuit must be exact w.r.t. the ratio
+    # filter: compare against full python Levenshtein on every pair
+    from olx_spark.operators.similarity import verify_pairs_editdist
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        1: "abcdefghij" * 8,
+        2: "abcdefghij" * 8,                       # exact dup
+        3: "abcdefghiX" * 8,                       # 8 substitutions
+        4: "zyxwvutsrq" * 8,                       # all different
+        5: "abcdefghij" * 4,                       # half-length prefix
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in texts for b in texts if a < b],
+        "doc_a long, doc_b long",
+    )
+    min_ratio, max_len = 0.7, 50
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in verify_pairs_editdist(
+            pairs, docs, min_ratio=min_ratio, max_len=max_len
+        ).collect()
+    }
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                ta, tb = texts[a][:max_len], texts[b][:max_len]
+                d = lev(ta, tb)
+                ratio = 1 - d / max(len(ta), len(tb), 1)
+                if ratio >= min_ratio:
+                    expected[(a, b)] = (d, ratio)
+    assert set(got) == set(expected)
+    for k, (d, ratio) in expected.items():
+        assert got[k].lev == d
+        assert abs(got[k].ratio - ratio) < 1e-12
+
+
+def test_edit_verify_validation_and_jvm_only(spark):
+    import pytest
+
+    from olx_spark.operators.similarity import verify_pairs_editdist
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError):
+        verify_pairs_editdist(pairs, docs, min_ratio=0.0)
+    with pytest.raises(ValueError):
+        verify_pairs_editdist(pairs, docs, max_len=0)
+    plan = (
+        verify_pairs_editdist(pairs, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
