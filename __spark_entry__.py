@@ -449,6 +449,44 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    # ordered first-conversion funnel view -> click -> purchase per
+    # user (operators/temporal.funnel — stacked running-min gates over
+    # ONE window partitioning; one shuffle, no per-stage self-joins)
+    from olx_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf, "events")
+    return funnel(
+        ev,
+        key="user_id",
+        ts="ts",
+        type_col="event_type",
+        stages=["view", "click", "purchase"],
+        order_tiebreak="event_id",
+    )
+
+
+def q_json_props(spark, sf):
+    # semi-structured extraction + rollup: pull props.$.k out of the
+    # JSON payload column (JVM get_json_object — the WARC-metadata /
+    # event-payload pattern) and aggregate per event type. One
+    # map-side-combinable shuffle; the JSON parse never leaves codegen.
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_bm25_top_terms(spark, sf):
     # BM25 salient-term extraction: top-5 terms per document
     # (operators/text_rank.bm25_top_terms — shuffled df join, broadcast
@@ -2168,6 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
+        "q_funnel": q_funnel,
+        "q_json_props": q_json_props,
         "q_bm25_top_terms": q_bm25_top_terms,
         "q_quantiles": q_quantiles,
         "q_split_assign": q_split_assign,
@@ -5084,6 +5124,65 @@ def oracle_sql() -> dict[str, str]:
                    max(floor(epoch(ts)))::bigint as end_s,
                    (max(floor(epoch(ts))) - min(floor(epoch(ts))))::bigint as duration_s
             from s group by user_id, session_seq
+        """,
+        "q_funnel": """
+            with c0 as (
+                select user_id, event_id, event_type, ts,
+                       min(case when event_type = 'view' then ts end) over (
+                           partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row
+                       ) as r0
+                from events
+            ), c1 as (
+                select *,
+                       min(case when event_type = 'click' and ts > r0
+                                then ts end) over (
+                           partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row
+                       ) as r1
+                from c0
+            ), agg as (
+                select user_id,
+                       epoch_us(min(case when event_type = 'view'
+                                         then ts end)) as t_view_us,
+                       sum(case when event_type = 'view'
+                                then 1 else 0 end)::bigint as n_view,
+                       epoch_us(min(case when event_type = 'click'
+                                          and ts > r0
+                                         then ts end)) as t_click_us,
+                       sum(case when event_type = 'click'
+                                then 1 else 0 end)::bigint as n_click,
+                       epoch_us(min(case when event_type = 'purchase'
+                                          and ts > r1
+                                         then ts end)) as t_purchase_us,
+                       sum(case when event_type = 'purchase'
+                                then 1 else 0 end)::bigint as n_purchase
+                from c1 group by user_id
+            )
+            select user_id, t_view_us, n_view, t_click_us, n_click,
+                   t_purchase_us, n_purchase,
+                   cast(case when t_view_us is null then 0
+                             when t_click_us is null then 1
+                             when t_purchase_us is null then 2
+                             else 3 end as int) as stage_reached,
+                   case when t_purchase_us is not null
+                        then t_purchase_us - t_view_us end as conv_us
+            from agg
+        """,
+        "q_json_props": """
+            select event_type,
+                   count(*) as n,
+                   count(k) as n_k,
+                   sum(k)::bigint as sum_k,
+                   min(k) as min_k,
+                   max(k) as max_k,
+                   count(distinct k) as n_distinct_k
+            from (
+                select event_type,
+                       cast(json_extract_string(props, '$.k') as bigint) as k
+                from events
+            )
+            group by event_type
         """,
         "q_bm25_top_terms": f"""
             with toks as (

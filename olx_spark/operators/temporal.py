@@ -273,3 +273,87 @@ def scd2_history(
         .otherwise(0)
         .alias("is_current"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    type_col: str,
+    stages: list[str],
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-conversion funnel: for each ``key``, the timestamp of the
+    first ``stages[0]`` event, the first ``stages[1]`` event STRICTLY
+    after it, the first ``stages[2]`` strictly after that, and so on —
+    the standard ordered-funnel semantics of event analytics (a click
+    before any view does not count as funnel progress). One row per
+    key with per-stage first-hit timestamps, per-stage raw event
+    counts, the deepest stage reached, and end-to-end conversion time.
+
+    The reference crawler reports only flat run totals
+    (`Model.scala:30` `Report`); this is the sequenced view a crawl /
+    product pipeline needs (listing seen -> ad opened -> ad stored).
+
+    Scale shape (100 TB of events): ONE shuffle on ``key``. Stage
+    gates are running ``min``s over a single window partitioning —
+    stage *i* qualifies where the running first-hit of stage *i-1* is
+    already set and strictly earlier — and the final per-key rollup
+    groups on the same key, so Catalyst plans one Exchange for the
+    window stack and reuses the clustering for the agg. All JVM
+    window/agg expressions, no Python, no self-joins (the naive
+    formulation is one join per stage on a hot key).
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = events
+    qual_cols: list[str] = []
+    prev_run: str | None = None
+    for i, st in enumerate(stages):
+        qc = f"_funnel_q{i}"
+        if i == 0:
+            q = F.when(F.col(type_col) == st, F.col(ts))
+        else:
+            q = F.when(
+                (F.col(type_col) == st) & (F.col(ts) > F.col(prev_run)),
+                F.col(ts),
+            )
+        out = out.withColumn(qc, q)
+        qual_cols.append(qc)
+        if i < len(stages) - 1:
+            rc = f"_funnel_r{i}"
+            out = out.withColumn(rc, F.min(F.col(qc)).over(w))
+            prev_run = rc
+    aggs = []
+    for i, st in enumerate(stages):
+        # parquet timestamps arrive NTZ; the engine pins the session
+        # to UTC (session.py), so the cast to instant is offset-free
+        aggs.append(
+            F.unix_micros(
+                F.min(F.col(qual_cols[i])).cast("timestamp")
+            ).alias(f"t_{st}_us")
+        )
+        aggs.append(
+            F.sum((F.col(type_col) == st).cast("long")).alias(f"n_{st}")
+        )
+    per = out.groupBy(key).agg(*aggs)
+    # deepest stage reached: first null in the stage chain caps it
+    reached = F.lit(len(stages))
+    for i in range(len(stages) - 1, -1, -1):
+        reached = F.when(
+            F.col(f"t_{stages[i]}_us").isNull(), F.lit(i)
+        ).otherwise(reached)
+    first, last = stages[0], stages[-1]
+    return per.withColumn("stage_reached", reached.cast("int")).withColumn(
+        "conv_us",
+        F.when(
+            F.col(f"t_{last}_us").isNotNull(),
+            F.col(f"t_{last}_us") - F.col(f"t_{first}_us"),
+        ),
+    )

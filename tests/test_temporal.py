@@ -221,3 +221,81 @@ def test_range_join_degenerate_interval_fails_loudly(spark):
             points, intervals, "pts", "lo", "hi", ["k"],
             bucket_s=10, max_buckets_per_interval=100,
         ).collect()
+
+
+# ------------------------------------------------------------ funnel
+def _funnel_rows(spark, rows):
+    from olx_spark.operators.temporal import funnel
+
+    df = _mk(spark, rows, ["k", "ts", "etype", "eid"])
+    out = funnel(
+        df, key="k", ts="ts", type_col="etype",
+        stages=["view", "click", "purchase"], order_tiebreak="eid",
+    )
+    return {r["k"]: r.asDict() for r in out.collect()}
+
+
+def test_funnel_full_conversion(spark):
+    got = _funnel_rows(spark, [
+        (1, _ts(10), "view", 1),
+        (1, _ts(20), "click", 2),
+        (1, _ts(30), "purchase", 3),
+    ])[1]
+    assert got["stage_reached"] == 3
+    assert got["conv_us"] == 20_000_000
+    assert (got["n_view"], got["n_click"], got["n_purchase"]) == (1, 1, 1)
+
+
+def test_funnel_click_before_view_does_not_count(spark):
+    got = _funnel_rows(spark, [
+        (1, _ts(5), "click", 1),    # pre-view click: no funnel progress
+        (1, _ts(10), "view", 2),
+        (1, _ts(30), "purchase", 3),  # purchase without qualifying click
+    ])[1]
+    assert got["stage_reached"] == 1
+    assert got["t_click_us"] is None and got["t_purchase_us"] is None
+    assert got["n_click"] == 1  # raw count still reports the event
+
+
+def test_funnel_uses_first_view_not_any_view(spark):
+    # click lands between the two views: qualifies via the FIRST view
+    got = _funnel_rows(spark, [
+        (1, _ts(10), "view", 1),
+        (1, _ts(15), "click", 2),
+        (1, _ts(20), "view", 3),
+        (1, _ts(25), "purchase", 4),
+    ])[1]
+    assert got["stage_reached"] == 3
+    assert got["t_click_us"] - got["t_view_us"] == 5_000_000
+
+
+def test_funnel_same_timestamp_is_not_after(spark):
+    # strictly-after semantics: click at the exact view instant is out
+    got = _funnel_rows(spark, [
+        (1, _ts(10), "view", 1),
+        (1, _ts(10), "click", 2),
+        (1, _ts(20), "click", 3),
+    ])[1]
+    assert got["stage_reached"] == 2
+    assert got["t_click_us"] - got["t_view_us"] == 10_000_000
+
+
+def test_funnel_no_stage_events(spark):
+    got = _funnel_rows(spark, [(1, _ts(10), "error", 1)])[1]
+    assert got["stage_reached"] == 0
+    assert got["t_view_us"] is None and got["conv_us"] is None
+
+
+def test_funnel_single_shuffle(spark):
+    from olx_spark.operators.temporal import funnel
+
+    df = _mk(spark, [(1, _ts(0), "view", 1)], ["k", "ts", "etype", "eid"])
+    plan = (
+        funnel(df, key="k", ts="ts", type_col="etype",
+               stages=["view", "click", "purchase"], order_tiebreak="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the stacked window gates and the final rollup reuse one (k)
+    # hash partitioning: exactly one Exchange, no Join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
