@@ -702,6 +702,39 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_gopher_rules(spark, sf):
+    # Gopher quality-rule battery (Rae et al. 2021 App. A) — the
+    # standard pre-training corpus filter — over deterministically
+    # augmented documents so every rule actually fires on the fixture
+    # corpus (the raw docs are single-line symbol-free prose): %7
+    # appends ellipsis-ended lines, %11 a symbol run, %13 numeric
+    # tokens (alpha-frac), %17 a bullet list. All signals are JVM
+    # higher-order-function expressions over ONE let_-bound token
+    # array + ONE line array: no explode, no shuffle, whole-stage
+    # codegen — the correct 100-TB shape for a row-local filter.
+    from olx_spark.functions.text import gopher_rules
+
+    bullets = "".join(f"\n- item {k}" for k in range(10))
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.lit("\nto be continued...\nmore soon…\nsee part two..."),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" # ## ### #### … ...")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit(" 12345" * 10)).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(bullets)).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", aug.alias("aug"))
+        .select("doc_id", *gopher_rules("aug"))
+    )
+
+
 def q_chunk_dedup(spark, sf):
     # Chunk-level exact dedup (CCNet's line-dedup pass over fixed
     # 20-token windows): globally-first occurrence wins, per-doc
@@ -2223,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_repetition_stats": q_repetition_stats,
+        "q_gopher_rules": q_gopher_rules,
         "q_chunk_dedup": q_chunk_dedup,
         "q_pii_scrub": q_pii_scrub,
         "q_dedup_exact": q_dedup_exact,
@@ -2424,6 +2458,84 @@ def _sql_pii_scrub() -> str:
         with d as (select doc_id, {aug} as aug from documents where doc_id < 400)
         select doc_id, {counts}, md5({scrubbed}) as scrubbed_md5
         from d
+    """
+
+
+def _sql_gopher_rules() -> str:
+    """DuckDB twin of q_gopher_rules: the same deterministic
+    augmentation, then every Gopher signal recomputed with DuckDB
+    list lambdas (a different engine-side formulation than Spark's
+    let_-bound HOF expressions — equality is what the oracle
+    certifies). Flags are computed from the UNROUNDED signals, like
+    the Spark side; only the emitted signal columns are rounded."""
+    bullets = " || ".join(f"chr(10) || '- item {k}'" for k in range(10))
+    ell_tail = (
+        "chr(10) || 'to be continued...' || chr(10) || 'more soon…'"
+        " || chr(10) || 'see part two...'"
+    )
+    aug = (
+        "text"
+        f" || (case when doc_id % 7 = 0 then {ell_tail} else '' end)"
+        " || (case when doc_id % 11 = 0 then ' # ## ### #### … ...' else '' end)"
+        f" || (case when doc_id % 13 = 0 then repeat(' 12345', 10) else '' end)"
+        f" || (case when doc_id % 17 = 0 then {bullets} else '' end)"
+    )
+    stopw = "[" + ", ".join(f"'{w}'" for w in [
+        "the", "a", "and", "of", "to", "that", "with", "have",
+    ]) + "]"
+    occ = lambda needle, n: (
+        f"((length(nrm) - length(replace(nrm, '{needle}', ''))) / {n})::int"
+    )
+    flags = {
+        "r_words": "n_words >= 20 and n_words <= 100000",
+        "r_mean_len": "mean_word_len >= 3.0 and mean_word_len <= 10.0",
+        "r_alpha": "alpha_frac >= 0.8",
+        "r_stop": "stop_distinct >= 2",
+        "r_symbol": "symbol_ratio <= 0.1",
+        "r_bullet": "bullet_frac <= 0.9",
+        "r_ellipsis": "ellipsis_frac <= 0.3",
+    }
+    flag_cols = ",\n               ".join(
+        f"({e})::int as {k}" for k, e in flags.items()
+    )
+    keep = " and ".join(f"({e})" for e in flags.values())
+    return f"""
+        with d as (
+            select doc_id, {aug} as aug from documents
+        ), s as (
+            select doc_id, aug, {_sql_norm('aug')} as nrm from d
+        ), t as (
+            select doc_id, nrm,
+                   list_filter(string_split(nrm, ' '), x -> length(x) > 0) as toks,
+                   list_filter(list_transform(string_split(aug, chr(10)), l -> trim(l)),
+                               l -> length(l) > 0) as ne
+            from s
+        ), sig as (
+            select doc_id,
+                   len(toks)::int as n_words,
+                   case when len(toks) = 0 then 0.0
+                        else length(replace(nrm, ' ', ''))::double / len(toks) end as mean_word_len,
+                   case when len(toks) = 0 then 0.0
+                        else len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::double / len(toks) end as alpha_frac,
+                   len(list_filter(list_distinct(toks), x -> list_contains({stopw}, x)))::int as stop_distinct,
+                   case when len(toks) = 0 then 0.0
+                        else ({occ('#', 1)} + {occ('...', 3)} + {occ('…', 1)})::double / len(toks) end as symbol_ratio,
+                   case when len(ne) = 0 then 0.0
+                        else len(list_filter(ne, l -> substr(l, 1, 1) in ('-', '*', '•')))::double / len(ne) end as bullet_frac,
+                   case when len(ne) = 0 then 0.0
+                        else len(list_filter(ne, l -> ends_with(l, '...') or ends_with(l, '…')))::double / len(ne) end as ellipsis_frac
+            from t
+        )
+        select doc_id, n_words,
+               round(mean_word_len, 6) as mean_word_len,
+               round(alpha_frac, 6) as alpha_frac,
+               stop_distinct,
+               round(symbol_ratio, 6) as symbol_ratio,
+               round(bullet_frac, 6) as bullet_frac,
+               round(ellipsis_frac, 6) as ellipsis_frac,
+               {flag_cols},
+               ({keep})::int as keep
+        from sig
     """
 
 
@@ -5303,6 +5415,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
         "q_repetition_stats": _sql_repetition_stats(),
+        "q_gopher_rules": _sql_gopher_rules(),
         "q_chunk_dedup": _sql_chunk_dedup(),
         "q_pii_scrub": _sql_pii_scrub(),
         "q_token_count": f"""

@@ -314,3 +314,97 @@ def test_let_plan_gate_no_tree_duplication(spark):
         )
         got = plan.count("regexp_replace")
         assert got == expect, f"{name}: regexp_replace x{got}, want x{expect}"
+
+
+class TestGopherRules:
+    """Hand-computed Gopher rule battery on crafted documents."""
+
+    DOCS = [
+        # 0: clean 26-word prose — every rule passes
+        (0, "the quick brown fox jumps over a lazy dog and runs with "
+            "great speed to the nearby forest where many animals have "
+            "found shelter from storms"),
+        # 1: too short
+        (1, "too short"),
+        # 2: empty — every zero-guard exercised
+        (2, ""),
+        # 3: symbol-heavy (also fails alpha)
+        (3, "# # # tag tag tag ... more … stuff here now the a and of "
+            "to that have good words line"),
+        # 4: pure bullet list (10/10 lines)
+        (4, "\n".join(f"- the bullet item number {k} of a list with "
+                      "enough words" for k in range(10))),
+        # 5: ellipsis-ended lines 2/4
+        (5, "the first line is a normal one with plenty of words\n"
+            "to be continued...\n"
+            "and another of the normal lines that have words\n"
+            "more soon…"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from olx_spark.functions.text import gopher_rules
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        out = df.select("doc_id", *gopher_rules("text")).collect()
+        return {r["doc_id"]: r.asDict() for r in out}
+
+    def test_clean_prose_keeps(self, rows):
+        r = rows[0]
+        assert r["n_words"] == 26
+        assert r["stop_distinct"] == 6  # the a and with to have
+        assert r["symbol_ratio"] == 0.0
+        assert r["alpha_frac"] == 1.0
+        assert all(r[f] == 1 for f in (
+            "r_words", "r_mean_len", "r_alpha", "r_stop", "r_symbol",
+            "r_bullet", "r_ellipsis", "keep"))
+
+    def test_short_doc_dropped_on_words_only(self, rows):
+        r = rows[1]
+        assert r["n_words"] == 2 and r["r_words"] == 0 and r["keep"] == 0
+        assert r["r_alpha"] == 1  # other signals healthy
+
+    def test_empty_doc_zero_guards(self, rows):
+        r = rows[2]
+        assert r["n_words"] == 0
+        for f in ("mean_word_len", "alpha_frac", "symbol_ratio",
+                  "bullet_frac", "ellipsis_frac"):
+            assert r[f] == 0.0
+        assert r["keep"] == 0
+
+    def test_symbol_ratio_rule(self, rows):
+        r = rows[3]
+        # '#'x3 + '...'x1 + '…'x1 = 5 symbols over 22 words
+        assert r["n_words"] == 22
+        assert r["symbol_ratio"] == round(5 / 22, 6)
+        assert r["r_symbol"] == 0
+        # 5 letterless tokens -> 17/22 alpha < 0.8
+        assert r["alpha_frac"] == round(17 / 22, 6)
+        assert r["r_alpha"] == 0
+        assert r["keep"] == 0
+
+    def test_bullet_rule(self, rows):
+        r = rows[4]
+        assert r["bullet_frac"] == 1.0
+        assert r["r_bullet"] == 0 and r["keep"] == 0
+        assert r["r_stop"] == 1  # the, a, of, with
+
+    def test_ellipsis_rule(self, rows):
+        r = rows[5]
+        assert r["ellipsis_frac"] == 0.5
+        assert r["r_ellipsis"] == 0 and r["keep"] == 0
+
+    def test_single_pass_plan(self, spark):
+        # the whole battery stays one whole-stage-codegen projection:
+        # no explode, no Exchange, and the normalize regex is
+        # let_-bound (2 evaluations: token stats + char count share
+        # one; plus the raw-line split which does not renormalize)
+        from olx_spark.functions.text import gopher_rules
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        plan = (
+            df.select("doc_id", *gopher_rules("text"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Generate" not in plan  # no explode
