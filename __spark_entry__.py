@@ -887,6 +887,34 @@ def q_dedup_decisions(spark, sf):
     return keep_canonical(_dup_comps(spark, sf), scores)
 
 
+def q_bloom_join(spark, sf):
+    # Bloom-filter semi-join reduction (operators/joins.py): lineitem
+    # pruned by a broadcast Bloom built from the ~2% of orders above
+    # the price threshold BEFORE the join's Exchange — the explicit
+    # version of AQE's InjectRuntimeFilter, guaranteed to fire. No
+    # false negatives, so the exact join after the prune returns
+    # byte-identical rows to the plain join the oracle runs.
+    from olx_spark.operators.joins import bloom_filtered_join
+
+    li = _t(spark, sf, "lineitem")
+    hot = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return bloom_filtered_join(li, hot, "l_orderkey").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_extendedprice").alias("extprice"),
+        "totalprice",
+        "priority",
+    )
+
+
 def q_multi_join(spark, sf):
     # TPC-H Q5-shaped 6-table join (lineitem-orders-customer-supplier-
     # nation-region, local-supplier predicate c_nationkey=s_nationkey):
@@ -2266,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
+        "q_bloom_join": q_bloom_join,
         "q_multi_join": q_multi_join,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
@@ -5610,6 +5639,14 @@ def oracle_sql() -> dict[str, str]:
             )
             select id_a, id_b, round(cs, 6) as cos_sim
             from pairs where cs >= 0.3
+        """,
+        "q_bloom_join": """
+            select l.l_orderkey as orderkey, l.l_linenumber as linenumber,
+                   l.l_extendedprice as extprice,
+                   o.o_totalprice as totalprice, o.o_orderpriority as priority
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            where o.o_totalprice > 490000
         """,
         "q_multi_join": """
             select n_name,
