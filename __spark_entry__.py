@@ -660,6 +660,40 @@ def q_export_csv(spark, sf):
     return spark.read.option("header", True).schema(r.schema).csv(out)
 
 
+def q_warc_roundtrip(spark, sf):
+    # WARC (ISO 28500) sink -> source round-trip over the documents
+    # table: serialize into per-archive blobs (applyInPandas — the
+    # one co-locating shuffle a real WARC file sink needs), parse
+    # back length-driven (mapInPandas, zero shuffle). The oracle
+    # derives the EXPECTED records directly from the base table, so
+    # rows+hash equality certifies the whole write->read identity,
+    # including byte lengths and payload md5.
+    from olx_spark.sources.warc import warc_read_records, warc_write_records
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").select(
+        (did % 25).alias("archive_id"),
+        F.concat(F.lit("https://archive.example/doc/"), did.cast("string")).alias("uri"),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("date"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    recs = warc_read_records(warc_write_records(d))
+    return recs.select(
+        "archive_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+        "parse_ok",
+    )
+
+
 # ---------------------------- training-data pipeline ops (documents) ------
 
 def q_token_count(spark, sf):
@@ -2279,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_hot_keys": q_cms_hot_keys,
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -5443,6 +5478,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
+        "q_warc_roundtrip": """
+            select doc_id % 25 as archive_id,
+                   (row_number() over (
+                        partition by doc_id % 25
+                        order by 'https://archive.example/doc/' || doc_id::varchar
+                    ) - 1)::int as rec_idx,
+                   'response' as warc_type,
+                   'https://archive.example/doc/' || doc_id::varchar as target_uri,
+                   '2026-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0')
+                       || 'T00:00:00Z' as warc_date,
+                   octet_length(encode(text)) as content_length,
+                   md5(text) as payload_md5,
+                   1 as parse_ok
+            from documents
+        """,
         "q_repetition_stats": _sql_repetition_stats(),
         "q_gopher_rules": _sql_gopher_rules(),
         "q_chunk_dedup": _sql_chunk_dedup(),

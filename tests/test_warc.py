@@ -1,0 +1,111 @@
+"""WARC record sink/source (sources/warc.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olx_spark.sources.warc import (
+    warc_read_records,
+    warc_record_bytes,
+    warc_write_records,
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "archive_id long, uri string, date string, payload binary"
+    )
+
+
+DATE = "2026-01-01T00:00:00Z"
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    rows = [
+        (i % 3, f"https://ex.org/p/{i:03d}", DATE, f"payload-{i}".encode())
+        for i in range(30)
+    ]
+    blobs = warc_write_records(_mkdf(spark, rows))
+    recs = warc_read_records(blobs).collect()
+    return rows, blobs.collect(), recs
+
+
+def test_roundtrip_identity(roundtrip):
+    rows, _, recs = roundtrip
+    assert len(recs) == 30 and all(r["parse_ok"] == 1 for r in recs)
+    got = {(r["target_uri"], bytes(r["payload"]), r["warc_date"]) for r in recs}
+    want = {(u, p, d) for _, u, d, p in rows}
+    assert got == want
+    assert all(r["warc_type"] == "response" for r in recs)
+    assert all(r["content_length"] == len(bytes(r["payload"])) for r in recs)
+
+
+def test_blob_order_and_rec_idx(roundtrip):
+    _, blobs, recs = roundtrip
+    assert {b["archive_id"]: b["n_records"] for b in blobs} == {0: 10, 1: 10, 2: 10}
+    for aid in (0, 1, 2):
+        mine = sorted(
+            (r for r in recs if r["archive_id"] == aid), key=lambda r: r["rec_idx"]
+        )
+        assert [r["rec_idx"] for r in mine] == list(range(10))
+        # records appear in uri order (the sink's deterministic order)
+        uris = [r["target_uri"] for r in mine]
+        assert uris == sorted(uris)
+
+
+def test_payload_containing_warc_header_roundtrips(spark):
+    # the classic parser-killer: an archived archive. Length-driven
+    # parsing must NOT resynchronize on the embedded magic.
+    inner = warc_record_bytes("https://ex.org/inner", DATE, b"abc")
+    rows = [
+        (0, "https://ex.org/a", DATE, inner + b"WARC/1.0\r\ntrailing"),
+        (0, "https://ex.org/b", DATE, b"plain"),
+    ]
+    recs = warc_read_records(warc_write_records(_mkdf(spark, rows))).collect()
+    assert [r["parse_ok"] for r in recs] == [1, 1]
+    by_uri = {r["target_uri"]: bytes(r["payload"]) for r in recs}
+    assert by_uri["https://ex.org/a"] == inner + b"WARC/1.0\r\ntrailing"
+    assert by_uri["https://ex.org/b"] == b"plain"
+
+
+def test_empty_payload(spark):
+    rows = [(0, "https://ex.org/e", DATE, b"")]
+    recs = warc_read_records(warc_write_records(_mkdf(spark, rows))).collect()
+    assert len(recs) == 1 and recs[0]["parse_ok"] == 1
+    assert recs[0]["content_length"] == 0 and bytes(recs[0]["payload"]) == b""
+
+
+def _blob_df(spark, blob: bytes):
+    return spark.createDataFrame(
+        [(0, blob)], "archive_id long, blob binary"
+    )
+
+
+def test_truncated_tail_keeps_parsed_prefix(spark):
+    good = warc_record_bytes("https://ex.org/1", DATE, b"ok")
+    cut = warc_record_bytes("https://ex.org/2", DATE, b"0123456789")[:-8]
+    recs = warc_read_records(_blob_df(spark, good + cut)).collect()
+    assert len(recs) == 2
+    assert recs[0]["parse_ok"] == 1 and recs[0]["target_uri"] == "https://ex.org/1"
+    assert recs[1]["parse_ok"] == 0 and recs[1]["payload"] is None
+    assert recs[1]["content_length"] == len(cut)  # unconsumed bytes
+
+
+def test_bad_header_line_flagged(spark):
+    blob = b"WARC/1.0\r\nno-colon-here\r\nContent-Length: 2\r\n\r\nab\r\n\r\n"
+    recs = warc_read_records(_blob_df(spark, blob)).collect()
+    assert len(recs) == 1 and recs[0]["parse_ok"] == 0
+
+
+def test_missing_record_separator_flagged(spark):
+    rec = warc_record_bytes("https://ex.org/1", DATE, b"abcd")
+    # overwrite the trailing \r\n\r\n with junk
+    blob = rec[:-4] + b"XXXX"
+    recs = warc_read_records(_blob_df(spark, blob)).collect()
+    assert len(recs) == 1 and recs[0]["parse_ok"] == 0
+
+
+def test_non_numeric_content_length_flagged(spark):
+    blob = b"WARC/1.0\r\nContent-Length: 3x\r\n\r\nabc\r\n\r\n"
+    recs = warc_read_records(_blob_df(spark, blob)).collect()
+    assert len(recs) == 1 and recs[0]["parse_ok"] == 0
