@@ -908,6 +908,16 @@ def q_dup_components(spark, sf):
     return _dup_comps(spark, sf)
 
 
+def q_leakage_split(spark, sf):
+    # dedup-aware holdout: hash the near-dup COMPONENT (not the doc)
+    # into train/val/test, so near-duplicates can never straddle the
+    # split boundary — the leakage guard a per-doc hash split
+    # (q_split_assign) lacks. Pure projection over the dedup pass.
+    from olx_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(_dup_comps(spark, sf))
+
+
 def q_dedup_decisions(spark, sf):
     # the APPLY step of dedup: per transitive group keep the best doc
     # (rounded quality score, ties -> min doc_id), emit keep/drop for
@@ -2326,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash16": q_simhash16,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dup_components": q_dup_components,
+        "q_leakage_split": q_leakage_split,
         "q_embed_cosine_topk": q_embed_cosine_topk,
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
@@ -2600,6 +2611,40 @@ def _sql_gopher_rules() -> str:
                {flag_cols},
                ({keep})::int as keep
         from sig
+    """
+
+
+def _sql_dup_components() -> str:
+    """DuckDB twin of _dup_comps: n-gram-Jaccard near-dup pairs over
+    doc_id < 300, transitive closure via recursive CTE, component =
+    min doc_id of the group. Shared by q_dup_components and
+    q_leakage_split."""
+    return f"""
+            with recursive d as (
+                select doc_id, list_distinct({_sql_shingles(3)}) as sh
+                from documents where doc_id < 300
+            ), dd as (
+                select doc_id, sh from d where len(sh) > 0
+            ), ex as (
+                select doc_id, unnest(sh) as s from dd
+            ), pairs as (
+                select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+                from ex a join ex b using (s)
+                where a.doc_id < b.doc_id
+                group by 1, 2
+            ), edges0 as (
+                select doc_a as a, doc_b as b from pairs
+                join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
+                join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
+                where inter / (na.n + nb.n - inter) >= 0.2
+            ), edges as (
+                select a, b from edges0 union select b, a from edges0
+            ), r(id, root) as (
+                select doc_id, doc_id from d
+                union
+                select e.b, r.root from edges e join r on e.a = r.id
+            )
+            select id as doc_id, min(root) as component from r group by id
     """
 
 
@@ -5629,32 +5674,20 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
             where inter / (na.n + nb.n - inter) >= 0.2
         """,
-        "q_dup_components": f"""
-            with recursive d as (
-                select doc_id, list_distinct({_sql_shingles(3)}) as sh
-                from documents where doc_id < 300
-            ), dd as (
-                select doc_id, sh from d where len(sh) > 0
-            ), ex as (
-                select doc_id, unnest(sh) as s from dd
-            ), pairs as (
-                select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
-                from ex a join ex b using (s)
-                where a.doc_id < b.doc_id
-                group by 1, 2
-            ), edges0 as (
-                select doc_a as a, doc_b as b from pairs
-                join (select doc_id, len(sh) as n from dd) na on na.doc_id = doc_a
-                join (select doc_id, len(sh) as n from dd) nb on nb.doc_id = doc_b
-                where inter / (na.n + nb.n - inter) >= 0.2
-            ), edges as (
-                select a, b from edges0 union select b, a from edges0
-            ), r(id, root) as (
-                select doc_id, doc_id from d
-                union
-                select e.b, r.root from edges e join r on e.a = r.id
+        "q_dup_components": _sql_dup_components(),
+        "q_leakage_split": f"""
+            with comp as (
+                {_sql_dup_components()}
+            ), b as (
+                select doc_id, component,
+                       (('0x' || substr(md5('split-v1:' || component::varchar), 1, 15))::bigint) % 100 as bucket
+                from comp
             )
-            select id as doc_id, min(root) as component from r group by id
+            select doc_id, component, bucket,
+                   case when bucket < 90 then 'train'
+                        when bucket < 95 then 'val'
+                        else 'test' end as split
+            from b
         """,
         "q_join_agg_topk": """
             with j as (

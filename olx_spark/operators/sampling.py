@@ -187,3 +187,47 @@ def corpus_mix_sample(
     for g, f in sorted(fractions.items()):
         cut = F.when(F.col(group_col) == g, F.lit(int(round(f * 1_000_000)))).otherwise(cut)
     return df.filter(F.pmod(_salted_hash(id_col, salt), F.lit(1_000_000)) < cut)
+
+
+def leakage_safe_split(
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    salt: str = "split-v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: the holdout unit is the
+    near-dup COMPONENT, not the document. A per-doc hash split (the
+    plain ``split-v1`` contract) leaks: two near-duplicate documents
+    can land in train and test, and the eval measures memorization.
+    Hashing the component id instead gives every member of a dup
+    group the same fate — the leakage guard every serious
+    pretraining holdout applies (cf. the dedup-then-split protocols
+    of GPT-3/Gopher appendixes).
+
+    ``comps`` is one row per doc with its transitive component id
+    (``graph.connected_components`` output; singletons carry their
+    own id), so this is a pure JVM projection on top of the dedup
+    pass — no shuffle of its own, deterministic under re-runs and
+    late-arriving members (the component id, min doc id of the
+    group, is stable once the group is known).
+
+    Returns (id, component, bucket, split)."""
+    if not (0 < train_pct and 0 < val_pct and train_pct + val_pct < 100):
+        raise ValueError(
+            f"need 0 < train_pct, 0 < val_pct, train_pct + val_pct < 100; "
+            f"got {train_pct}/{val_pct}"
+        )
+    bucket = md5_60(
+        F.concat(F.lit(f"{salt}:"), F.col(comp_col).cast("string"))
+    ) % 100
+    return comps.select(
+        id_col,
+        comp_col,
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

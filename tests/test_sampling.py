@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from olx_spark.operators.sampling import hash_bernoulli_sample, stratified_sample
@@ -250,3 +252,63 @@ def test_cluster_sample_validation(spark):
     df, _ = _vecs(spark, n=10)
     with pytest.raises(ValueError):
         cluster_balanced_sample(df, "vec_id", dim=8, cap=0)
+
+
+class TestLeakageSafeSplit:
+    def _comps(self, spark):
+        # components: {1,2,3} together, {10,11} together, 20 singleton
+        return spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+            "doc_id long, component long",
+        )
+
+    def test_dup_groups_share_fate(self, spark):
+        from olx_spark.operators.sampling import leakage_safe_split
+
+        out = leakage_safe_split(self._comps(spark)).collect()
+        by_comp = {}
+        for r in out:
+            by_comp.setdefault(r["component"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_comp.values())
+        assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    def test_deterministic_and_salted(self, spark):
+        from olx_spark.operators.sampling import leakage_safe_split
+
+        a = leakage_safe_split(self._comps(spark)).collect()
+        b = leakage_safe_split(self._comps(spark)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = leakage_safe_split(self._comps(spark), salt="split-v2").collect()
+        assert {r["doc_id"]: r["bucket"] for r in c} != {
+            r["doc_id"]: r["bucket"] for r in a
+        }
+
+    def test_split_proportions_roughly_hold(self, spark):
+        from olx_spark.operators.sampling import leakage_safe_split
+
+        comps = spark.range(2000).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("component")
+        )
+        counts = {
+            r["split"]: r["n"]
+            for r in leakage_safe_split(comps)
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert 1700 < counts["train"] < 1900
+        assert 50 < counts["val"] < 160
+        assert 50 < counts["test"] < 160
+
+    def test_bad_percents_refused(self, spark):
+        from olx_spark.operators.sampling import leakage_safe_split
+
+        with pytest.raises(ValueError):
+            leakage_safe_split(self._comps(spark), train_pct=96, val_pct=5)
+
+    def test_no_shuffle_projection(self, spark):
+        from olx_spark.operators.sampling import leakage_safe_split
+
+        plan = (
+            leakage_safe_split(self._comps(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
