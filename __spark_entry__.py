@@ -660,6 +660,52 @@ def q_export_csv(spark, sf):
     return spark.read.option("header", True).schema(r.schema).csv(out)
 
 
+def q_main_content(spark, sf):
+    # HTML main-content extraction (functions/html.py): wrap each
+    # document in a deterministic page skeleton — nav, main div,
+    # footer, and an ad block on every third doc — then recover the
+    # article text by line-wise text density. The nav dies on length,
+    # the ad and footer die on link fraction (anchor text dominates),
+    # and the main div survives: n_kept is 1 for every doc and
+    # main_text round-trips the normalized document text, which the
+    # oracle certifies by running the same lambda pipeline in SQL.
+    from olx_spark.functions.html import extract_main_content
+
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit('<html><head><title>Doc '),
+            did.cast("string"),
+            F.lit("</title></head><body>"),
+        ),
+        F.lit(
+            '<nav><a href="/">home</a> <a href="/about">about</a> '
+            '<a href="/contact">contact</a></nav>'
+        ),
+        F.concat(
+            F.lit('<div class="main"><p>'), F.col("text"), F.lit("</p></div>")
+        ),
+        F.when(
+            did % 3 == 0,
+            F.lit(
+                '<div class="ad"><a href="/buy">click here to buy the '
+                "best value deal now</a></div>"
+            ),
+        ),
+        F.lit(
+            '<footer><a href="/tos">terms of service</a> '
+            '<a href="/privacy">privacy policy</a></footer>'
+        ),
+        F.lit("</body></html>"),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", page.alias("html"))
+        .select("doc_id", *extract_main_content("html"))
+    )
+
+
 def q_warc_roundtrip(spark, sf):
     # WARC (ISO 28500) sink -> source round-trip over the documents
     # table: serialize into per-archive blobs (applyInPandas — the
@@ -2323,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_hot_keys": q_cms_hot_keys,
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
+        "q_main_content": q_main_content,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -5523,6 +5570,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
+        "q_main_content": r"""
+            with d as (
+                select doc_id, concat_ws(chr(10),
+                    '<html><head><title>Doc ' || doc_id::varchar || '</title></head><body>',
+                    '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>',
+                    '<div class="main"><p>' || text || '</p></div>',
+                    case when doc_id % 3 = 0 then '<div class="ad"><a href="/buy">click here to buy the best value deal now</a></div>' end,
+                    '<footer><a href="/tos">terms of service</a> <a href="/privacy">privacy policy</a></footer>',
+                    '</body></html>') as html
+                from documents
+            ), st as (
+                select doc_id,
+                       list_transform(string_split(html, chr(10)), l -> {
+                           'text': trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+                           'n_tags': length(l) - length(replace(l, '<', '')),
+                           'link_len': coalesce(list_sum(list_transform(
+                               regexp_extract_all(l, '<a[^>]*>([^<]*)</a>', 1),
+                               a -> length(trim(a)))), 0)
+                       }) as stats
+                from d
+            ), fl as (
+                select doc_id, list_filter(stats, s -> length(s.text) > 0) as nonblank
+                from st
+            ), kp as (
+                select doc_id, nonblank,
+                       list_filter(nonblank, s -> length(s.text) >= 20
+                           and (s.n_tags = 0 or length(s.text) / s.n_tags >= 10.0)
+                           and s.link_len <= 0.5 * length(s.text)) as kept
+                from fl
+            )
+            select doc_id, len(nonblank)::int as n_lines, len(kept)::int as n_kept,
+                   array_to_string(list_transform(kept, s -> s.text), ' ') as main_text
+            from kp
+        """,
         "q_warc_roundtrip": """
             select doc_id % 25 as archive_id,
                    (row_number() over (

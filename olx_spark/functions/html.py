@@ -1,0 +1,113 @@
+"""HTML main-content extraction by line-wise text density — the
+boilerplate-removal pass that runs BEFORE corpus-level text filters
+(CCNet line dedup, Gopher rules operate on extracted text; this is
+the step that produces it from markup).
+
+The heuristic is the public Arc90-readability / jusText family,
+reduced to signals that are pure JVM expressions: per physical line,
+
+- ``text``: the tag-stripped, whitespace-collapsed payload,
+- ``n_tags``: markup density (count of ``<``),
+- ``link_len``: characters of anchor-enclosed text (``<a ...>x</a>``),
+
+and a line is CONTENT iff its text is long enough
+(``min_text_len``), its text-to-tag ratio clears ``min_density``,
+and anchor text is a minority (``max_link_frac``) — nav bars,
+footers, and ad blocks are short, tag-heavy, and link-dominated,
+which is exactly what the three thresholds encode.
+
+Everything is higher-order-function expressions over ONE let_-bound
+line-struct array: no explode, no shuffle, no Python — a row-local
+filter with the correct 100-TB shape (the scan's columnar batch is
+the only data movement). The reference parses pages with jsoup
+selectors on known markup (``DownloadAds.scala:43-58``); density
+extraction is the engine-added generalization for arbitrary crawled
+markup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from olx_spark.functions.text import let_
+
+TAG_RE = "<[^>]*>"
+ANCHOR_TEXT_RE = "<a[^>]*>([^<]*)</a>"
+
+
+def strip_tags(col: Column | str) -> Column:
+    """Tag-stripped, whitespace-collapsed, trimmed text of one line
+    (tags are replaced by a space so ``a</p><p>b`` keeps a word
+    boundary)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(c, TAG_RE, " "), r"\s+", " ")
+    )
+
+
+def _line_stats(line: Column) -> Column:
+    text = strip_tags(line)
+    n_tags = F.length(line) - F.length(F.replace(line, F.lit("<"), F.lit("")))
+    link_len = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(line, F.lit(ANCHOR_TEXT_RE), 1),
+            lambda a: F.length(F.trim(a)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.struct(
+        text.alias("text"),
+        n_tags.alias("n_tags"),
+        link_len.alias("link_len"),
+    )
+
+
+def extract_main_content(
+    col: Column | str,
+    *,
+    min_text_len: int = 20,
+    min_density: float = 10.0,
+    max_link_frac: float = 0.5,
+) -> list[Column]:
+    """Named columns ``(n_lines, n_kept, main_text)``: the document's
+    content lines (per the module-docstring heuristic) joined with
+    single spaces, in order. ``n_lines`` counts non-blank physical
+    lines after tag-stripping."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(stats: Column) -> Column:
+        nonblank = F.filter(stats, lambda s: F.length(s["text"]) > 0)
+        kept = F.filter(
+            nonblank,
+            lambda s: (F.length(s["text"]) >= min_text_len)
+            & (
+                (s["n_tags"] == 0)
+                | (F.length(s["text"]) / s["n_tags"] >= F.lit(min_density))
+            )
+            & (
+                s["link_len"]
+                <= F.lit(max_link_frac) * F.length(s["text"])
+            ),
+        )
+        return F.struct(
+            F.size(nonblank).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(
+                F.transform(kept, lambda s: s["text"]), " "
+            ).alias("main_text"),
+        )
+
+    out = let_(
+        let_(
+            F.split(c, "\n"),
+            lambda lines: F.transform(lines, _line_stats),
+        ),
+        body,
+    )
+    return [
+        out.getField("n_lines").alias("n_lines"),
+        out.getField("n_kept").alias("n_kept"),
+        out.getField("main_text").alias("main_text"),
+    ]
