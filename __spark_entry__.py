@@ -1690,6 +1690,28 @@ def q_inverted_index(spark, sf):
     return inverted_index(d, max_postings=256, min_df=1)
 
 
+def q_pq_encode(spark, sf):
+    # product quantization (operators/pq.py): train m=4 sub-codebooks
+    # (one joint Lloyd round, exact-integer arithmetic), encode every
+    # vector to 4 codes, and compute the ADC distance to vec_id 7's
+    # vector via a JVM literal-table lookup. Same bit-determinism
+    # doctrine as q_kmeans, so training + encoding + ADC all carry a
+    # full value oracle (_sql_pq, subspace handled as data).
+    from olx_spark.operators.pq import pq_adc, pq_encode, pq_train
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_train(emb, dim=64, m=4, k=8, iters=1)
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    enc = pq_encode(emb, books)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        pq_adc(enc, books, qvec).alias("adc_dist"),
+    )
+
+
 def q_kmeans(spark, sf):
     # distributed k-means (Lloyd's): the general clustering primitive
     # behind semdedup cells / cluster-balanced sampling / IVF training.
@@ -2439,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sample": q_cluster_sample,
         "q_dup_spans": q_dup_spans,
         "q_kmeans": q_kmeans,
+        "q_pq_encode": q_pq_encode,
         "q_inverted_index": q_inverted_index,
         "q_zorder": q_zorder,
         "q_merge_upsert": q_merge_upsert,
@@ -3368,6 +3391,74 @@ def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1_000_00
         )
         select af.vec_id, af.cell, af.dist, sz.cell_size
         from af join (select cell, count(*) as cell_size from af group by cell) sz using (cell)
+    """
+
+
+def _sql_pq(m: int = 4, k: int = 8, dim: int = 64, scale: int = 1_000_000, query_id: int = 7) -> str:
+    """DuckDB twin of q_pq_encode: quantize, seed the m sub-codebooks
+    from the k smallest ids, ONE joint Lloyd round, final codes, and
+    the ADC distance to ``query_id``'s vector. The subspace index is
+    DATA (a cross-joined range), so nothing unrolls per subspace;
+    exact-integer arithmetic makes every step bit-equal to the Spark
+    side (see operators/pq.py + clustering.py docstrings)."""
+    sub = dim // m
+    s1 = sub + 1
+    dist = f"list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in range(1, {s1})])"
+    return f"""
+        with q as materialized (
+            select vec_id, [floor(x::double * {scale}.0 + 0.5)::bigint for x in embedding] as qv
+            from embeddings
+        ), subv as materialized (
+            select vec_id, j, qv[j * {sub} + 1 : (j + 1) * {sub}] as sv
+            from q cross join (select unnest(range({m})) as j)
+        ), c0 as materialized (
+            select s.j, sd.cid, s.sv as cv
+            from (
+                select vec_id, (row_number() over (order by vec_id)) - 1 as cid
+                from (select vec_id from q order by vec_id limit {k})
+            ) sd join subv s using (vec_id)
+        ), a1 as materialized (
+            select vec_id, j, cid as cell from (
+                select s.vec_id, s.j, c.cid,
+                       row_number() over (partition by s.vec_id, s.j
+                                          order by {dist} asc, c.cid asc) as rn
+                from subv s join c0 c using (j)
+            ) where rn = 1
+        ), c1 as materialized (
+            select c.j, c.cid, coalesce(u.cv, c.cv) as cv
+            from c0 c left join (
+                select j, cell as cid, list(val order by within) as cv from (
+                    select a.j, a.cell, x.within,
+                           floor(sum(x.v)::double / count(*))::bigint as val
+                    from a1 a join (
+                        select vec_id, j, unnest(sv) as v,
+                               generate_subscripts(sv, 1) as within
+                        from subv
+                    ) x on a.vec_id = x.vec_id and a.j = x.j
+                    group by a.j, a.cell, x.within
+                ) group by j, cid
+            ) u on c.j = u.j and c.cid = u.cid
+        ), codes as materialized (
+            select vec_id, j, cid as cell from (
+                select s.vec_id, s.j, c.cid,
+                       row_number() over (partition by s.vec_id, s.j
+                                          order by {dist} asc, c.cid asc) as rn
+                from subv s join c1 c using (j)
+            ) where rn = 1
+        ), dt as (
+            select s.j, c.cid, {dist} as d
+            from (select j, sv from subv where vec_id = {query_id}) s
+            join c1 c using (j)
+        ), adc as (
+            select cd.vec_id, sum(dt.d)::bigint as adc_dist
+            from codes cd join dt on cd.j = dt.j and cd.cell = dt.cid
+            group by cd.vec_id
+        ), enc as (
+            select vec_id, array_to_string(list(cell order by j), ',') as codes
+            from codes group by vec_id
+        )
+        select enc.vec_id, enc.codes, adc.adc_dist
+        from enc join adc using (vec_id)
     """
 
 
@@ -5655,6 +5746,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_ann": _sql_ivf_ann(),
         "q_semdedup": _sql_semdedup(),
         "q_kmeans": _sql_kmeans(),
+        "q_pq_encode": _sql_pq(),
         "q_inverted_index": _sql_inverted_index(),
         "q_zorder": _sql_zorder(),
         "q_merge_upsert": _sql_merge_upsert(),
