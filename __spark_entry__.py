@@ -815,6 +815,37 @@ def q_gopher_rules(spark, sf):
     )
 
 
+def q_c4_clean(spark, sf):
+    # C4 cleaning battery (Raffel et al. 2020 §2.2) over documents
+    # deterministically expanded into multi-line pages (the fixture
+    # corpus is single-line and punctuation-free): a proper sentence
+    # line, a too-short line, a no-terminal line, and mod-keyed
+    # javascript / multi-sentence / code-brace / lorem-ipsum lines so
+    # every line rule and both doc rules fire. Same zero-shuffle
+    # let_-bound shape as q_gopher_rules.
+    from olx_spark.functions.text import c4_clean
+
+    did = F.col("doc_id")
+    aug = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("Short one."),
+        F.lit("this line has no terminal punctuation at all"),
+        F.when(did % 5 == 0, F.lit("Enable javascript to view this page.")),
+        F.when(
+            did % 7 == 0,
+            F.lit("It was a dark night. The rain fell hard. Nothing moved."),
+        ),
+        F.when(did % 9 == 0, F.lit("function f() { return 1; }")),
+        F.when(did % 13 == 0, F.lit("Lorem ipsum dolor sit amet.")),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", aug.alias("aug"))
+        .select("doc_id", *c4_clean("aug"))
+    )
+
+
 def q_chunk_dedup(spark, sf):
     # Chunk-level exact dedup (CCNet's line-dedup pass over fixed
     # 20-token windows): globally-first occurrence wins, per-doc
@@ -2399,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_repetition_stats": q_repetition_stats,
         "q_gopher_rules": q_gopher_rules,
+        "q_c4_clean": q_c4_clean,
         "q_chunk_dedup": q_chunk_dedup,
         "q_pii_scrub": q_pii_scrub,
         "q_dedup_exact": q_dedup_exact,
@@ -5712,6 +5744,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_repetition_stats": _sql_repetition_stats(),
         "q_gopher_rules": _sql_gopher_rules(),
+        "q_c4_clean": r"""
+            with d as (
+                select doc_id, concat_ws(chr(10),
+                    text || '.',
+                    'Short one.',
+                    'this line has no terminal punctuation at all',
+                    case when doc_id % 5 = 0 then 'Enable javascript to view this page.' end,
+                    case when doc_id % 7 = 0 then 'It was a dark night. The rain fell hard. Nothing moved.' end,
+                    case when doc_id % 9 = 0 then 'function f() { return 1; }' end,
+                    case when doc_id % 13 = 0 then 'Lorem ipsum dolor sit amet.' end) as aug
+                from documents
+            ), st as (
+                select doc_id, aug,
+                       list_filter(list_transform(string_split(aug, chr(10)), l -> trim(l)),
+                                   l -> length(l) > 0) as ne
+                from d
+            ), kp as (
+                select doc_id, aug, ne,
+                       list_filter(ne, l -> list_contains(['.', '!', '?', '"'], right(l, 1))
+                           and len(string_split_regex(l, '\s+')) >= 3
+                           and not contains(lower(l), 'javascript')) as kept
+                from st
+            ), cl as (
+                select doc_id, aug, ne, kept,
+                       array_to_string(kept, ' ') as clean_text
+                from kp
+            )
+            select doc_id,
+                   len(ne)::int as n_lines,
+                   len(kept)::int as n_kept,
+                   ((length(clean_text) - length(replace(clean_text, '.', '')))
+                    + (length(clean_text) - length(replace(clean_text, '!', '')))
+                    + (length(clean_text) - length(replace(clean_text, '?', ''))))::int as n_sentences,
+                   contains(aug, '{')::int as has_brace,
+                   clean_text,
+                   (not contains(aug, '{')
+                    and not contains(lower(aug), 'lorem ipsum')
+                    and n_sentences >= 3)::int as keep_doc
+            from cl
+        """,
         "q_chunk_dedup": _sql_chunk_dedup(),
         "q_pii_scrub": _sql_pii_scrub(),
         "q_token_count": f"""

@@ -506,3 +506,79 @@ def gopher_rules(
         "r_words", "r_mean_len", "r_alpha", "r_stop", "r_symbol",
         "r_bullet", "r_ellipsis", "keep",
     ]]
+
+
+# C4 cleaning battery (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", §2.2) — the OTHER canonical pre-training filter
+# next to gopher_rules: line-level retention rules plus document
+# verdicts. Distinct from gopher_rules (doc-level signal thresholds)
+# and boilerplate_lines (corpus-frequency CCNet pass): C4 is pure
+# per-line rules, so it composes the same let_-bound zero-shuffle
+# shape with no corpus state at all.
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(
+    col: Column | str,
+    *,
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> list[Column]:
+    """Named columns ``(n_lines, n_kept, n_sentences, has_brace,
+    clean_text, keep_doc)`` implementing the public C4 rules:
+
+    - a LINE is kept iff it ends in terminal punctuation (. ! ? "),
+      has >= ``min_line_words`` words, and does not contain the word
+      "javascript" (case-insensitive);
+    - a DOCUMENT is dropped iff it contains "{" (code), contains
+      "lorem ipsum" (boilerplate), or its kept lines carry fewer
+      than ``min_sentences`` sentence terminals.
+
+    ``clean_text`` joins the kept lines with single spaces, in
+    order. One let_-bound line array; no explode, no shuffle, no
+    Python — scan-local at any scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def with_lines(lines: Column) -> Column:
+        ne = F.filter(F.transform(lines, F.trim), lambda l: F.length(l) > 0)
+        kept = F.filter(
+            ne,
+            lambda l: F.substring(l, -1, 1).isin(*C4_TERMINALS)
+            & (F.size(F.split(l, r"\s+")) >= min_line_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+        clean = F.array_join(kept, " ")
+        n_sent = let_(
+            clean,
+            lambda t: sum(
+                (occurrences(t, term) for term in (".", "!", "?")),
+                F.lit(0),
+            ),
+        )
+        return F.struct(
+            F.size(ne).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            n_sent.alias("n_sentences"),
+            clean.alias("clean_text"),
+        )
+
+    st = let_(F.split(c, "\n"), with_lines)
+    has_brace = c.contains("{")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    keep = (
+        ~has_brace
+        & ~has_lorem
+        & (st.getField("n_sentences") >= min_sentences)
+    )
+    # repeated top-level references to `st` are shared by codegen
+    # subexpression elimination (unlike captures inside HOF lambdas,
+    # which is what let_ guards; see let_ docstring)
+    return [
+        st.getField("n_lines").alias("n_lines"),
+        st.getField("n_kept").alias("n_kept"),
+        st.getField("n_sentences").alias("n_sentences"),
+        has_brace.cast("int").alias("has_brace"),
+        st.getField("clean_text").alias("clean_text"),
+        keep.cast("int").alias("keep_doc"),
+    ]

@@ -408,3 +408,72 @@ class TestGopherRules:
         )
         assert "Exchange" not in plan
         assert "Generate" not in plan  # no explode
+
+
+class TestC4Clean:
+    """Hand-computed C4 rules on crafted documents."""
+
+    DOCS = [
+        # 0: three proper sentences on one line + noise lines
+        (0, "The cat sat on the mat. The dog barked loudly. All was well.\n"
+            "Short one.\n"
+            "no terminal punctuation on this line here"),
+        # 1: javascript line dropped, sentences insufficient
+        (1, "Please enable JavaScript to continue reading.\n"
+            "The page loaded fine after that.\n"),
+        # 2: code doc — brace kills it despite enough sentences
+        (2, "One fine day it rained. Then it stopped. Then sun came out.\n"
+            "if (x) { return y; }"),
+        # 3: lorem ipsum kills the doc
+        (3, "Lorem ipsum dolor sit amet. Consectetur adipiscing elit "
+            "sed do. Eiusmod tempor incididunt ut labore."),
+        # 4: empty
+        (4, ""),
+    ]
+
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from olx_spark.functions.text import c4_clean
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        out = df.select("doc_id", *c4_clean("text")).collect()
+        return {r["doc_id"]: r.asDict() for r in out}
+
+    def test_clean_doc_kept(self, rows):
+        r = rows[0]
+        assert r["n_lines"] == 3
+        assert r["n_kept"] == 1  # only the sentence line survives
+        assert r["n_sentences"] == 3
+        assert r["keep_doc"] == 1
+        assert r["clean_text"].startswith("The cat sat")
+
+    def test_javascript_line_dropped(self, rows):
+        r = rows[1]
+        assert r["n_kept"] == 1  # only 'The page loaded fine after that.'
+        assert r["clean_text"] == "The page loaded fine after that."
+        assert r["n_sentences"] == 1 and r["keep_doc"] == 0
+
+    def test_brace_doc_dropped(self, rows):
+        r = rows[2]
+        assert r["n_sentences"] == 3  # sentence line survives line rules
+        assert r["has_brace"] == 1 and r["keep_doc"] == 0
+
+    def test_lorem_ipsum_doc_dropped(self, rows):
+        r = rows[3]
+        assert r["n_kept"] == 1 and r["n_sentences"] == 3
+        assert r["keep_doc"] == 0
+
+    def test_empty_doc(self, rows):
+        r = rows[4]
+        assert r["n_lines"] == 0 and r["n_kept"] == 0
+        assert r["clean_text"] == "" and r["keep_doc"] == 0
+
+    def test_single_pass_plan(self, spark):
+        from olx_spark.functions.text import c4_clean
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        plan = (
+            df.select("doc_id", *c4_clean("text"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
