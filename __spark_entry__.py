@@ -660,6 +660,46 @@ def q_export_csv(spark, sf):
     return spark.read.option("header", True).schema(r.schema).csv(out)
 
 
+def q_snapshot_history(spark, sf):
+    # the snapshot store's commit / time-travel / incremental-read
+    # semantics surfaced in the oracle gate (they were pytest-only):
+    # three committed rounds of orders slices (o_orderkey % 3), then
+    # six window reads — as-of each round, since each round, and the
+    # half-open (0, 2] window — each aggregated to (rows, total). The
+    # oracle recomputes every window straight from the base table, so
+    # hash equality certifies that commit_round + read_table expose
+    # exactly-once, correctly-windowed history.
+    from olx_spark.plans.snapshot import SnapshotStore
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="olx_snap_q_")
+    store = SnapshotStore(root, spark)
+    ords = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    for r in range(3):
+        store.commit_round(
+            r, {"ords": ords.filter(F.col("o_orderkey") % 3 == r)}, {"r": r}
+        )
+
+    def agg(win: str, df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        ).select(F.lit(win).alias("win"), "n_rows", "total")
+
+    parts = [
+        agg(f"asof:{a}", store.read_table("ords", as_of_round=a))
+        for a in range(3)
+    ] + [
+        agg(f"since:{s}", store.read_table("ords", since_round=s))
+        for s in range(2)
+    ] + [agg("win:0-2", store.read_table("ords", since_round=0, as_of_round=2))]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def q_main_content(spark, sf):
     # HTML main-content extraction (functions/html.py): wrap each
     # document in a deterministic page skeleton — nav, main div,
@@ -2423,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_export_csv": q_export_csv,
         "q_main_content": q_main_content,
+        "q_snapshot_history": q_snapshot_history,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -5693,6 +5734,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": _sql_pagerank(),
         "q_export_csv": "select * from region",
+        "q_snapshot_history": """
+            select 'asof:0' as win, count(*) as n_rows, round(sum(o_totalprice), 4) as total
+            from orders where o_orderkey % 3 <= 0
+            union all
+            select 'asof:1', count(*), round(sum(o_totalprice), 4)
+            from orders where o_orderkey % 3 <= 1
+            union all
+            select 'asof:2', count(*), round(sum(o_totalprice), 4) from orders
+            union all
+            select 'since:0', count(*), round(sum(o_totalprice), 4)
+            from orders where o_orderkey % 3 > 0
+            union all
+            select 'since:1', count(*), round(sum(o_totalprice), 4)
+            from orders where o_orderkey % 3 > 1
+            union all
+            select 'win:0-2', count(*), round(sum(o_totalprice), 4)
+            from orders where o_orderkey % 3 > 0
+        """,
         "q_main_content": r"""
             with d as (
                 select doc_id, concat_ws(chr(10),
