@@ -633,6 +633,24 @@ def q_pagerank(spark, sf):
     return pr.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_label_prop(spark, sf):
+    # density-based communities over the same bipartite order<->part
+    # graph as q_pagerank: synchronous label propagation, 3 rounds,
+    # ties to the smallest label — deterministic by construction, so
+    # the oracle unrolls the same rounds (join + count + argmax) in
+    # SQL. Windowless min-of-struct argmax on the Spark side.
+    from olx_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("o"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+    )
+    return label_propagation(edges, iters=3)
+
+
 def q_hits(spark, sf):
     # hub/authority scoring over the DIRECTED order->part graph
     # (hubs = orders/listing pages, authorities = parts/ad pages) —
@@ -2461,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_cms_hot_keys": q_cms_hot_keys,
         "q_pagerank": q_pagerank,
+        "q_label_prop": q_label_prop,
         "q_export_csv": q_export_csv,
         "q_main_content": q_main_content,
         "q_snapshot_history": q_snapshot_history,
@@ -3464,6 +3483,39 @@ def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1_000_00
         )
         select af.vec_id, af.cell, af.dist, sz.cell_size
         from af join (select cell, count(*) as cell_size from af group by cell) sz using (cell)
+    """
+
+
+def _sql_label_prop(iters: int = 3) -> str:
+    """DuckDB twin of q_label_prop: the identical synchronous LPA
+    rounds unrolled as materialized CTEs (join -> neighbor-label
+    count -> argmax by count desc, label asc -> coalesce for
+    isolated nodes)."""
+    ctes = ["""e as materialized (
+            select l_orderkey * 2 as src, l_partkey * 2 + 1 as dst from lineitem
+            union
+            select l_partkey * 2 + 1, l_orderkey * 2 from lineitem
+        ), l0 as materialized (
+            select distinct src as id, src as label from e
+        )"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""c{t} as materialized (
+            select e.dst as id, l.label, count(*) as c
+            from e join l{t - 1} l on e.src = l.id
+            group by 1, 2
+        ), b{t} as materialized (
+            select id, label as new_label from (
+                select id, label,
+                       row_number() over (partition by id order by c desc, label asc) as rn
+                from c{t}
+            ) where rn = 1
+        ), l{t} as materialized (
+            select p.id, coalesce(b.new_label, p.label) as label
+            from l{t - 1} p left join b{t} b using (id)
+        )""")
+    return f"""
+        with {", ".join(ctes)}
+        select id, label from l{iters}
     """
 
 
@@ -5733,6 +5785,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2
         """,
         "q_pagerank": _sql_pagerank(),
+        "q_label_prop": _sql_label_prop(),
         "q_export_csv": "select * from region",
         "q_snapshot_history": """
             select 'asof:0' as win, count(*) as n_rows, round(sum(o_totalprice), 4) as total

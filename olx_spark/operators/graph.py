@@ -405,3 +405,70 @@ def seed_distance(
             break
         visited = materialize(visited.union(frontier), reliable=reliable)
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert, Kumara 2007)
+    community detection: every node starts as its own label; each
+    round, a node adopts the most frequent label among its in-
+    neighbors' PREVIOUS-round labels (ties -> smallest label;
+    isolated nodes keep their label). Returns ``(id, label)`` after
+    ``iters`` rounds.
+
+    Deterministic by construction — synchronous updates plus a total
+    tie order — unlike the asynchronous/random-order LPA variants, so
+    the result is a pure function of the graph and carries a full
+    value oracle (the async variants trade that for fewer label
+    oscillations; at fixed small ``iters`` the sync form is the one
+    an engine can replay and test). Complements
+    :func:`connected_components` (structure only) with density-based
+    communities.
+
+    Scale shape: each round is one co-partitioned edges-to-labels
+    join plus one map-side-combinable ``(node, label)`` count, and
+    the argmax is a windowless min-of-struct ``(-count, label)`` —
+    no row_number window funneling hot nodes through one task.
+    Labels are materialized per round (lineage reset;
+    ``reliable`` -> fault-tolerant checkpoint). Pass ``edges``
+    pre-symmetrized for undirected semantics.
+    """
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("id"))
+        .union(e.select(F.col("__d").alias("id")))
+        .distinct()
+    )
+    labels = materialize(
+        nodes.select("id", F.col("id").alias("label")), reliable=reliable
+    )
+    for _ in range(iters):
+        msgs = e.join(
+            labels.select(F.col("id").alias("__s"), "label"), "__s"
+        ).select(F.col("__d").alias("id"), "label")
+        counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
+        best = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("b")
+            )
+            .select("id", F.col("b.l").alias("new_label"))
+        )
+        labels = materialize(
+            labels.join(best, "id", "left").select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            ),
+            reliable=reliable,
+        )
+    return labels

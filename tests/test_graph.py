@@ -275,3 +275,71 @@ def test_hits_no_python_udfs_and_deterministic(spark):
     assert a == b
     plan = hits(df, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestLabelPropagation:
+    EDGES = [
+        # triangle A: 1-2-3; triangle B: 10-11-12; bridge 3-10; isolated 99
+        (1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10),
+    ]
+
+    def _sym(self):
+        return self.EDGES + [(b, a) for a, b in self.EDGES]
+
+    @staticmethod
+    def _reference_lpa(edges, iters):
+        nodes = {v for e in edges for v in e}
+        labels = {v: v for v in nodes}
+        for _ in range(iters):
+            nxt = dict(labels)
+            incoming = {}
+            for s, d in edges:
+                incoming.setdefault(d, []).append(labels[s])
+            for v, labs in incoming.items():
+                counts = {}
+                for l in labs:
+                    counts[l] = counts.get(l, 0) + 1
+                nxt[v] = min(
+                    counts, key=lambda l: (-counts[l], l)
+                )
+            labels = nxt
+        return labels
+
+    def _run(self, spark, iters):
+        from olx_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(
+            self._sym() + [(99, 99)], "src long, dst long"
+        )
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        return got
+
+    def test_matches_reference_sim(self, spark):
+        for iters in (0, 1, 2, 3):
+            want = self._reference_lpa(self._sym() + [(99, 99)], iters)
+            assert self._run(spark, iters) == want, f"iters={iters}"
+
+    def test_communities_form(self, spark):
+        got = self._run(spark, 3)
+        # triangle A coalesces on its min label
+        assert got[1] == got[2] == got[3] == 1
+        # triangle B likewise (the bridge may pull 10, never 11/12)
+        assert got[11] == got[12]
+        # self-loop-only node keeps its own label
+        assert got[99] == 99
+
+    def test_deterministic(self, spark):
+        assert self._run(spark, 3) == self._run(spark, 3)
+
+    def test_windowless_plan(self, spark):
+        from olx_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(self._sym(), "src long, dst long")
+        plan = (
+            label_propagation(df, iters=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan  # argmax is min-of-struct, not row_number
