@@ -798,6 +798,49 @@ def q_warc_roundtrip(spark, sf):
     )
 
 
+def q_cdx_index(spark, sf):
+    # CDX archive index (the Common Crawl / wayback lookup layer over
+    # WARC): synthesize multi-host pages into WARC blobs, parse them
+    # back, and emit one index row per record — SURT sort key
+    # (reversed-host canonical ordering, functions/urls.surt), byte
+    # offset + record length inside the blob (what a random-access
+    # reader seeks), payload digest. The oracle reconstructs every
+    # record's exact serialized byte length in SQL and window-sums
+    # offsets in the sink's uri order, so hash equality certifies the
+    # writer's byte layout, the parser's offset accounting, and the
+    # SURT transform together.
+    from olx_spark.functions.urls import surt
+    from olx_spark.sources.warc import warc_read_records, warc_write_records
+
+    did = F.col("doc_id")
+    uri = F.concat(
+        F.lit("https://www.host"),
+        (did % 7).cast("string"),
+        F.lit(".example.org/doc/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("?v=2")).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf, "documents").select(
+        (did % 25).alias("archive_id"),
+        uri.alias("uri"),
+        F.concat(
+            F.lit("2026-02-"),
+            F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("date"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    recs = warc_read_records(warc_write_records(d))
+    return recs.select(
+        surt("target_uri").alias("surt_key"),
+        "archive_id",
+        "offset",
+        "rec_len",
+        F.col("content_length").alias("length"),
+        F.md5("payload").alias("digest"),
+    )
+
+
 # ---------------------------- training-data pipeline ops (documents) ------
 
 def q_token_count(spark, sf):
@@ -2484,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_main_content": q_main_content,
         "q_snapshot_history": q_snapshot_history,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_cdx_index": q_cdx_index,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -5838,6 +5882,49 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, len(nonblank)::int as n_lines, len(kept)::int as n_kept,
                    array_to_string(list_transform(kept, s -> s.text), ' ') as main_text
             from kp
+        """,
+        "q_cdx_index": r"""
+            with d as (
+                select doc_id, doc_id % 25 as archive_id,
+                       'https://www.host' || (doc_id % 7)::varchar
+                           || '.example.org/doc/' || doc_id::varchar
+                           || (case when doc_id % 2 = 0 then '?v=2' else '' end) as uri,
+                       '2026-02-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0')
+                           || 'T00:00:00Z' as dt,
+                       text
+                from documents
+            ), r as (
+                select *,
+                       octet_length(encode(
+                           'WARC/1.0' || chr(13) || chr(10)
+                           || 'WARC-Type: response' || chr(13) || chr(10)
+                           || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+                           || 'WARC-Date: ' || dt || chr(13) || chr(10)
+                           || 'WARC-Record-ID: <urn:md5:' || md5(text) || '>' || chr(13) || chr(10)
+                           || 'Content-Type: application/octet-stream' || chr(13) || chr(10)
+                           || 'Content-Length: ' || octet_length(encode(text))::varchar || chr(13) || chr(10)
+                           || chr(13) || chr(10) || text
+                           || chr(13) || chr(10) || chr(13) || chr(10)
+                       ))::bigint as rec_len
+                from d
+            ), o as (
+                select *,
+                       coalesce(sum(rec_len) over (
+                           partition by archive_id order by uri
+                           rows between unbounded preceding and 1 preceding
+                       ), 0)::bigint as "offset"
+                from r
+            )
+            select array_to_string(list_reverse(string_split(
+                       regexp_replace(lower(regexp_extract(uri, '^[a-z]+://([^/?#]+)', 1)), '^www\.', ''),
+                       '.')), ',')
+                   || ')' || regexp_extract(uri, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                   || (case when contains(uri, '?')
+                       then '?' || regexp_extract(uri, '\?(.*)$', 1) else '' end) as surt_key,
+                   archive_id, "offset", rec_len,
+                   octet_length(encode(text))::bigint as length,
+                   md5(text) as digest
+            from o
         """,
         "q_warc_roundtrip": """
             select doc_id % 25 as archive_id,

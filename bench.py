@@ -109,6 +109,17 @@ HEADLINE = [
     "q_image_borders",
     "q_vocab_coverage",
     "q_sitemap_entries",
+    # round-5 continuation additions (same comparability caveat).
+    # q_snapshot_history is excluded by design: it measures store
+    # commit I/O (covered by the crawl benchmark), not query perf.
+    "q_gopher_rules",
+    "q_c4_clean",
+    "q_main_content",
+    "q_bloom_join",
+    "q_warc_roundtrip",
+    "q_leakage_split",
+    "q_pq_encode",
+    "q_label_prop",
 ]
 
 REPS = 3

@@ -110,3 +110,29 @@ def host_salt(host_col, url_col, buckets: int = 8):
     return F.concat_ws(
         "#", host_col, F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("string")
     )
+
+
+def surt(col):
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL —
+    the canonical ordering of the web-archive ecosystem (Heritrix
+    crawl scoping, CDX/CDXJ index keys for WARC random access):
+    lowercase the authority, drop a leading ``www.``, REVERSE the
+    host labels comma-joined, then ``)`` + path?query. Example:
+
+        https://www.Sub.Example.org/a/b?q=1 -> org,example,sub)/a/b?q=1
+
+    All URLs of one registrable domain become one contiguous key
+    range, so a sorted CDX index answers host/domain prefix scans
+    with a range read — the property a flat URL sort lacks. Pure JVM
+    expression (parse_url + split/reverse/join), whole-stage
+    codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(c, F.lit("QUERY"))
+    pq = F.when(
+        query.isNotNull(), F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
+    return F.concat(rev, F.lit(")"), pq)

@@ -75,6 +75,8 @@ RECORD_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
+        StructField("offset", LongType()),
+        StructField("rec_len", LongType()),
         StructField("parse_ok", IntegerType()),
     ]
 )
@@ -140,6 +142,8 @@ def _parse_blob(archive_id: int, blob: bytes) -> list[dict]:
             "warc_date": None,
             "content_length": n - pos,
             "payload": None,
+            "offset": pos,
+            "rec_len": n - pos,
             "parse_ok": 0,
         }
 
@@ -180,6 +184,10 @@ def _parse_blob(archive_id: int, blob: bytes) -> list[dict]:
                 "warc_date": fields.get("warc-date"),
                 "content_length": clen,
                 "payload": blob[body_at : body_at + clen],
+                # CDX-index fields: byte extent of the record within
+                # its archive blob — what a random-access reader seeks
+                "offset": pos,
+                "rec_len": (body_at + clen + len(_SEP)) - pos,
                 "parse_ok": 1,
             }
         )

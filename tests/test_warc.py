@@ -109,3 +109,49 @@ def test_non_numeric_content_length_flagged(spark):
     blob = b"WARC/1.0\r\nContent-Length: 3x\r\n\r\nabc\r\n\r\n"
     recs = warc_read_records(_blob_df(spark, blob)).collect()
     assert len(recs) == 1 and recs[0]["parse_ok"] == 0
+
+
+def test_offsets_enable_random_access(spark):
+    # the CDX contract: blob[offset : offset+rec_len] must reparse to
+    # exactly that record — seek-and-read without touching the rest
+    rows = [
+        (0, f"https://ex.org/p/{i}", DATE, (f"payload-{i}" * (i + 1)).encode())
+        for i in range(8)
+    ]
+    blobs = {b["archive_id"]: bytes(b["blob"])
+             for b in warc_write_records(_mkdf(spark, rows)).collect()}
+    recs = warc_read_records(warc_write_records(_mkdf(spark, rows))).collect()
+    for r in recs:
+        blob = blobs[r["archive_id"]]
+        piece = blob[r["offset"] : r["offset"] + r["rec_len"]]
+        sub = warc_read_records(_blob_df(spark, piece)).collect()
+        assert len(sub) == 1 and sub[0]["parse_ok"] == 1
+        assert sub[0]["target_uri"] == r["target_uri"]
+        assert bytes(sub[0]["payload"]) == bytes(r["payload"])
+    # offsets tile the blob exactly
+    ordered = sorted(recs, key=lambda r: r["rec_idx"])
+    assert ordered[0]["offset"] == 0
+    assert sum(r["rec_len"] for r in ordered) == len(blobs[0])
+
+
+def test_surt_keys(spark):
+    from olx_spark.functions.urls import surt
+
+    cases = [
+        ("https://www.Sub.Example.org/a/b?q=1", "org,example,sub)/a/b?q=1"),
+        ("https://example.org/", "org,example)/"),
+        ("http://a.b.c.d.net/x", "net,d,c,b,a)/x"),
+        ("https://www.example.org", "org,example)"),  # empty path
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(surt("url")).collect()]
+    assert got == [w for _, w in cases]
+    # domain-prefix property: every example.org page sorts contiguously
+    urls = ["https://www.example.org/z", "https://sub.example.org/a",
+            "https://example.org/m", "https://other.net/x"]
+    keys = [r[0] for r in spark.createDataFrame(
+        [(u,) for u in urls], "url string").select(surt("url")).collect()]
+    in_domain = sorted(k for k in keys if k.startswith("org,example"))
+    all_sorted = sorted(keys)
+    i = all_sorted.index(in_domain[0])
+    assert all_sorted[i : i + len(in_domain)] == in_domain
