@@ -76,6 +76,32 @@ def _image_corpus_rows(kind: str, n: int, seed: int) -> list[tuple]:
                 rows.append((f"jpg-{i:05d}", encode_image(arr, "jpeg"), "jpeg"))
             _CORPUS_CACHE[key] = rows
             return rows
+        if kind == "jpegq":
+            # varied-quality jpeg corpus (step_cap=None so the DQT is
+            # the pure IJG scaling — what jpeg_quality_stats inverts);
+            # every (i % 9 == 7)th payload is garbage for parse_ok=0
+            import numpy as np
+
+            from olx_spark.fixtures.images import make_image_array
+            from olx_spark.fixtures.jpeg import jpeg_encode
+
+            qualities = [35, 50, 65, 75, 85, 92]
+            rows = []
+            for i in range(n):
+                rng = np.random.default_rng(
+                    np.random.PCG64(np.random.SeedSequence([seed, i]))
+                )
+                arr = make_image_array(rng, 32, 32)
+                data = (
+                    b"\xff\xd8\x00garbage"
+                    if i % 9 == 7
+                    else jpeg_encode(
+                        arr, quality=qualities[i % 6], step_cap=None
+                    )
+                )
+                rows.append((f"jq-{i:05d}", data, "jpeg"))
+            _CORPUS_CACHE[key] = rows
+            return rows
         if kind == "boxed":
             # planted letterbox/pillarbox/uniform corpus (lossless
             # fmts), with every (i % 8 == 5)th payload truncated to
@@ -1511,6 +1537,24 @@ def q_image_features(spark, sf):
     )
 
 
+def q_jpeg_quality(spark, sf):
+    # header-only JPEG quality triage (operators/multimodal.py
+    # jpeg_quality_stats): DQT scan + exact IJG quality-factor
+    # inversion, no entropy decode — the cheap corpus-curation floor
+    # for scraped images. Corpus cycles qualities 35..92 plus planted
+    # garbage; the oracle carries driver-side expected rows computed
+    # by the same scan (plumbing oracle); the ESTIMATOR itself is
+    # pinned independently by tests/test_multimodal.py, which inverts
+    # the encoder exactly for every quality 5..100.
+    from olx_spark.operators.multimodal import jpeg_quality_stats
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("jpegq", 36, 17),
+        "image_id string, bytes binary, fmt string",
+    )
+    return jpeg_quality_stats(df)
+
+
 def q_jpeg_features(spark, sf):
     # the input_hint's lossy-format branch on a REAL-WORLD format:
     # baseline JPEG decoded by the pure-numpy T.81 codec inside the
@@ -2587,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_reference": q_crawl_reference,
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
+        "q_jpeg_quality": q_jpeg_quality,
         "q_audio_features": q_audio_features,
         "q_video_features": q_video_features,
         "q_video_frames": q_video_frames,
@@ -5186,6 +5231,37 @@ def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """
 
 
+def _sql_jpeg_quality(n: int = 36, seed: int = 17) -> str:
+    """DuckDB twin of q_jpeg_quality: expected rows computed by the
+    same header scan + inversion on the driver over the shared corpus
+    bytes, inlined as VALUES (the q_jpeg_features plumbing-oracle
+    pattern); the estimator is ground-truthed against the encoder in
+    tests/test_multimodal.py."""
+    from olx_spark.operators.multimodal import (
+        _scan_dqt,
+        estimate_jpeg_quality,
+    )
+
+    vals = []
+    for image_id, data, _fmt in _image_corpus_rows("jpegq", n, seed):
+        try:
+            luma, nt = _scan_dqt(bytes(data))
+            if luma is None:
+                raise ValueError("no luma table")
+            vals.append(
+                f"('{image_id}', {estimate_jpeg_quality(luma)}, "
+                f"{int(sum(luma))}, {nt}, 1)"
+            )
+        except ValueError:
+            vals.append(f"('{image_id}', NULL, NULL, 0, 0)")
+    return f"""
+        select image_id, q_est::int as q_est, luma_sum::bigint as luma_sum,
+               n_tables::int as n_tables, parse_ok::int as parse_ok
+        from (values {", ".join(vals)})
+             t(image_id, q_est, luma_sum, n_tables, parse_ok)
+    """
+
+
 @functools.lru_cache(maxsize=None)  # pure; decodes 34 wav clips
 def _sql_audio_features(n: int = 34, seed: int = 29) -> str:
     """DuckDB twin of q_audio_features: expected features computed by
@@ -6063,6 +6139,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_reference": _sql_crawl_reference(),
         "q_image_features": _sql_image_features(),
         "q_jpeg_features": _sql_jpeg_features(),
+        "q_jpeg_quality": _sql_jpeg_quality(),
         "q_audio_features": _sql_audio_features(),
         "q_video_features": _sql_video_features(),
         "q_video_frames": _sql_video_frames(),

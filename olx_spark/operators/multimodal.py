@@ -782,3 +782,140 @@ def image_borders(df: DataFrame) -> DataFrame:
         F.round(frac, 6).alias("content_frac"),
         boxed.cast("int").alias("is_boxed"),
     )
+
+
+# ------------------------------------------------------ jpeg triage scan
+
+JPEG_QUALITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("q_est", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("n_tables", IntegerType()),
+        StructField("parse_ok", IntegerType()),
+    ]
+)
+
+
+def _scan_dqt(data: bytes) -> tuple[list[int] | None, int]:
+    """Header-only DQT scan: (luma table in transmission/zigzag order,
+    total table count). Walks markers to SOS without touching entropy
+    data — the triage read is a few hundred bytes regardless of image
+    size. Raises ValueError on malformed bytes."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    luma: list[int] | None = None
+    n_tables = 0
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes (T.81 B.1.1.2)
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                break
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("bad segment length")
+        if marker == 0xDB:
+            seg = data[pos + 2 : pos + seglen]
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                width = 128 if pq == 1 else 64
+                if pq > 1 or p + width > len(seg):
+                    raise ValueError("bad DQT payload")
+                raw = seg[p : p + width]
+                p += width
+                n_tables += 1
+                if tq == 0:
+                    if pq == 0:
+                        luma = list(raw)
+                    else:
+                        luma = [
+                            int.from_bytes(raw[i * 2 : i * 2 + 2], "big")
+                            for i in range(64)
+                        ]
+        if marker == 0xDA:
+            break  # entropy data follows; headers done
+        pos += seglen
+    return luma, n_tables
+
+
+def estimate_jpeg_quality(luma_zigzag: list[int]) -> int:
+    """Invert the libjpeg/IJG quality scaling from a luminance quant
+    table (transmission order): each step is
+    ``clip(floor((K*s + 50)/100), 1, 255)`` of the T.81 Annex K
+    table, so ``(100*T - 50)/K`` recovers the scale factor s
+    per coefficient (exact where unclamped). Public formula (libjpeg
+    ``jpeg_quality_scaling``), same inversion ImageMagick ships.
+
+    Steps ``T == 1`` are excluded (ambiguous: genuine floor-to-1 and
+    clip-from-0 coincide there); an all-ones table is quality 100.
+    The scale recovery is EXACT where any step survives: for the
+    largest reference coefficient (121) the floor bias is < 1, so
+    ``ceil(max_i (100*T_i - 50)/K_i)`` lands on the integer scale s,
+    and both IJG branches invert in integers."""
+    from olx_spark.fixtures.jpeg import QT_LUMA, ZIGZAG
+
+    ref = QT_LUMA.flatten()[ZIGZAG].astype(np.float64)
+    t = np.asarray(luma_zigzag, dtype=np.float64)
+    mask = t > 1
+    if not mask.any():
+        return 100
+    s = int(np.ceil(((100.0 * t[mask] - 50.0) / ref[mask]).max()))
+    s = max(1, s)
+    q = (200 - s) // 2 if s <= 100 else 5000 // s
+    return max(1, min(100, q))
+
+
+def jpeg_quality_stats(df: DataFrame) -> DataFrame:
+    """Per-image JPEG encoding-quality triage WITHOUT decoding:
+    header-scan the DQT segments, estimate the IJG quality factor,
+    and report the luminance table mass (big sum = harsh
+    quantization = low-fidelity source). The corpus-curation use: a
+    quality floor on scraped images (DataComp-style) costs a header
+    read here, vs a full entropy decode in ``image_features``.
+    Input: (image_id, bytes). Corrupt bytes -> ``parse_ok=0`` row,
+    never a crash. Arrow-batched mapInPandas, zero shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    luma, n = _scan_dqt(bytes(data))
+                    if luma is None:
+                        raise ValueError("no luminance DQT before SOS")
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "q_est": estimate_jpeg_quality(luma),
+                            "luma_sum": int(sum(luma)),
+                            "n_tables": n,
+                            "parse_ok": 1,
+                        }
+                    )
+                except ValueError:
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "q_est": None,
+                            "luma_sum": None,
+                            "n_tables": 0,
+                            "parse_ok": 0,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema=JPEG_QUALITY_SCHEMA
+    )

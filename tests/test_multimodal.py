@@ -483,3 +483,58 @@ def test_borders_zero_shuffle_plan(spark):
     )
     plan = image_borders(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # mapInPandas inherits partitioning
+
+
+class TestJpegQualityTriage:
+    def test_estimator_inverts_encoder_exactly(self):
+        import numpy as np
+
+        from olx_spark.fixtures.images import make_image_array
+        from olx_spark.fixtures.jpeg import jpeg_encode
+        from olx_spark.operators.multimodal import (
+            _scan_dqt,
+            estimate_jpeg_quality,
+        )
+
+        rng = np.random.default_rng(5)
+        arr = make_image_array(rng, 24, 24)
+        for q in range(5, 101):
+            luma, n_tables = _scan_dqt(jpeg_encode(arr, quality=q, step_cap=None))
+            assert n_tables == 2
+            assert estimate_jpeg_quality(luma) == q, f"quality {q}"
+
+    def test_sixteen_bit_dqt_parsed(self):
+        # Pq=1 (16-bit steps) hand-built segment: same table twice-wide
+        vals = list(range(1, 65))
+        seg = bytes([0x10]) + b"".join(v.to_bytes(2, "big") for v in vals)
+        blob = (
+            b"\xff\xd8"
+            + b"\xff\xdb" + (len(seg) + 2).to_bytes(2, "big") + seg
+            + b"\xff\xd9"
+        )
+        from olx_spark.operators.multimodal import _scan_dqt
+
+        luma, n = _scan_dqt(blob)
+        assert n == 1 and luma == vals
+
+    def test_stats_operator_and_garbage(self, spark):
+        import numpy as np
+
+        from olx_spark.fixtures.images import make_image_array
+        from olx_spark.fixtures.jpeg import jpeg_encode
+        from olx_spark.operators.multimodal import jpeg_quality_stats
+
+        rng = np.random.default_rng(6)
+        rows = [
+            ("a", jpeg_encode(make_image_array(rng, 16, 16), quality=75, step_cap=None)),
+            ("b", jpeg_encode(make_image_array(rng, 16, 16), quality=40, step_cap=None)),
+            ("junk", b"\xff\xd8\x00nope"),
+            ("empty", b""),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = {r["image_id"]: r.asDict() for r in jpeg_quality_stats(df).collect()}
+        assert got["a"]["q_est"] == 75 and got["a"]["parse_ok"] == 1
+        assert got["b"]["q_est"] == 40
+        assert got["b"]["luma_sum"] > got["a"]["luma_sum"]  # harsher table
+        assert got["junk"]["parse_ok"] == 0 and got["junk"]["q_est"] is None
+        assert got["empty"]["parse_ok"] == 0
