@@ -2436,6 +2436,24 @@ def q_image_borders(spark, sf):
     return image_borders(df)
 
 
+def q_freshness_alloc(spark, sf):
+    # freshness-optimal revisit allocation (Cho & Garcia-Molina 2003,
+    # operators/recrawl.freshness_allocation): per-host water-filling
+    # over change rates λ derived from orders — closed-form
+    # f = t·√λ − λ with the largest-valid-prefix threshold, one
+    # window shuffle + one broadcast join. Every arithmetic step is
+    # elementwise IEEE over an order-pinned prefix sum, so the SQL
+    # twin is bit-identical.
+    from olx_spark.operators.recrawl import freshness_allocation
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 50).alias("host"),
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") / 100000.0).alias("lam"),
+    )
+    return freshness_allocation(o, "host", "id", "lam", budget_per_host=10.0)
+
+
 def q_recrawl_due(spark, sf):
     # the refresh half of a standing frontier: exponential-backoff
     # next-due times (shiftleft power of two — exact integers, no
@@ -2649,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_table": q_profile_table,
         "q_tile_stats": q_tile_stats,
         "q_recrawl_due": q_recrawl_due,
+        "q_freshness_alloc": q_freshness_alloc,
         "q_rand_proj": q_rand_proj,
         "q_ssjoin": q_ssjoin,
         "q_bm25_search": q_bm25_search,
@@ -6100,6 +6119,39 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_table": _sql_profile_table(),
         "q_tile_stats": _sql_tile_stats(),
         "q_recrawl_due": _sql_recrawl_due(),
+        "q_freshness_alloc": """
+            with d as (
+                select o_custkey % 50 as host, o_orderkey as id,
+                       o_totalprice / 100000.0 as lam
+                from orders
+            ), r as (
+                select *,
+                       row_number() over (partition by host order by lam, id) as rn,
+                       sum(lam) over (partition by host order by lam, id
+                           rows between unbounded preceding and current row) as s_k,
+                       sum(sqrt(lam)) over (partition by host order by lam, id
+                           rows between unbounded preceding and current row) as q_k
+                from d
+            ), t as (
+                select *, (10.0 + s_k) / q_k as t_k,
+                       ((10.0 + s_k) / q_k) * sqrt(lam) > lam as valid
+                from r
+            ), b as (
+                select host,
+                       max(case when valid then rn end) as k_star,
+                       arg_max(t_k, case when valid then rn end) as t_star
+                from t group by host
+            )
+            select t.host, t.id, t.lam,
+                   case when t.rn <= b.k_star
+                        then b.t_star * sqrt(t.lam) - t.lam else 0.0 end as freq,
+                   case when t.rn <= b.k_star
+                        then (b.t_star * sqrt(t.lam) - t.lam)
+                             / ((b.t_star * sqrt(t.lam) - t.lam) + t.lam)
+                        else 0.0 end as freshness,
+                   (t.rn <= b.k_star)::int as active
+            from t join b using (host)
+        """,
         "q_rand_proj": _sql_rand_proj(),
         "q_ssjoin": _sql_ssjoin(),
         "q_bm25_search": _sql_bm25_search(),

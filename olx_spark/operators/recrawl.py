@@ -34,7 +34,7 @@ is already bucketed; nothing here collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from olx_spark.operators.ranking import ordered_limit
@@ -151,4 +151,92 @@ def estimate_change_rate(
         avg_int.alias("avg_interval_s"),
         (lam_s * 86_400.0).alias("lambda_per_day"),
         next_int.alias("next_interval_s"),
+    )
+
+
+def freshness_allocation(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "url_fp",
+    lam_col: str = "lam",
+    budget_per_host: float = 10.0,
+) -> DataFrame:
+    """Freshness-optimal revisit-frequency allocation (Cho &
+    Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers",
+    TODS 2003): given per-page Poisson change rates λ and a per-host
+    revisit budget B (visits per unit time), choose frequencies f_i
+    maximizing expected freshness Σ f_i/(f_i+λ_i) s.t. Σ f_i = B.
+    The Lagrange condition λ/(f+λ)² = μ gives the closed-form
+    water-filling: with t = 1/√μ, ``f_i = t·√λ_i − λ_i`` for pages
+    with λ_i < t² and 0 for the rest — the famous result that a
+    freshness-optimal crawler SKIPS the fastest-changing pages
+    entirely rather than chase them.
+
+    Deterministic solver, one pass per host partition: sort pages by
+    (λ asc, id), running prefix sums S_k=Σλ and Q_k=Σ√λ give the
+    candidate threshold t_k = (B+S_k)/Q_k for every prefix; the
+    optimal active set is the LARGEST prefix with t_k·√λ_k > λ_k
+    (standard water-filling selection), found with one
+    max-of-struct aggregation per host and broadcast back. Every
+    arithmetic step is elementwise IEEE (+,·,/,√ are correctly
+    rounded) over an order-pinned sequential prefix sum, so the
+    result is bit-identical across engines and carries a full value
+    oracle.
+
+    Scale shape: ONE shuffle on host (window partitions), one
+    map-side-combinable per-host agg, one broadcastable k-row join
+    back. Hosts are the parallel unit — the global-window shape this
+    deliberately avoids would serialize the planet through one task.
+
+    Returns (host, id, lam, freq, freshness, active).
+    """
+    w = Window.partitionBy("host").orderBy("lam", "id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.col(lam_col).alias("lam"),
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "s_k": F.sum("lam").over(run),
+            "q_k": F.sum(F.sqrt("lam")).over(run),
+        }
+    )
+    t_k = (F.lit(float(budget_per_host)) + F.col("s_k")) / F.col("q_k")
+    d = d.withColumn("t_k", t_k).withColumn(
+        "valid", F.col("t_k") * F.sqrt("lam") > F.col("lam")
+    )
+    best = (
+        d.groupBy("host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("valid"), F.struct(F.col("rn"), F.col("t_k"))
+                )
+            ).alias("b")
+        )
+        .select(
+            "host",
+            F.col("b.rn").alias("k_star"),
+            F.col("b.t_k").alias("t_star"),
+        )
+    )
+    out = d.join(F.broadcast(best), "host")
+    freq = F.when(
+        F.col("rn") <= F.col("k_star"),
+        F.col("t_star") * F.sqrt("lam") - F.col("lam"),
+    ).otherwise(F.lit(0.0))
+    # no rounding: every value is the same correctly-rounded IEEE
+    # result on any engine (see docstring), and round-to-6 would sit
+    # exactly on decimal half-boundaries where engines disagree
+    return out.select(
+        "host",
+        "id",
+        "lam",
+        freq.alias("freq"),
+        F.when(freq > 0, freq / (freq + F.col("lam")))
+        .otherwise(F.lit(0.0))
+        .alias("freshness"),
+        (F.col("rn") <= F.col("k_star")).cast("int").alias("active"),
     )

@@ -140,3 +140,69 @@ def test_change_rate_single_shuffle_no_python(spark):
     final = plan.split("Initial Plan")[0]
     assert final.count("Exchange hashpartitioning") == 1  # one groupBy
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestFreshnessAllocation:
+    @pytest.fixture(scope="class")
+    def alloc(self, spark):
+        from olx_spark.operators.recrawl import freshness_allocation
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (int(h), int(i), float(lam))
+            for h in range(4)
+            for i, lam in enumerate(rng.uniform(0.05, 5.0, size=40))
+        ]
+        df = spark.createDataFrame(rows, "host long, id long, lam double")
+        out = freshness_allocation(df, "host", "id", "lam", budget_per_host=6.0)
+        return rows, out.collect()
+
+    def test_budget_exhausted_exactly(self, alloc):
+        _, got = alloc
+        by_host = {}
+        for r in got:
+            by_host.setdefault(r["host"], 0.0)
+            by_host[r["host"]] += r["freq"]
+        for h, tot in by_host.items():
+            assert abs(tot - 6.0) < 1e-9, (h, tot)
+
+    def test_kkt_optimality(self, alloc):
+        # concave objective: equal marginal gain lam/(f+lam)^2 = mu on
+        # the active set, and 1/lam <= mu for every inactive page —
+        # these conditions CERTIFY the global optimum
+        _, got = alloc
+        by_host = {}
+        for r in got:
+            by_host.setdefault(r["host"], []).append(r)
+        for h, rows in by_host.items():
+            act = [r for r in rows if r["active"] == 1]
+            inact = [r for r in rows if r["active"] == 0]
+            mus = [r["lam"] / (r["freq"] + r["lam"]) ** 2 for r in act]
+            mu = mus[0]
+            assert all(abs(m - mu) < 1e-9 for m in mus), h
+            for r in inact:
+                assert 1.0 / r["lam"] <= mu + 1e-9, (h, r["lam"])
+
+    def test_fastest_pages_skipped(self, alloc):
+        # the paper's headline: pages changing too fast get ZERO visits
+        _, got = alloc
+        for h in range(4):
+            rows = sorted(
+                (r for r in got if r["host"] == h), key=lambda r: r["lam"]
+            )
+            actives = [r["active"] for r in rows]
+            # active is a prefix of the lam-sorted order
+            assert actives == sorted(actives, reverse=True)
+            assert rows[0]["active"] == 1
+
+    def test_nonnegative_and_freshness_formula(self, alloc):
+        _, got = alloc
+        for r in got:
+            assert r["freq"] >= 0.0
+            if r["freq"] > 0:
+                want = r["freq"] / (r["freq"] + r["lam"])
+                assert abs(r["freshness"] - want) < 1e-12
+            else:
+                assert r["freshness"] == 0.0
