@@ -76,6 +76,33 @@ def _image_corpus_rows(kind: str, n: int, seed: int) -> list[tuple]:
                 rows.append((f"jpg-{i:05d}", encode_image(arr, "jpeg"), "jpeg"))
             _CORPUS_CACHE[key] = rows
             return rows
+        if kind == "charset":
+            # mixed-encoding text corpus for charset_stats: every
+            # ladder branch (ascii / utf-8 / three BOMs / latin-1
+            # fallback / broken utf-16 tail) keyed by index
+            rows = []
+            for i in range(n):
+                # latin-1-encodable on purpose (branch 5 encodes it so)
+                accented = f"página {i} résumé naïve {i * 7}"
+                k = i % 7
+                if k == 0:
+                    data = f"plain ascii doc {i} {seed}".encode("ascii")
+                elif k == 1:
+                    data = accented.encode("utf-8")
+                elif k == 2:
+                    data = b"\xef\xbb\xbf" + accented.encode("utf-8")
+                elif k == 3:
+                    data = b"\xff\xfe" + accented.encode("utf-16-le")
+                elif k == 4:
+                    data = b"\xfe\xff" + accented.encode("utf-16-be")
+                elif k == 5:
+                    data = accented.encode("latin-1")
+                else:
+                    # BOM promises utf-16 but the tail has odd length
+                    data = b"\xff\xfe" + accented.encode("utf-16-le")[:-1]
+                rows.append((f"cs-{i:05d}", data))
+            _CORPUS_CACHE[key] = rows
+            return rows
         if kind == "jpegq":
             # varied-quality jpeg corpus (step_cap=None so the DQT is
             # the pure IJG scaling — what jpeg_quality_stats inverts);
@@ -1537,6 +1564,21 @@ def q_image_features(spark, sf):
     )
 
 
+def q_charset(spark, sf):
+    # charset detection + UTF-8 transcoding (operators/charset.py):
+    # the ingestion step before every text filter. Fixed mixed-
+    # encoding corpus exercising each ladder branch; the oracle
+    # carries driver-side expected rows from the same detector
+    # (plumbing oracle; branch semantics pinned by
+    # tests/test_charset.py against hand-built byte strings).
+    from olx_spark.operators.charset import charset_stats
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("charset", 42, 23), "text_id string, bytes binary"
+    )
+    return charset_stats(df)
+
+
 def q_jpeg_quality(spark, sf):
     # header-only JPEG quality triage (operators/multimodal.py
     # jpeg_quality_stats): DQT scan + exact IJG quality-factor
@@ -2650,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
         "q_jpeg_quality": q_jpeg_quality,
+        "q_charset": q_charset,
         "q_audio_features": q_audio_features,
         "q_video_features": q_video_features,
         "q_video_frames": q_video_frames,
@@ -5250,6 +5293,28 @@ def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """
 
 
+def _sql_charset(n: int = 42, seed: int = 23) -> str:
+    """DuckDB twin of q_charset: expected rows from the same detector
+    on the driver over the shared corpus bytes, inlined as VALUES
+    (plumbing-oracle pattern; the detector's branch semantics are
+    ground-truthed in tests/test_charset.py)."""
+    from olx_spark.operators.charset import detect_and_transcode
+
+    vals = []
+    for text_id, data in _image_corpus_rows("charset", n, seed):
+        r = detect_and_transcode(bytes(data))
+        vals.append(
+            f"('{text_id}', '{r['charset']}', {r['bom']}, {r['n_high']}, "
+            f"'{r['text_md5']}', {r['parse_ok']})"
+        )
+    return f"""
+        select text_id, charset, bom::int as bom, n_high::bigint as n_high,
+               text_md5, parse_ok::int as parse_ok
+        from (values {", ".join(vals)})
+             t(text_id, charset, bom, n_high, text_md5, parse_ok)
+    """
+
+
 def _sql_jpeg_quality(n: int = 36, seed: int = 17) -> str:
     """DuckDB twin of q_jpeg_quality: expected rows computed by the
     same header scan + inversion on the driver over the shared corpus
@@ -6192,6 +6257,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _sql_image_features(),
         "q_jpeg_features": _sql_jpeg_features(),
         "q_jpeg_quality": _sql_jpeg_quality(),
+        "q_charset": _sql_charset(),
         "q_audio_features": _sql_audio_features(),
         "q_video_features": _sql_video_features(),
         "q_video_frames": _sql_video_frames(),
