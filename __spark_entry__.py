@@ -817,6 +817,74 @@ def q_main_content(spark, sf):
     )
 
 
+def q_link_directives(spark, sf):
+    # REP crawl directives beyond robots.txt (which politeness.py
+    # enforces): page-level <meta name="robots"> noindex/nofollow and
+    # link-level rel="nofollow" filtering of discovered hrefs —
+    # deterministic page synthesis exercises every branch (noindex,
+    # none, combined, ugc-nofollow, sponsored-but-followable). Pure
+    # JVM regexp + array lambdas; the frontier gate composes: page
+    # nofollow suppresses the whole follow list.
+    from olx_spark.functions.html import (
+        ANCHOR_TAG_RE,
+        followable_links,
+        robots_meta,
+    )
+
+    did = F.col("doc_id")
+    meta = (
+        F.when(
+            did % 10 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(did % 15 == 0, F.lit('<meta name="robots" content="none">'))
+        .when(did % 7 == 3, F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+
+    def link(j):
+        rel = (
+            F.when((did + j) % 3 == 0, F.lit(' rel="nofollow"'))
+            .when(
+                (F.lit(j) == 3) & (did % 4 == 0), F.lit(' rel="sponsored"')
+            )
+            .when(
+                (F.lit(j) == 2) & (did % 5 == 0), F.lit(' rel="ugc nofollow"')
+            )
+            .otherwise(F.lit(""))
+        )
+        return F.concat(
+            F.lit('<a href="/doc/'),
+            did.cast("string"),
+            F.lit(f'-{j}"'),
+            rel,
+            F.lit(f">t{j}</a>"),
+        )
+
+    page = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body>"),
+        link(0), link(1), link(2), link(3),
+        F.lit("</body></html>"),
+    )
+    d = _t(spark, sf, "documents").select("doc_id", page.alias("page"))
+    m = robots_meta("page")
+    fl = followable_links("page")
+    return d.select(
+        "doc_id",
+        m.getField("noindex").alias("noindex"),
+        m.getField("nofollow").alias("nofollow"),
+        F.size(F.regexp_extract_all("page", F.lit(ANCHOR_TAG_RE), 0)).alias(
+            "n_anchors"
+        ),
+        F.size(fl).alias("n_followable"),
+        F.when(m.getField("nofollow") == 1, F.lit(""))
+        .otherwise(F.array_join(fl, ","))
+        .alias("follow_list"),
+    )
+
+
 def q_warc_roundtrip(spark, sf):
     # WARC (ISO 28500) sink -> source round-trip over the documents
     # table: serialize into per-archive blobs (applyInPandas — the
@@ -2632,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_history": q_snapshot_history,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_cdx_index": q_cdx_index,
+        "q_link_directives": q_link_directives,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -6042,6 +6111,49 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, len(nonblank)::int as n_lines, len(kept)::int as n_kept,
                    array_to_string(list_transform(kept, s -> s.text), ' ') as main_text
             from kp
+        """,
+        "q_link_directives": r"""
+            with d as (
+                select doc_id,
+                       '<html><head>'
+                       || (case when doc_id % 10 = 0 then '<meta name="robots" content="noindex, nofollow">'
+                                when doc_id % 15 = 0 then '<meta name="robots" content="none">'
+                                when doc_id % 7 = 3 then '<meta name="robots" content="noindex">'
+                                else '' end)
+                       || '</head><body>'
+                       || '<a href="/doc/' || doc_id::varchar || '-0"'
+                          || (case when (doc_id + 0) % 3 = 0 then ' rel="nofollow"' else '' end) || '>t0</a>'
+                       || '<a href="/doc/' || doc_id::varchar || '-1"'
+                          || (case when (doc_id + 1) % 3 = 0 then ' rel="nofollow"' else '' end) || '>t1</a>'
+                       || '<a href="/doc/' || doc_id::varchar || '-2"'
+                          || (case when (doc_id + 2) % 3 = 0 then ' rel="nofollow"'
+                                   when doc_id % 5 = 0 then ' rel="ugc nofollow"' else '' end) || '>t2</a>'
+                       || '<a href="/doc/' || doc_id::varchar || '-3"'
+                          || (case when (doc_id + 3) % 3 = 0 then ' rel="nofollow"'
+                                   when doc_id % 4 = 0 then ' rel="sponsored"' else '' end) || '>t3</a>'
+                       || '</body></html>' as page
+                from documents
+            ), m as (
+                select doc_id, page,
+                       regexp_extract(lower(page), '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1) as content,
+                       list_transform(
+                           list_filter(
+                               list_transform(regexp_extract_all(page, '<a\s[^>]*>'),
+                                   t -> {'href': regexp_extract(t, 'href="([^"]*)"', 1),
+                                         'rel': lower(regexp_extract(t, 'rel="([^"]*)"', 1))}),
+                               s -> length(s.href) > 0 and not contains(s.rel, 'nofollow')),
+                           s -> s.href) as fl,
+                       len(regexp_extract_all(page, '<a\s[^>]*>')) as n_anchors
+                from d
+            )
+            select doc_id,
+                   (contains(content, 'none') or contains(content, 'noindex'))::int as noindex,
+                   (contains(content, 'none') or contains(content, 'nofollow'))::int as nofollow,
+                   n_anchors::int as n_anchors,
+                   len(fl)::int as n_followable,
+                   case when contains(content, 'none') or contains(content, 'nofollow')
+                        then '' else array_to_string(fl, ',') end as follow_list
+            from m
         """,
         "q_cdx_index": r"""
             with d as (

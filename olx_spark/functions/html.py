@@ -111,3 +111,54 @@ def extract_main_content(
         out.getField("n_kept").alias("n_kept"),
         out.getField("main_text").alias("main_text"),
     ]
+
+
+# --------------------------------------------------- crawl directives
+
+ANCHOR_TAG_RE = r"<a\s[^>]*>"
+
+
+def robots_meta(col: Column | str) -> Column:
+    """Page-level robots directives from ``<meta name="robots"
+    content="...">`` (the REP meta-tag convention that complements
+    robots.txt, which ``operators/politeness.py`` enforces): struct
+    ``(noindex, nofollow)`` ints. ``none`` means both; a missing tag
+    means neither. Case-insensitive; first matching tag wins (the
+    Google/Bing documented behavior for duplicate tags)."""
+    c = F.col(col) if isinstance(col, str) else col
+    content = F.regexp_extract(
+        F.lower(c), r'<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1
+    )
+    none = content.contains("none")
+    return F.struct(
+        (none | content.contains("noindex")).cast("int").alias("noindex"),
+        (none | content.contains("nofollow")).cast("int").alias("nofollow"),
+    )
+
+
+def followable_links(col: Column | str) -> Column:
+    """hrefs the frontier may expand: every ``<a>`` whose ``rel``
+    does not carry ``nofollow`` (``ugc``/``sponsored`` variants keep
+    their other tokens — only the nofollow token blocks discovery,
+    matching the published REP link-attribute semantics). Page-level
+    ``nofollow`` (:func:`robots_meta`) is the CALLER's gate — it
+    suppresses the whole page, not individual anchors. Pure JVM:
+    one regexp scan for anchor tags, per-tag href/rel extraction in
+    a transform/filter — no explode until the caller wants rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(c, F.lit(ANCHOR_TAG_RE), 0)
+    withattrs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+            F.lower(F.regexp_extract(t, r'rel="([^"]*)"', 1)).alias("rel"),
+        ),
+    )
+    return F.transform(
+        F.filter(
+            withattrs,
+            lambda s: (F.length(s["href"]) > 0)
+            & ~s["rel"].contains("nofollow"),
+        ),
+        lambda s: s["href"],
+    )

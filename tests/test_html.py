@@ -87,3 +87,50 @@ def test_single_pass_plan(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCrawlDirectives:
+    def _row(self, spark, page):
+        from olx_spark.functions.html import followable_links, robots_meta
+
+        df = spark.createDataFrame([(page,)], "page string")
+        m = robots_meta("page")
+        return df.select(
+            m.getField("noindex").alias("noindex"),
+            m.getField("nofollow").alias("nofollow"),
+            followable_links("page").alias("fl"),
+        ).first()
+
+    def test_meta_variants(self, spark):
+        cases = [
+            ('<meta name="robots" content="noindex, nofollow">', 1, 1),
+            ('<meta name="robots" content="none">', 1, 1),
+            ('<meta name="robots" content="noindex">', 1, 0),
+            ('<meta name="robots" content="NOFOLLOW">', 0, 1),  # case-insens
+            ("", 0, 0),
+        ]
+        for meta, ni, nf in cases:
+            r = self._row(spark, f"<html><head>{meta}</head><body></body></html>")
+            assert (r["noindex"], r["nofollow"]) == (ni, nf), meta
+
+    def test_rel_nofollow_variants(self, spark):
+        page = (
+            '<a href="/a">plain</a>'
+            '<a href="/b" rel="nofollow">blocked</a>'
+            '<a href="/c" rel="ugc nofollow">blocked too</a>'
+            '<a href="/d" rel="sponsored">followable</a>'
+            '<a href="/e" rel="NOFOLLOW">blocked caseless</a>'
+            '<a rel="author">no href at all</a>'
+        )
+        r = self._row(spark, page)
+        assert list(r["fl"]) == ["/a", "/d"]
+
+    def test_zero_shuffle_plan(self, spark):
+        from olx_spark.functions.html import followable_links
+
+        df = spark.createDataFrame([("x",)], "page string")
+        plan = (
+            df.select(followable_links("page"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
