@@ -1068,6 +1068,26 @@ def q_c4_clean(spark, sf):
     )
 
 
+def q_cdc_chunks(spark, sf):
+    # content-defined chunking (functions/text.cdc_chunk_fps): the
+    # shift-resilient upgrade of q_chunk_dedup's fixed token windows —
+    # an md5-window rolling boundary condition plus greedy min-size
+    # resolution, all JVM higher-order expressions (no shuffle, no
+    # Python). The oracle replays the same candidates and resolves
+    # the greedy scan with a recursive CTE.
+    from olx_spark.functions.text import cdc_boundaries, cdc_chunk_fps
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(cdc_boundaries("text")).alias("n_cuts"),
+        F.size(cdc_chunk_fps("text")).alias("n_chunks"),
+        F.array_join(
+            F.transform(cdc_chunk_fps("text"), lambda x: x.cast("string")),
+            ",",
+        ).alias("fps"),
+    )
+
+
 def q_chunk_dedup(spark, sf):
     # Chunk-level exact dedup (CCNet's line-dedup pass over fixed
     # 20-token windows): globally-first occurrence wins, per-doc
@@ -2709,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_c4_clean": q_c4_clean,
         "q_chunk_dedup": q_chunk_dedup,
+        "q_cdc_chunks": q_cdc_chunks,
         "q_pii_scrub": q_pii_scrub,
         "q_dedup_exact": q_dedup_exact,
         "q_simhash16": q_simhash16,
@@ -6256,6 +6277,41 @@ def oracle_sql() -> dict[str, str]:
             from cl
         """,
         "q_chunk_dedup": _sql_chunk_dedup(),
+        "q_cdc_chunks": r"""
+            with recursive c as (
+                select doc_id, text as t, length(text) as n,
+                       case when length(text) >= 8 then
+                         [p for p in range(8, length(text)::bigint + 1)
+                          if ('0x' || substr(md5(substr(text, (p - 7)::int, 8)), 1, 15))::bigint % 64 = 0]
+                       else []::bigint[] end as cands
+                from documents
+            ), r(doc_id, cuts) as (
+                select doc_id, []::bigint[] from c
+                union all
+                select r.doc_id, list_append(r.cuts, x.nxt)
+                from r join c using (doc_id),
+                lateral (select list_min([p for p in c.cands
+                          if p >= coalesce(list_last(r.cuts), 0) + 16]) as nxt) x
+                where x.nxt is not null
+            ), best as (
+                select doc_id, arg_max(cuts, len(cuts)) as cuts
+                from r group by doc_id
+            ), full_cuts as (
+                select c.doc_id, c.t, b.cuts,
+                       [0] || b.cuts
+                           || (case when len(b.cuts) = 0 or list_last(b.cuts) < c.n
+                               then [c.n::bigint] else []::bigint[] end) as cc
+                from c join best b using (doc_id)
+            )
+            select doc_id,
+                   len(cuts)::int as n_cuts,
+                   len([i for i in range(1, len(cc)) if cc[i + 1] > cc[i]])::int as n_chunks,
+                   array_to_string(
+                       [(('0x' || substr(md5(substr(t, (cc[i] + 1)::int, (cc[i + 1] - cc[i])::int)), 1, 15))::bigint)::varchar
+                        for i in range(1, len(cc)) if cc[i + 1] > cc[i]],
+                       ',') as fps
+            from full_cuts
+        """,
         "q_pii_scrub": _sql_pii_scrub(),
         "q_token_count": f"""
             select doc_id, ({_sql_token_count('text')})::int as n_tokens

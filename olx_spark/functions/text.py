@@ -582,3 +582,112 @@ def c4_clean(
         st.getField("clean_text").alias("clean_text"),
         keep.cast("int").alias("keep_doc"),
     ]
+
+
+def cdc_boundaries(
+    col: Column | str,
+    window: int = 8,
+    mask_bits: int = 6,
+    min_size: int = 16,
+) -> Column:
+    """Content-defined chunk boundaries of a string (the CDC family —
+    Rabin/gear/FastCDC — reduced to an md5-window rolling hash both
+    engines can replay): position ``t`` (1-based, ``t > window``) is a
+    CANDIDATE when ``md5_60(substring(text, t-window+1, window)) %
+    2^mask_bits == 0`` — a pure function of the ``window`` bytes
+    ending at ``t`` — and candidates closer than ``min_size`` to the
+    previously accepted cut are dropped (the standard min-size gate,
+    resolved left-to-right). Returns the sorted int array of accepted
+    cut positions (each cut ENDS a chunk at ``t``).
+
+    Because the hash sees only a local window, an insertion anywhere
+    perturbs at most the chunks overlapping it — every later boundary
+    re-aligns — which is exactly the property the engine's fixed
+    20-token ``chunk_dedup_stats`` lacks (one inserted word shifts
+    every subsequent fixed chunk and kills dedup). Production CDC
+    adds a max-size force cut and a gear table instead of md5; the
+    md5 window keeps the operator bit-identical across Spark, numpy
+    and DuckDB (full value oracle) at the same asymptotic shape: one
+    pass, row-local, no shuffle, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(window), n),
+                lambda p: F.when(
+                    F.pmod(
+                        md5_60(F.substring(t, p - window + 1, window)),
+                        F.lit(1 << mask_bits),
+                    )
+                    == 0,
+                    p,
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda p: p > 0,
+        )
+        accepted = F.aggregate(
+            cands,
+            F.array().cast("array<int>"),
+            lambda acc, p: F.when(
+                (F.size(acc) == 0) & (p >= min_size)
+                | (F.size(acc) > 0) & (p - F.element_at(acc, -1) >= min_size),
+                F.concat(acc, F.array(p.cast("int"))),
+            ).otherwise(acc),
+        )
+        return F.when(n >= window, accepted).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    return let_(c, body)
+
+
+def cdc_chunk_fps(
+    col: Column | str,
+    window: int = 8,
+    mask_bits: int = 6,
+    min_size: int = 16,
+) -> Column:
+    """md5-60 fingerprints of the content-defined chunks: the text
+    split at :func:`cdc_boundaries` (final partial chunk included).
+    The dedup key set that survives insert/delete shifts."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(b: Column) -> Column:
+        t = b.getField("t")
+        cuts = F.concat(
+            F.array(F.lit(0)),
+            b.getField("cuts"),
+            F.when(
+                (F.size(b.getField("cuts")) == 0)
+                | (F.element_at(b.getField("cuts"), -1) < F.length(t)),
+                F.array(F.length(t).cast("int")),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        idx = F.sequence(F.lit(1), F.size(cuts) - 1)
+        return F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.element_at(cuts, i + 1) > F.element_at(cuts, i),
+                    md5_60(
+                        F.substring(
+                            t,
+                            F.element_at(cuts, i) + 1,
+                            F.element_at(cuts, i + 1) - F.element_at(cuts, i),
+                        )
+                    ),
+                ).otherwise(F.lit(None)),
+            ),
+            lambda fp: fp.isNotNull(),
+        )
+
+    return let_(
+        F.struct(
+            c.alias("t"),
+            cdc_boundaries(c, window, mask_bits, min_size).alias("cuts"),
+        ),
+        body,
+    )

@@ -477,3 +477,67 @@ class TestC4Clean:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Generate" not in plan
+
+
+class TestCdcChunks:
+    BASE = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the old tin roof and the cat sleeps near the warm "
+            "stove dreaming of fish and long summer afternoons") * 2
+
+    @pytest.fixture(scope="class")
+    def chunked(self, spark):
+        from olx_spark.functions.text import cdc_boundaries, cdc_chunk_fps
+
+        rows = [
+            (0, self.BASE),
+            (1, "INSERTED SHIFTY PREFIX :: " + self.BASE),
+            (2, ""),
+            (3, "short"),
+        ]
+        df = spark.createDataFrame(rows, "i int, t string")
+        out = df.select(
+            "i",
+            cdc_boundaries("t").alias("cuts"),
+            cdc_chunk_fps("t").alias("fps"),
+        ).collect()
+        return {r["i"]: (list(r["cuts"]), list(r["fps"])) for r in out}
+
+    def test_min_size_gate(self, chunked):
+        cuts, _ = chunked[0]
+        assert len(cuts) >= 2
+        assert all(b - a >= 16 for a, b in zip([0] + cuts, cuts))
+
+    def test_shift_resilience(self, chunked):
+        # THE property fixed-window chunking lacks: after a prefix
+        # insertion, interior chunk fingerprints re-align
+        _, base_fps = chunked[0]
+        _, shift_fps = chunked[1]
+        shared = set(base_fps) & set(shift_fps)
+        assert len(shared) >= len(set(base_fps)) - 2  # only head/tail differ
+        assert len(shared) >= 1
+
+    def test_fixed_chunking_would_not_share(self, chunked):
+        # control: 20-char fixed windows share nothing after the shift
+        fixed = lambda s: {s[i:i + 20] for i in range(0, len(s), 20)}
+        assert not (fixed(self.BASE) & fixed("INSERTED SHIFTY PREFIX :: " + self.BASE) - {self.BASE[-(len(self.BASE) % 20):]})
+
+    def test_degenerate_inputs(self, chunked):
+        assert chunked[2] == ([], [])
+        cuts, fps = chunked[3]
+        assert cuts == [] and len(fps) == 1  # one whole-text chunk
+
+    def test_chunks_tile_text(self, spark):
+        from olx_spark.functions.text import cdc_boundaries, md5_60
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(self.BASE,)], "t string")
+        cuts = list(df.select(cdc_boundaries("t")).first()[0])
+        cc = [0] + cuts + ([len(self.BASE)] if cuts[-1] < len(self.BASE) else [])
+        pieces = [self.BASE[a:b] for a, b in zip(cc, cc[1:])]
+        assert "".join(pieces) == self.BASE
+        # fps match md5-60 of the exact substrings
+        got = list(df.select(
+            __import__("olx_spark.functions.text", fromlist=["cdc_chunk_fps"]).cdc_chunk_fps("t")
+        ).first()[0])
+        want = [df.sparkSession.range(1).select(md5_60(F.lit(p))).first()[0] for p in pieces]
+        assert got == want
