@@ -2419,6 +2419,37 @@ def q_edit_verify(spark, sf):
     return verify_pairs_editdist(pairs, docs, min_ratio=0.6, max_len=400)
 
 
+def q_path_tree(spark, sf):
+    # site-tree rollup (operators/traps.path_tree_rollup): page +
+    # distinct-host counts per directory prefix at every depth — the
+    # subtree quota input beside q_url_templates' trap report. URLs
+    # synthesized from events with two path shapes; two map-side-
+    # combinable shuffles, hot subtrees collapse before the exchange.
+    from olx_spark.operators.traps import path_tree_rollup
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), F.pmod("event_id", F.lit(8)).cast("string"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".example"),
+        F.lit("/cat"),
+        F.pmod("user_id", F.lit(5)).cast("string"),
+        F.when(
+            F.pmod("event_id", F.lit(2)) == 0,
+            F.concat(
+                F.lit("/sub"),
+                F.pmod("event_id", F.lit(3)).cast("string"),
+                F.lit("/item"),
+                F.col("event_id").cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("/page"), F.pmod("event_id", F.lit(7)).cast("string"))
+        ),
+    )
+    return path_tree_rollup(ev.select(url.alias("url")), max_depth=3)
+
+
 def q_url_templates(spark, sf):
     # crawler-trap detection (Heritrix path-quota recipe): volatile
     # tokens stripped to a URL template (hex runs then digit runs —
@@ -2762,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blur_scores": q_blur_scores,
         "q_domain_quality": q_domain_quality,
         "q_url_templates": q_url_templates,
+        "q_path_tree": q_path_tree,
         "q_seed_distance": q_seed_distance,
         "q_sniff_types": q_sniff_types,
         "q_scd2_history": q_scd2_history,
@@ -6404,6 +6436,31 @@ def oracle_sql() -> dict[str, str]:
         "q_blur_scores": _sql_blur_scores(),
         "q_domain_quality": _sql_domain_quality(),
         "q_url_templates": _sql_url_templates(),
+        "q_path_tree": """
+            with d as (
+                select 'h' || (event_id % 8)::varchar as host,
+                       '/cat' || (user_id % 5)::varchar
+                       || (case when event_id % 2 = 0
+                           then '/sub' || (event_id % 3)::varchar || '/item' || event_id::varchar
+                           else '/page' || (event_id % 7)::varchar end) as path
+                from events
+            ), parts as (
+                select host, list_filter(string_split(path, '/'), x -> length(x) > 0) as ps
+                from d
+            ), p as (
+                select host,
+                       unnest(['/' || array_to_string(ps[1:i], '/')
+                               for i in range(1, least(len(ps), 3) + 1)]) as prefix,
+                       unnest(range(1, least(len(ps), 3) + 1)) as depth
+                from parts
+            ), ph as (
+                select prefix, depth, host, count(*) as n
+                from p group by 1, 2, 3
+            )
+            select prefix, depth::int as depth,
+                   sum(n)::bigint as n_pages, count(*)::bigint as n_hosts
+            from ph group by 1, 2
+        """,
         "q_seed_distance": _sql_seed_distance(),
         "q_sniff_types": _sql_sniff_types(),
         "q_scd2_history": _sql_scd2_history(),

@@ -98,3 +98,55 @@ def mine_url_templates(
             (F.col("n_urls") > F.lit(trap_distinct_urls)).cast("int"),
         )
     )
+
+
+def path_tree_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Site-tree statistics: page and distinct-host counts for every
+    directory prefix of every URL path up to ``max_depth`` — the
+    subtree view a crawl operator reads next to
+    :func:`mine_url_templates`'s trap report, and the input to
+    Heritrix-style per-subtree page QUOTAS (cap fetches under a
+    prefix once its page count explodes).
+
+    Returns ``(prefix, depth, n_pages, n_hosts)`` where ``prefix``
+    is ``/seg1/...`` (leading slash, no trailing); a URL contributes
+    one page-count to each of its ancestor prefixes.
+
+    Scale shape: the prefix fan-out is bounded (``<= max_depth`` rows
+    per URL, built with JVM slice/array_join — no per-row Python),
+    and the distinct-host count is TWO-PHASE — pre-aggregate on
+    ``(prefix, depth, host)`` first, so a hot subtree's millions of
+    pages collapse map-side before the exchange and the second agg
+    counts rows, never holding a distinct-set. Both shuffles are
+    map-side combinable; no windows, no skew funnel."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    u = F.col(url_col)
+    host = F.parse_url(u, F.lit("HOST"))
+    parts = F.filter(
+        F.split(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), "/"),
+        lambda s: F.length(s) > 0,
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS — an empty path must
+    # yield an empty prefix list, not [/, garbage]
+    prefixes = F.when(F.size(parts) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.size(parts), F.lit(max_depth))),
+            lambda i: F.concat(
+                F.lit("/"), F.array_join(F.slice(parts, 1, i), "/")
+            ),
+        )
+    )
+    exploded = df.select(
+        host.alias("__host"), F.posexplode(prefixes).alias("__d", "prefix")
+    ).select("prefix", (F.col("__d") + 1).alias("depth"), "__host")
+    per_host = exploded.groupBy("prefix", "depth", "__host").agg(
+        F.count("*").alias("n")
+    )
+    return per_host.groupBy("prefix", "depth").agg(
+        F.sum("n").alias("n_pages"), F.count("*").alias("n_hosts")
+    )

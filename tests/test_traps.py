@@ -62,3 +62,43 @@ def test_plan_is_two_phase_jvm_only(spark):
     assert "Python" not in plan
     # both aggregations have a partial (map-side) phase
     assert plan.count("partial_count") >= 1
+
+
+class TestPathTreeRollup:
+    def _run(self, spark, urls, max_depth=4):
+        from olx_spark.operators.traps import path_tree_rollup
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            (r["prefix"], r["depth"]): (r["n_pages"], r["n_hosts"])
+            for r in path_tree_rollup(df, max_depth=max_depth).collect()
+        }
+
+    def test_counts_and_ancestors(self, spark):
+        got = self._run(spark, [
+            "https://a.ex/x/y/1",
+            "https://a.ex/x/y/2",
+            "https://b.ex/x/z",
+            "https://b.ex/x",
+        ])
+        assert got[("/x", 1)] == (4, 2)
+        assert got[("/x/y", 2)] == (2, 1)
+        assert got[("/x/y/1", 3)] == (1, 1)
+        assert got[("/x/z", 2)] == (1, 1)
+
+    def test_max_depth_truncates(self, spark):
+        got = self._run(spark, ["https://a.ex/1/2/3/4/5"], max_depth=2)
+        assert set(got) == {("/1", 1), ("/1/2", 2)}
+
+    def test_empty_and_root_paths(self, spark):
+        got = self._run(spark, ["https://a.ex", "https://a.ex/", "https://a.ex/x"])
+        assert set(got) == {("/x", 1)}  # no phantom root prefixes
+
+    def test_bad_depth_refused(self, spark):
+        import pytest as _pytest
+
+        from olx_spark.operators.traps import path_tree_rollup
+
+        df = spark.createDataFrame([("https://a.ex/x",)], "url string")
+        with _pytest.raises(ValueError):
+            path_tree_rollup(df, max_depth=0)
