@@ -1250,6 +1250,21 @@ def q_dedup_decisions(spark, sf):
     return keep_canonical(_dup_comps(spark, sf), scores)
 
 
+def q_equi_depth(spark, sf):
+    # exact equi-depth histogram of l_extendedprice (operators/
+    # profile.equi_depth_histogram): the optimizer statistic, built
+    # with the distributed-prefix-sum pattern (range partition +
+    # per-partition running sums + broadcast offsets) instead of a
+    # global window — no single-task sort of the distinct domain.
+    from olx_spark.operators.profile import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _t(spark, sf, "lineitem").select("l_extendedprice"),
+        "l_extendedprice",
+        k=8,
+    )
+
+
 def q_bloom_join(spark, sf):
     # Bloom-filter semi-join reduction (operators/joins.py): lineitem
     # pruned by a broadcast Bloom built from the ~2% of orders above
@@ -2771,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_join_agg_topk": q_join_agg_topk,
         "q_bloom_join": q_bloom_join,
+        "q_equi_depth": q_equi_depth,
         "q_multi_join": q_multi_join,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
@@ -6586,6 +6602,25 @@ def oracle_sql() -> dict[str, str]:
             )
             select id_a, id_b, round(cs, 6) as cos_sim
             from pairs where cs >= 0.3
+        """,
+        "q_equi_depth": """
+            with c as (
+                select l_extendedprice as v, count(*) as cnt
+                from lineitem group by 1
+            ), r as (
+                select v, cnt,
+                       sum(cnt) over (order by v
+                           rows between unbounded preceding and current row) as cum_end,
+                       (select sum(cnt) from c) as total
+                from c
+            ), a as (
+                select v, cnt,
+                       floor((cum_end * 8 + total - 1) / total)::int as bucket
+                from r
+            )
+            select bucket, min(v)::double as lo, max(v)::double as hi,
+                   sum(cnt)::bigint as n_rows, count(*)::bigint as n_distinct
+            from a group by bucket
         """,
         "q_bloom_join": """
             select l.l_orderkey as orderkey, l.l_linenumber as linenumber,

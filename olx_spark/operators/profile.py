@@ -30,7 +30,7 @@ serves the engine's own catalog/layout story (SURVEY §1.4, §2 ext).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,4 +72,79 @@ def profile_table(
         "n_distinct",
         "min_val",
         "max_val",
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    k: int = 8,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram of a numeric column —
+    the optimizer statistic behind selectivity estimation (Spark's own
+    ANALYZE/CBO histograms are approximate-percentile sketches; this
+    is the exact construction, oracle-checkable). Bucket j of k holds
+    the rows with global rank in ((j-1)·n/k, j·n/k]; a distinct value
+    lands in the bucket of its LAST occurrence, so a heavy hitter
+    spilling past a boundary widens its bucket instead of splitting
+    (the standard merged-boundary convention; the bucket's row count
+    reports the true mass). Returns ``(bucket, lo, hi, n_rows,
+    n_distinct)``.
+
+    Scale shape — the ``vocab_coverage`` distributed-prefix-sum
+    pattern, not a global window: group-count per distinct value
+    (map-side combinable), range-partition by value, per-partition
+    running sums plus broadcast partition offsets give every distinct
+    value its exact global cumulative count with NO single-task sort
+    of the distinct domain."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sess = df.sparkSession
+    if n_parts is None:
+        n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    counted = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counted.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    if not total:
+        return sess.createDataFrame(
+            [], "bucket int, lo double, hi double, n_rows long, n_distinct long"
+        )
+    ranged = (
+        counted.repartitionByRange(n_parts, F.col("__v").asc())
+        .sortWithinPartitions(F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    from olx_spark.session import materialize
+
+    ranged = materialize(ranged)  # pin the physical partition ids
+    parts = sorted(
+        ranged.groupBy("__pid").agg(F.sum("cnt").alias("csum")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    cum_off, offsets = 0, {}
+    for p in parts:
+        offsets[p["__pid"]] = cum_off
+        cum_off += p["csum"]
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(pid, co) for pid, co in offsets.items()], "__pid int, __co long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_end = F.sum("cnt").over(wsum) + F.col("__co")
+    # ceil(cum_end * k / total) in exact integer-valued float64
+    bucket = F.floor(
+        (cum_end * F.lit(k) + F.lit(int(total) - 1)) / F.lit(int(total))
+    ).cast("int")
+    assigned = ranged.join(off_df, "__pid").select(
+        F.col("__v"), "cnt", bucket.alias("bucket")
+    )
+    return assigned.groupBy("bucket").agg(
+        F.min("__v").cast("double").alias("lo"),
+        F.max("__v").cast("double").alias("hi"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
