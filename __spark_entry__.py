@@ -2630,6 +2630,42 @@ def q_freshness_alloc(spark, sf):
     return freshness_allocation(o, "host", "id", "lam", budget_per_host=10.0)
 
 
+def q_revalidation(spark, sf):
+    # RFC 9110 conditional-fetch accounting (operators/fetch.py
+    # revalidation_plan + revalidation_outcomes): due set joined to a
+    # validator cache -> full/conditional modes, resolved against
+    # deterministic server state -> 200/304/404 with the bandwidth
+    # ledger (bytes_saved on 304s). Pure joins + CASE, broadcastable
+    # cache side; the oracle replays both joins in SQL.
+    from olx_spark.functions.text import md5_60
+    from olx_spark.operators.fetch import (
+        revalidation_outcomes,
+        revalidation_plan,
+    )
+
+    k = F.col("o_orderkey")
+    ords = _t(spark, sf, "orders")
+    due = ords.select(k.alias("url_fp"))
+    cache = ords.filter(k % 3 != 0).select(
+        k.alias("url_fp"),
+        F.concat(F.lit("e"), (k % 10).cast("string")).alias("etag"),
+        md5_60(F.concat(F.lit("v1:"), k.cast("string"))).alias("payload_fp"),
+        ((k % 1000) + 100).cast("long").alias("body_bytes"),
+    )
+    changed = k % 4 == 1
+    server = ords.filter(k % 17 != 5).select(
+        k.alias("url_fp"),
+        F.when(changed, F.concat(F.lit("e"), ((k % 10) + 1).cast("string")))
+        .otherwise(F.concat(F.lit("e"), (k % 10).cast("string")))
+        .alias("etag"),
+        F.when(changed, md5_60(F.concat(F.lit("v2:"), k.cast("string"))))
+        .otherwise(md5_60(F.concat(F.lit("v1:"), k.cast("string"))))
+        .alias("payload_fp"),
+        ((k % 1000) + 120).cast("long").alias("body_bytes"),
+    )
+    return revalidation_outcomes(revalidation_plan(due, cache), server)
+
+
 def q_recrawl_due(spark, sf):
     # the refresh half of a standing frontier: exponential-backoff
     # next-due times (shiftleft power of two — exact integers, no
@@ -2849,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_stats": q_tile_stats,
         "q_recrawl_due": q_recrawl_due,
         "q_freshness_alloc": q_freshness_alloc,
+        "q_revalidation": q_revalidation,
         "q_rand_proj": q_rand_proj,
         "q_ssjoin": q_ssjoin,
         "q_bm25_search": q_bm25_search,
@@ -6400,6 +6437,43 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_table": _sql_profile_table(),
         "q_tile_stats": _sql_tile_stats(),
         "q_recrawl_due": _sql_recrawl_due(),
+        "q_revalidation": f"""
+            with cache as (
+                select o_orderkey as url_fp,
+                       'e' || (o_orderkey % 10)::varchar as cached_etag,
+                       {_sql_md5_60("'v1:' || o_orderkey::varchar")} as cached_fp,
+                       ((o_orderkey % 1000) + 100)::bigint as cached_bytes
+                from orders where o_orderkey % 3 != 0
+            ), server as (
+                select o_orderkey as url_fp,
+                       case when o_orderkey % 4 = 1
+                            then 'e' || ((o_orderkey % 10) + 1)::varchar
+                            else 'e' || (o_orderkey % 10)::varchar end as srv_etag,
+                       case when o_orderkey % 4 = 1
+                            then {_sql_md5_60("'v2:' || o_orderkey::varchar")}
+                            else {_sql_md5_60("'v1:' || o_orderkey::varchar")} end as srv_fp,
+                       ((o_orderkey % 1000) + 120)::bigint as srv_bytes
+                from orders where o_orderkey % 17 != 5
+            ), plan as (
+                select o.o_orderkey as url_fp, c.cached_etag, c.cached_fp,
+                       c.cached_bytes,
+                       case when c.cached_etag is not null
+                            then 'conditional' else 'full' end as mode
+                from orders o left join cache c on o.o_orderkey = c.url_fp
+            ), j as (
+                select p.*, s.srv_etag, s.srv_fp, s.srv_bytes,
+                       case when s.srv_etag is null then 404
+                            when p.mode = 'conditional' and s.srv_etag = p.cached_etag then 304
+                            else 200 end as status
+                from plan p left join server s on p.url_fp = s.url_fp
+            )
+            select url_fp, mode, status::int as status,
+                   case when status = 304 then cached_fp
+                        when status = 200 then srv_fp end as payload_fp,
+                   (case when status = 304 then cached_bytes else 0 end)::bigint as bytes_saved,
+                   (case when status = 200 then coalesce(srv_bytes, 0) else 0 end)::bigint as bytes_fetched
+            from j
+        """,
         "q_freshness_alloc": """
             with d as (
                 select o_custkey % 50 as host, o_orderkey as id,

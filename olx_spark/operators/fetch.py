@@ -274,3 +274,77 @@ def fetch_parse_ads(
 def with_lineage(df: DataFrame) -> DataFrame:
     """Per-partition lineage columns for fetch_log (north_rule)."""
     return df.withColumn("partition_id", F.spark_partition_id())
+
+
+def revalidation_plan(
+    due: DataFrame,
+    cache: DataFrame,
+    key: str = "url_fp",
+) -> DataFrame:
+    """Conditional-request planning (RFC 9110 §13) for the refresh
+    crawl: left-join the due set against the validator cache —
+    ``(url_fp, etag, payload_fp, body_bytes)`` from prior fetches —
+    and emit per-URL ``mode``: ``full`` (no cache row, unconditional
+    GET) or ``conditional`` (GET + ``If-None-Match: <etag>``).
+    Broadcast-or-shuffle is Catalyst's choice; the cache side carries
+    only validators, never bodies, so it stays orders of magnitude
+    smaller than the fetch payloads it saves.
+    """
+    c = cache.select(
+        F.col(key),
+        F.col("etag").alias("cached_etag"),
+        F.col("payload_fp").alias("cached_fp"),
+        F.col("body_bytes").alias("cached_bytes"),
+    )
+    return due.join(c, key, "left").withColumn(
+        "mode",
+        F.when(F.col("cached_etag").isNotNull(), F.lit("conditional")).otherwise(
+            F.lit("full")
+        ),
+    )
+
+
+def revalidation_outcomes(
+    plan: DataFrame,
+    server: DataFrame,
+    key: str = "url_fp",
+) -> DataFrame:
+    """Resolve a :func:`revalidation_plan` against current server
+    state ``(url_fp, etag, payload_fp, body_bytes)``: conditional
+    requests whose validator still matches come back ``304`` (body
+    NOT transferred — ``bytes_saved`` = the cached body size, payload
+    reused from cache); everything else is a ``200`` with the fresh
+    payload. Gone URLs (no server row) report ``404`` with nulls.
+    The per-row outputs make the bandwidth ledger a trivial
+    aggregation: ``sum(bytes_saved)`` is the revalidation win the
+    crawl operator tracks.
+    """
+    s = server.select(
+        F.col(key),
+        F.col("etag").alias("srv_etag"),
+        F.col("payload_fp").alias("srv_fp"),
+        F.col("body_bytes").alias("srv_bytes"),
+    )
+    j = plan.join(s, key, "left")
+    not_modified = (F.col("mode") == "conditional") & (
+        F.col("srv_etag") == F.col("cached_etag")
+    )
+    status = (
+        F.when(F.col("srv_etag").isNull(), F.lit(404))
+        .when(not_modified, F.lit(304))
+        .otherwise(F.lit(200))
+    )
+    return j.select(
+        key,
+        "mode",
+        status.alias("status"),
+        F.when(status == 304, F.col("cached_fp"))
+        .when(status == 200, F.col("srv_fp"))
+        .alias("payload_fp"),
+        F.when(status == 304, F.col("cached_bytes"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bytes_saved"),
+        F.when(status == 200, F.coalesce("srv_bytes", F.lit(0)))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bytes_fetched"),
+    )

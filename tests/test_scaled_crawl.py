@@ -497,3 +497,47 @@ def test_retire_rejected_under_bloom(spark, graph, tmp_path_factory, bloom_run):
     ret_df = spark.createDataFrame([("s", "http://x/1")], "name string, url string")
     with pytest.raises(ValueError, match="cannot delete"):
         bloom_run.retire(ret_df)
+
+
+class TestRevalidation:
+    def test_modes_statuses_and_ledger(self, spark):
+        from pyspark.sql import functions as F
+
+        from olx_spark.operators.fetch import (
+            revalidation_outcomes,
+            revalidation_plan,
+        )
+
+        due = spark.createDataFrame([(i,) for i in range(1, 7)], "url_fp long")
+        cache = spark.createDataFrame(
+            [(1, "e1", 101, 500), (2, "e2", 102, 600), (3, "e3", 103, 700)],
+            "url_fp long, etag string, payload_fp long, body_bytes long",
+        )
+        server = spark.createDataFrame(
+            [
+                (1, "e1", 101, 510),    # unchanged -> 304
+                (2, "e9", 202, 620),    # changed -> 200
+                # 3 gone -> 404
+                (4, "e4", 404_0, 400),  # uncached -> full 200
+                (5, "e5", 405_0, 410),
+            ],
+            "url_fp long, etag string, payload_fp long, body_bytes long",
+        )
+        got = {
+            r["url_fp"]: r.asDict()
+            for r in revalidation_outcomes(
+                revalidation_plan(due, cache), server
+            ).collect()
+        }
+        assert got[1]["mode"] == "conditional" and got[1]["status"] == 304
+        assert got[1]["payload_fp"] == 101 and got[1]["bytes_saved"] == 500
+        assert got[1]["bytes_fetched"] == 0
+        assert got[2]["status"] == 200 and got[2]["payload_fp"] == 202
+        assert got[2]["bytes_saved"] == 0 and got[2]["bytes_fetched"] == 620
+        assert got[3]["status"] == 404 and got[3]["payload_fp"] is None
+        assert got[4]["mode"] == "full" and got[4]["status"] == 200
+        assert got[6]["mode"] == "full" and got[6]["status"] == 404
+        # the ledger aggregates trivially
+        out = revalidation_outcomes(revalidation_plan(due, cache), server)
+        saved = out.agg(F.sum("bytes_saved")).first()[0]
+        assert saved == 500
