@@ -120,6 +120,15 @@ HEADLINE = [
     "q_leakage_split",
     "q_pq_encode",
     "q_label_prop",
+    "q_cdx_index",
+    "q_jpeg_quality",
+    "q_charset",
+    "q_freshness_alloc",
+    "q_link_directives",
+    "q_cdc_chunks",
+    "q_path_tree",
+    "q_equi_depth",
+    "q_revalidation",
 ]
 
 REPS = 3

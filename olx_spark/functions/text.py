@@ -649,10 +649,14 @@ def cdc_chunk_fps(
     window: int = 8,
     mask_bits: int = 6,
     min_size: int = 16,
+    cuts: Column | None = None,
 ) -> Column:
     """md5-60 fingerprints of the content-defined chunks: the text
     split at :func:`cdc_boundaries` (final partial chunk included).
-    The dedup key set that survives insert/delete shifts."""
+    The dedup key set that survives insert/delete shifts. Pass a
+    precomputed ``cuts`` column when the caller also emits the
+    boundaries — the candidate scan (one md5 per byte position)
+    dominates the cost and must not run twice."""
     c = F.col(col) if isinstance(col, str) else col
 
     def body(b: Column) -> Column:
@@ -684,10 +688,12 @@ def cdc_chunk_fps(
             lambda fp: fp.isNotNull(),
         )
 
+    cut_col = (
+        cuts
+        if cuts is not None
+        else cdc_boundaries(c, window, mask_bits, min_size)
+    )
     return let_(
-        F.struct(
-            c.alias("t"),
-            cdc_boundaries(c, window, mask_bits, min_size).alias("cuts"),
-        ),
+        F.struct(c.alias("t"), cut_col.alias("cuts")),
         body,
     )
