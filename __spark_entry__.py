@@ -817,6 +817,73 @@ def q_main_content(spark, sf):
     )
 
 
+def q_canonical_dedup(spark, sf):
+    # head-metadata extraction + canonical-URL dedup (functions/
+    # html.head_metadata): <link rel="canonical"> is the server's own
+    # duplicate declaration — groups of 4 synthesized pages share a
+    # canonical parent (some pages omit the tag = self-canonical),
+    # and the decision log reports each page's canonical target, the
+    # keep verdict, and the variant count per target (map-side
+    # combinable count + broadcast join back).
+    from olx_spark.functions.html import head_metadata
+
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://ex.org/p/"), did.cast("string"))
+    parent = (did - (did % 4)).cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit("</title>"),
+        F.when(
+            (did % 4 != 0) & (did % 8 != 1),
+            F.concat(
+                F.lit('<link rel="canonical" href="https://ex.org/p/'),
+                parent,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG '),
+                did.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://img.ex/'),
+                did.cast("string"),
+                F.lit('.jpg">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    d = _t(spark, sf, "documents").select(
+        "doc_id", url.alias("url"), page.alias("page")
+    )
+    m = head_metadata("page")
+    ex = d.select(
+        "doc_id",
+        "url",
+        m.getField("title").alias("title"),
+        m.getField("og_title").alias("og_title"),
+        m.getField("og_image").alias("og_image"),
+        F.coalesce(m.getField("canonical"), F.col("url")).alias("canon_target"),
+    )
+    counts = ex.groupBy("canon_target").agg(F.count("*").alias("n_variants"))
+    return ex.join(F.broadcast(counts), "canon_target").select(
+        "doc_id",
+        "title",
+        "og_title",
+        "og_image",
+        "canon_target",
+        (F.col("url") == F.col("canon_target")).cast("int").alias("is_canonical"),
+        "n_variants",
+    )
+
+
 def q_link_directives(spark, sf):
     # REP crawl directives beyond robots.txt (which politeness.py
     # enforces): page-level <meta name="robots"> noindex/nofollow and
@@ -2828,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_cdx_index": q_cdx_index,
         "q_link_directives": q_link_directives,
+        "q_canonical_dedup": q_canonical_dedup,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -6242,6 +6310,39 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, len(nonblank)::int as n_lines, len(kept)::int as n_kept,
                    array_to_string(list_transform(kept, s -> s.text), ' ') as main_text
             from kp
+        """,
+        "q_canonical_dedup": r"""
+            with d as (
+                select doc_id,
+                       'https://ex.org/p/' || doc_id::varchar as url,
+                       '<html><head><title>Doc ' || doc_id::varchar || '</title>'
+                       || (case when doc_id % 4 != 0 and doc_id % 8 != 1
+                           then '<link rel="canonical" href="https://ex.org/p/'
+                                || (doc_id - (doc_id % 4))::varchar || '">'
+                           else '' end)
+                       || (case when doc_id % 2 = 0
+                           then '<meta property="og:title" content="OG ' || doc_id::varchar || '">'
+                           else '' end)
+                       || (case when doc_id % 3 = 0
+                           then '<meta property="og:image" content="https://img.ex/' || doc_id::varchar || '.jpg">'
+                           else '' end)
+                       || '</head><body>x</body></html>' as page
+                from documents
+            ), ex as (
+                select doc_id, url,
+                       nullif(regexp_extract(page, '<title>([^<]*)</title>', 1), '') as title,
+                       nullif(regexp_extract(page, '<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1), '') as og_title,
+                       nullif(regexp_extract(page, '<meta[^>]*property="og:image"[^>]*content="([^"]*)"', 1), '') as og_image,
+                       coalesce(nullif(regexp_extract(page, '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''), url) as canon_target
+                from d
+            ), c as (
+                select canon_target, count(*) as n_variants from ex group by 1
+            )
+            select ex.doc_id, ex.title, ex.og_title, ex.og_image,
+                   ex.canon_target,
+                   (ex.url = ex.canon_target)::int as is_canonical,
+                   c.n_variants
+            from ex join c using (canon_target)
         """,
         "q_link_directives": r"""
             with d as (

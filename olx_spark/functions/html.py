@@ -162,3 +162,28 @@ def followable_links(col: Column | str) -> Column:
         ),
         lambda s: s["href"],
     )
+
+
+def head_metadata(col: Column | str) -> Column:
+    """Head-metadata extraction: struct ``(title, canonical,
+    og_title, og_image)`` — the fields a crawl pipeline reads before
+    anything else: ``<link rel="canonical">`` feeds canonical-URL
+    dedup (the server's own statement that two fetched URLs are one
+    document — cheaper and stronger than any content similarity when
+    present), og:* carry the curator-facing title/image. Missing
+    fields are NULL (regexp_extract misses map '' -> NULL via
+    nullif). Attribute order is as emitted by the synthesis/common
+    CMSes (rel before href, property before content); a production
+    pass adds the swapped-order alternates to the same regexps.
+    Pure JVM, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def ex(pat: str) -> Column:
+        return F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+
+    return F.struct(
+        ex(r"<title>([^<]*)</title>").alias("title"),
+        ex(r'<link[^>]*rel="canonical"[^>]*href="([^"]*)"').alias("canonical"),
+        ex(r'<meta[^>]*property="og:title"[^>]*content="([^"]*)"').alias("og_title"),
+        ex(r'<meta[^>]*property="og:image"[^>]*content="([^"]*)"').alias("og_image"),
+    )

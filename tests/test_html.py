@@ -134,3 +134,49 @@ class TestCrawlDirectives:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Generate" not in plan
+
+
+class TestHeadMetadata:
+    def test_extraction_and_nulls(self, spark):
+        from olx_spark.functions.html import head_metadata
+
+        page = (
+            "<html><head><title>The Title</title>"
+            '<link rel="canonical" href="https://ex.org/canon">'
+            '<meta property="og:title" content="OG Title">'
+            "</head><body></body></html>"
+        )
+        df = spark.createDataFrame([(page,), ("<html>no head</html>",)], "page string")
+        rows = [r["m"].asDict() for r in df.select(head_metadata("page").alias("m")).collect()]
+        assert rows[0] == {
+            "title": "The Title",
+            "canonical": "https://ex.org/canon",
+            "og_title": "OG Title",
+            "og_image": None,
+        }
+        assert rows[1] == {"title": None, "canonical": None,
+                           "og_title": None, "og_image": None}
+
+    def test_canonical_dedup_semantics(self, spark):
+        from olx_spark.functions.html import head_metadata
+        from pyspark.sql import functions as F
+
+        # three variants point at one canonical; the canonical page
+        # itself has no tag
+        rows = [
+            ("https://ex.org/a", ""),
+            ("https://ex.org/a?utm=1", '<link rel="canonical" href="https://ex.org/a">'),
+            ("https://ex.org/a?ref=x", '<link rel="canonical" href="https://ex.org/a">'),
+            ("https://ex.org/b", ""),
+        ]
+        df = spark.createDataFrame(rows, "url string, page string")
+        m = head_metadata("page")
+        ex = df.select(
+            "url", F.coalesce(m.getField("canonical"), F.col("url")).alias("t")
+        )
+        got = {r["url"]: r["t"] for r in ex.collect()}
+        assert got["https://ex.org/a?utm=1"] == "https://ex.org/a"
+        assert got["https://ex.org/b"] == "https://ex.org/b"
+        n = ex.groupBy("t").count().collect()
+        assert {r["t"]: r["count"] for r in n} == {
+            "https://ex.org/a": 3, "https://ex.org/b": 1}
