@@ -2722,6 +2722,70 @@ def q_freshness_alloc(spark, sf):
     return freshness_allocation(o, "host", "id", "lam", budget_per_host=10.0)
 
 
+def q_cache_ttl(spark, sf):
+    # RFC 9111 shared-cache freshness (functions/durations.
+    # cache_control_ttl): every directive branch exercised — s-maxage
+    # precedence, no-store/no-cache/private blocks (incl. the
+    # no-cache="set-cookie" field-argument lookalike), bare
+    # extension tokens, heuristic (null) freshness. Scan-local JVM
+    # regexp; pairs with q_revalidation's validator ledger.
+    from olx_spark.functions.durations import cache_control_ttl
+
+    e = F.col("event_id")
+    hdr = (
+        F.when(e % 7 == 0, F.concat(F.lit("max-age="), (60 * (e % 24)).cast("string"), F.lit(", public")))
+        .when(e % 7 == 1, F.lit("no-store"))
+        .when(e % 7 == 2, F.concat(F.lit("s-maxage="), (30 * (e % 10)).cast("string"), F.lit(", max-age=999")))
+        .when(e % 7 == 3, F.lit(""))
+        .when(e % 7 == 4, F.lit('no-cache="set-cookie", max-age=60'))
+        .when(e % 7 == 5, F.lit("private, max-age=30"))
+        .otherwise(F.concat(F.lit("immutable, max-age="), (e % 500).cast("string")))
+    )
+    d = _t(spark, sf, "events").select("event_id", hdr.alias("cc"))
+    m = cache_control_ttl("cc")
+    return d.select(
+        "event_id",
+        "cc",
+        m.getField("cacheable").alias("cacheable"),
+        m.getField("ttl_s").alias("ttl_s"),
+    )
+
+
+def q_robots_sitemaps(spark, sf):
+    # sitemap discovery from robots.txt (operators/politeness.
+    # robots_sitemap_urls — RFC 9309 §2.3 other-records + sitemaps.org
+    # protocol): per-host robots bodies with 0-3 declarations in mixed
+    # case, one with a trailing comment; one row per discovered URL in
+    # file order. This is the frontier-seeding hop between the robots
+    # fetch (politeness.py) and sitemap parsing (sitemaps.py).
+    from olx_spark.operators.politeness import robots_sitemap_urls
+
+    k = F.col("s_suppkey")
+    host = F.concat(F.lit("h"), k.cast("string"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            k % 4 >= 1,
+            F.concat(F.lit("Sitemap: https://"), host, F.lit(".ex/a.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 >= 2,
+            F.concat(F.lit("sitemap:https://"), host, F.lit(".ex/b.xml # alt\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 >= 3,
+            F.concat(F.lit("SITEMAP: https://cdn.ex/"), host, F.lit(".xml.gz\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2\n"),
+    )
+    d = _t(spark, sf, "supplier").select(
+        host.alias("host"), robots_sitemap_urls(body).alias("sm")
+    )
+    return d.select(
+        "host", F.posexplode("sm").alias("pos", "sitemap_url")
+    )
+
+
 def q_revalidation(spark, sf):
     # RFC 9110 conditional-fetch accounting (operators/fetch.py
     # revalidation_plan + revalidation_outcomes): due set joined to a
@@ -2979,6 +3043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_due": q_recrawl_due,
         "q_freshness_alloc": q_freshness_alloc,
         "q_revalidation": q_revalidation,
+        "q_cache_ttl": q_cache_ttl,
+        "q_robots_sitemaps": q_robots_sitemaps,
         "q_rand_proj": q_rand_proj,
         "q_ssjoin": q_ssjoin,
         "q_bm25_search": q_bm25_search,
@@ -6563,6 +6629,61 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_table": _sql_profile_table(),
         "q_tile_stats": _sql_tile_stats(),
         "q_recrawl_due": _sql_recrawl_due(),
+        "q_cache_ttl": r"""
+            with d as (
+                select event_id,
+                       case when event_id % 7 = 0 then 'max-age=' || (60 * (event_id % 24))::varchar || ', public'
+                            when event_id % 7 = 1 then 'no-store'
+                            when event_id % 7 = 2 then 's-maxage=' || (30 * (event_id % 10))::varchar || ', max-age=999'
+                            when event_id % 7 = 3 then ''
+                            when event_id % 7 = 4 then 'no-cache="set-cookie", max-age=60'
+                            when event_id % 7 = 5 then 'private, max-age=30'
+                            else 'immutable, max-age=' || (event_id % 500)::varchar end as cc
+                from events
+            ), m as (
+                select event_id, cc, lower(cc) as low,
+                       (regexp_matches(lower(cc), '(?:^|[,\s])no-store(?:$|[,\s])')
+                        or regexp_matches(lower(cc), '(?:^|[,\s])no-cache(?:$|[,\s=])')
+                        or regexp_matches(lower(cc), '(?:^|[,\s])private(?:$|[,\s=])')) as blocked,
+                       nullif(regexp_extract(lower(cc), '(?:^|[,\s])s-maxage\s*=\s*(\d+)', 1), '')::bigint as smax,
+                       nullif(regexp_extract(lower(cc), '(?:^|[,\s])max-age\s*=\s*(\d+)', 1), '')::bigint as mage
+                from d
+            )
+            select event_id, cc,
+                   (not blocked)::int as cacheable,
+                   (case when blocked then 0 else coalesce(smax, mage) end)::bigint as ttl_s
+            from m
+        """,
+        "q_robots_sitemaps": r"""
+            with d as (
+                select 'h' || s_suppkey::varchar as host,
+                       'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+                       || (case when s_suppkey % 4 >= 1
+                           then 'Sitemap: https://h' || s_suppkey::varchar || '.ex/a.xml' || chr(10) else '' end)
+                       || (case when s_suppkey % 4 >= 2
+                           then 'sitemap:https://h' || s_suppkey::varchar || '.ex/b.xml # alt' || chr(10) else '' end)
+                       || (case when s_suppkey % 4 >= 3
+                           then 'SITEMAP: https://cdn.ex/h' || s_suppkey::varchar || '.xml.gz' || chr(10) else '' end)
+                       || 'Crawl-delay: 2' || chr(10) as body
+                from supplier
+            ), sm as (
+                select host,
+                       list_filter(
+                           list_transform(string_split(body, chr(10)),
+                               l -> case when starts_with(lower(trim(l)), 'sitemap:')
+                                    then trim(regexp_replace(substr(trim(l), strpos(trim(l), ':') + 1), '#.*$', ''))
+                                    end),
+                           v -> v is not null and length(v) > 0) as urls
+                from d
+            )
+            select host, u.pos::int as pos, u.sitemap_url
+            from (
+                select host,
+                       unnest([{'pos': i - 1, 'sitemap_url': urls[i]}
+                               for i in range(1, len(urls) + 1)]) as u
+                from sm
+            )
+        """,
         "q_revalidation": f"""
             with cache as (
                 select o_orderkey as url_fp,

@@ -53,3 +53,37 @@ def duration_ago_seconds(col: Column | str) -> Column:
             unit_map[F.element_at(F.split(m, " "), 2)], F.lit(0)
         ).cast("bigint"),
     )
+
+
+def cache_control_ttl(col: Column | str) -> Column:
+    """HTTP ``Cache-Control`` freshness for a SHARED cache (which a
+    crawler is — RFC 9111 §4.2.1 precedence): struct ``(cacheable,
+    ttl_s)``. ``no-store``/``no-cache``/``private`` -> not cacheable,
+    ttl 0; otherwise ``s-maxage`` wins over ``max-age``; neither
+    directive -> cacheable with NULL ttl (heuristic freshness, the
+    caller's policy). Token matching is word-anchored on the
+    lowercased header so ``no-cache="set-cookie"``-style field
+    arguments or lookalike extensions don't false-positive. Pure JVM
+    regexp — runs against billions of stored response headers as a
+    scan-local projection."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def grab(directive: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(
+                F.lower(c), rf"(?:^|[,\s]){directive}\s*=\s*(\d+)", 1
+            ),
+            F.lit(""),
+        ).cast("bigint")
+
+    low = F.lower(c)
+    blocked = (
+        low.rlike(r"(?:^|[,\s])no-store(?:$|[,\s])")
+        | low.rlike(r"(?:^|[,\s])no-cache(?:$|[,\s=])")
+        | low.rlike(r"(?:^|[,\s])private(?:$|[,\s=])")
+    )
+    ttl = F.coalesce(grab("s-maxage"), grab("max-age"))
+    return F.struct(
+        (~blocked).cast("int").alias("cacheable"),
+        F.when(blocked, F.lit(0).cast("bigint")).otherwise(ttl).alias("ttl_s"),
+    )

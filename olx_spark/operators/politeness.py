@@ -330,3 +330,33 @@ def rate_limit_audit(
     return fetches.withColumn("n_in_window", n.cast("long")).withColumn(
         "violation", (F.col("n_in_window") > max_in_window).cast("int")
     )
+
+
+
+def robots_sitemap_urls(col: Column | str) -> Column:
+    """``Sitemap:`` URLs declared in a robots.txt body (RFC 9309 §2.3
+    other-records convention; the sitemaps.org discovery mechanism):
+    the field is case-insensitive and GLOBAL — valid anywhere in the
+    file, outside any user-agent group — so extraction is a pure line
+    scan: split lines, keep ``sitemap:`` lines, take the text after
+    the FIRST colon (the URL itself contains colons), strip a
+    trailing ``#`` comment, trim. Returns array<string> in file order
+    (a host may declare several; empty when none). Feeds
+    :mod:`olx_spark.operators.sitemaps` parsing, which seeds the
+    frontier. Zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def value_of(l: Column) -> Column:
+        t = F.trim(l)
+        after_colon = F.substring(
+            t, (F.instr(t, ":") + 1).cast("int"), F.length(t)
+        )
+        return F.trim(F.regexp_replace(after_colon, "#.*$", ""))
+
+    vals = F.transform(
+        F.split(c, "\n"),
+        lambda l: F.when(
+            F.lower(F.trim(l)).startswith("sitemap:"), value_of(l)
+        ),
+    )
+    return F.filter(vals, lambda v: v.isNotNull() & (F.length(v) > 0))

@@ -599,3 +599,49 @@ def test_budget_alloc_tie_breaks_on_host_and_edge_cases(spark):
     assert allocate_budget(empty, 5).count() == 0
     with pytest.raises(ValueError):
         allocate_budget(tied, -1)
+
+
+def test_robots_sitemap_urls(spark):
+    from pyspark.sql import functions as F
+
+    from olx_spark.operators.politeness import robots_sitemap_urls
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://ex.org/sitemap.xml\n"
+        "sitemap:https://ex.org/sm2.xml  # alt index\n"
+        "SITEMAP: https://cdn.ex.org/a.xml.gz\n"
+        "  Sitemap: https://ex.org/indented.xml\n"
+        "NotSitemap: https://ex.org/no.xml\n"
+        "Crawl-delay: 2\n"
+    )
+    df = spark.createDataFrame([(robots,), ("User-agent: *\n",), ("",)], "r string")
+    got = [list(r[0]) for r in df.select(robots_sitemap_urls("r")).collect()]
+    assert got[0] == [
+        "https://ex.org/sitemap.xml",
+        "https://ex.org/sm2.xml",
+        "https://cdn.ex.org/a.xml.gz",
+        "https://ex.org/indented.xml",
+    ]
+    assert got[1] == [] and got[2] == []
+
+
+def test_cache_control_ttl(spark):
+    from olx_spark.functions.durations import cache_control_ttl
+
+    cases = [
+        ("max-age=600, public", 1, 600),
+        ("no-store", 0, 0),
+        ("s-maxage=120, max-age=600", 1, 120),   # shared-cache precedence
+        ("", 1, None),                            # heuristic freshness
+        ('no-cache="set-cookie", max-age=60', 0, 0),
+        ("private, max-age=30", 0, 0),
+        ("immutable", 1, None),
+        ("MAX-AGE=5", 1, 5),                      # case-insensitive
+        ("xmax-age=7", 1, None),                  # token-anchored: no match
+    ]
+    df = spark.createDataFrame([(c,) for c, _, _ in cases], "h string")
+    got = [r["m"].asDict() for r in df.select(cache_control_ttl("h").alias("m")).collect()]
+    for (hdr, cacheable, ttl), g in zip(cases, got):
+        assert g == {"cacheable": cacheable, "ttl_s": ttl}, hdr
