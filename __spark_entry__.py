@@ -1180,6 +1180,27 @@ def q_cdc_chunks(spark, sf):
     )
 
 
+def q_mojibake(spark, sf):
+    # encoding-damage detection (functions/text.mojibake_score): the
+    # downstream complement of q_charset — U+FFFD replacement chars
+    # and latin-1-double-encoding artifacts planted on mod-keyed
+    # docs; flag + fraction per doc. Pure length-arithmetic JVM.
+    from olx_spark.functions.text import mojibake_score
+
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 9 == 0, F.lit(" cafÃ© naÃ¯ve rÃ©sumÃ©")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" bad � char � here")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" â€œquotedâ€ text Â dash")).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", aug.alias("aug"))
+        .select("doc_id", *mojibake_score("aug"))
+    )
+
+
 def q_chunk_dedup(spark, sf):
     # Chunk-level exact dedup (CCNet's line-dedup pass over fixed
     # 20-token windows): globally-first occurrence wins, per-doc
@@ -2967,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_gopher_rules": q_gopher_rules,
         "q_c4_clean": q_c4_clean,
+        "q_mojibake": q_mojibake,
         "q_chunk_dedup": q_chunk_dedup,
         "q_cdc_chunks": q_cdc_chunks,
         "q_pii_scrub": q_pii_scrub,
@@ -6513,6 +6535,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_repetition_stats": _sql_repetition_stats(),
         "q_gopher_rules": _sql_gopher_rules(),
+        "q_mojibake": """
+            with d as (
+                select doc_id, text
+                       || (case when doc_id % 9 = 0 then ' cafÃ© naÃ¯ve rÃ©sumÃ©' else '' end)
+                       || (case when doc_id % 11 = 0 then ' bad � char � here' else '' end)
+                       || (case when doc_id % 13 = 0 then ' â€œquotedâ€ text Â dash' else '' end) as aug
+                from documents
+            ), m as (
+                select doc_id, aug,
+                       ((length(aug) - length(replace(aug, '�', ''))))::int as n_repl,
+                       ((length(aug) - length(replace(aug, 'Ã', '')))
+                        + (length(aug) - length(replace(aug, 'Â', '')))
+                        + ((length(aug) - length(replace(aug, 'â€', ''))) / 2)::int)::int as n_double
+                from d
+            )
+            select doc_id, n_repl, n_double,
+                   round(case when length(aug) = 0 then 0.0
+                         else (n_repl + n_double) / length(aug)::double end, 6) as mojibake_frac,
+                   ((n_repl + n_double) > 0)::int as is_mojibake
+            from m
+        """,
         "q_c4_clean": r"""
             with d as (
                 select doc_id, concat_ws(chr(10),

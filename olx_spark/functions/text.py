@@ -697,3 +697,46 @@ def cdc_chunk_fps(
         F.struct(c.alias("t"), cut_col.alias("cuts")),
         body,
     )
+
+
+# Classic UTF-8-decoded-as-latin1/cp1252 artifacts: the lead bytes of
+# accented Latin (0xC3 'Ã', 0xC2 'Â') and the cp1252 rendering of
+# U+20xx punctuation ('â€œ' opening quote, 'â€"' dash, ...). Their
+# presence in supposedly-clean text is the canonical mojibake tell.
+MOJIBAKE_MARKERS: list[str] = ["�", "Ã", "Â", "â€"]
+
+
+def mojibake_score(col: Column | str) -> list[Column]:
+    """Encoding-damage signals as named columns ``(n_repl, n_double,
+    mojibake_frac, is_mojibake)``: U+FFFD replacement characters
+    (a decoder already gave up) and double-encoding artifact counts
+    (UTF-8 bytes decoded as latin-1/cp1252 — see MOJIBAKE_MARKERS),
+    the fraction of characters involved, and the flag a curation
+    pipeline filters on. The downstream complement of
+    ``operators/charset.py``: charset detection fixes what arrives
+    MISLABELED; this catches text that was already transcoded wrongly
+    UPSTREAM and can only be dropped or re-fetched. Length-arithmetic
+    occurrences only — whole-stage codegen, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(t: Column) -> Column:
+        n_repl = occurrences(t, "�")
+        n_double = sum(
+            (occurrences(t, m) for m in MOJIBAKE_MARKERS[1:]), F.lit(0)
+        )
+        n = F.length(t)
+        frac = F.when(n == 0, F.lit(0.0)).otherwise(
+            (n_repl + n_double) / n.cast("double")
+        )
+        return F.struct(
+            n_repl.alias("n_repl"),
+            n_double.alias("n_double"),
+            F.round(frac, 6).alias("mojibake_frac"),
+            ((n_repl + n_double) > 0).cast("int").alias("is_mojibake"),
+        )
+
+    st = let_(c, body)
+    return [
+        st.getField(f).alias(f)
+        for f in ("n_repl", "n_double", "mojibake_frac", "is_mojibake")
+    ]

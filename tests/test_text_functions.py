@@ -541,3 +541,23 @@ class TestCdcChunks:
         ).first()[0])
         want = [df.sparkSession.range(1).select(md5_60(F.lit(p))).first()[0] for p in pieces]
         assert got == want
+
+
+def test_mojibake_score(spark):
+    from olx_spark.functions.text import mojibake_score
+
+    rows = [
+        (0, "perfectly clean ascii text here"),
+        (1, "decoder gave up \ufffd twice \ufffd"),
+        (2, "caf\u00c3\u00a9 double encoded"),
+        (3, "\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d t"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r["i"]: r.asDict() for r in df.select("i", *mojibake_score("t")).collect()}
+    assert got[0]["is_mojibake"] == 0 and got[0]["mojibake_frac"] == 0.0
+    assert got[1]["n_repl"] == 2 and got[1]["is_mojibake"] == 1
+    assert got[2]["n_double"] >= 1 and got[2]["is_mojibake"] == 1
+    assert got[3]["n_double"] >= 2 and got[3]["is_mojibake"] == 1
+    assert got[4] == {"i": 4, "n_repl": 0, "n_double": 0,
+                      "mojibake_frac": 0.0, "is_mojibake": 0}
