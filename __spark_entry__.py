@@ -1795,6 +1795,22 @@ def q_charset(spark, sf):
     return charset_stats(df)
 
 
+def q_colorfulness(spark, sf):
+    # Hasler-Süsstrunk colourfulness + brightness curation triage
+    # (operators/multimodal.colorfulness_stats) over the letterbox
+    # corpus (uniform/bordered images give real low-color cases, the
+    # planted garbage exercises decode_ok=0). VALUES plumbing oracle;
+    # the metric itself is pinned by tests/test_multimodal.py
+    # (grayscale ~ 0, saturated-opponent ~ large).
+    from olx_spark.operators.multimodal import colorfulness_stats
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("boxed", 64, 9),
+        "image_id string, bytes binary, fmt string",
+    )
+    return colorfulness_stats(df)
+
+
 def q_jpeg_quality(spark, sf):
     # header-only JPEG quality triage (operators/multimodal.py
     # jpeg_quality_stats): DQT scan + exact IJG quality-factor
@@ -3045,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": q_image_features,
         "q_jpeg_features": q_jpeg_features,
         "q_jpeg_quality": q_jpeg_quality,
+        "q_colorfulness": q_colorfulness,
         "q_charset": q_charset,
         "q_audio_features": q_audio_features,
         "q_video_features": q_video_features,
@@ -5649,6 +5666,32 @@ def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """
 
 
+def _sql_colorfulness(n: int = 64, seed: int = 9, cut: float = 12.0) -> str:
+    """DuckDB twin of q_colorfulness: expected rows from the same
+    decode + metric on the driver (VALUES plumbing oracle, the
+    q_jpeg_features pattern)."""
+    from olx_spark.fixtures.images import decode_image
+    from olx_spark.operators.multimodal import colorfulness_metric
+
+    vals = []
+    for image_id, data, fmt in _image_corpus_rows("boxed", n, seed):
+        try:
+            arr = decode_image(bytes(data), fmt)
+            m, br = colorfulness_metric(arr)
+            vals.append(
+                f"('{image_id}', {round(m, 6)!r}::double, "
+                f"{round(br, 6)!r}::double, {int(m < cut)}, 1)"
+            )
+        except Exception:
+            vals.append(f"('{image_id}', NULL, NULL, NULL, 0)")
+    return f"""
+        select image_id, colorfulness, brightness,
+               is_low_color::int as is_low_color, decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, colorfulness, brightness, is_low_color, decode_ok)
+    """
+
+
 def _sql_charset(n: int = 42, seed: int = 23) -> str:
     """DuckDB twin of q_charset: expected rows from the same detector
     on the driver over the shared corpus bytes, inlined as VALUES
@@ -6863,6 +6906,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jpeg_features": _sql_jpeg_features(),
         "q_jpeg_quality": _sql_jpeg_quality(),
         "q_charset": _sql_charset(),
+        "q_colorfulness": _sql_colorfulness(),
         "q_audio_features": _sql_audio_features(),
         "q_video_features": _sql_video_features(),
         "q_video_frames": _sql_video_frames(),

@@ -919,3 +919,88 @@ def jpeg_quality_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(
         run, schema=JPEG_QUALITY_SCHEMA
     )
+
+
+# -------------------------------------------------- color curation
+
+COLORFULNESS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("colorfulness", DoubleType()),
+        StructField("brightness", DoubleType()),
+        StructField("is_low_color", IntegerType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+
+def colorfulness_metric(arr: np.ndarray) -> tuple[float, float]:
+    """(colorfulness, brightness) of an (h, w, 3) uint8 image —
+    Hasler & Süsstrunk, "Measuring colourfulness in natural images"
+    (SPIE 2003): with the opponent components rg = R-G and
+    yb = (R+G)/2 - B, M = sqrt(σ_rg² + σ_yb²) + 0.3·sqrt(μ_rg² +
+    μ_yb²). All intermediate sums are exact integers in float64
+    (|rg|,|2yb| ≤ 510; squares ≤ 2^18; image sums ≤ 2^38), so the
+    float result is bit-deterministic across numpy runs — the VALUES
+    oracle condition. Brightness is the plain gray mean."""
+    px = arr.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    sigma = float(np.sqrt(rg.var() + yb.var()))
+    mu = float(np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
+    m = sigma + 0.3 * mu
+    brightness = float(px.mean())
+    return m, brightness
+
+
+def colorfulness_stats(df: DataFrame, low_color_cut: float = 12.0) -> DataFrame:
+    """Per-image color curation triage: the Hasler-Süsstrunk
+    colourfulness metric + brightness, with the ``is_low_color`` flag
+    a scraped-image pipeline drops on (near-grayscale thumbnails,
+    blank placeholders — the DataComp-style cheap visual filter next
+    to :func:`blur_scores` and :func:`image_borders`). Input
+    ``(image_id, bytes, fmt)``; corrupt bytes flag ``decode_ok=0``.
+    Arrow-batched mapInPandas, zero shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                if fmt not in KNOWN_FMTS:
+                    # schema/config error, not corrupt bytes: loud
+                    raise ValueError(
+                        f"unknown fmt {fmt!r} for image_id={image_id!r}: "
+                        f"expected one of {KNOWN_FMTS}"
+                    )
+                try:
+                    arr = _decode(bytes(data), fmt)
+                    m, br = colorfulness_metric(arr)
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "colorfulness": round(m, 6),
+                            "brightness": round(br, 6),
+                            "is_low_color": int(m < low_color_cut),
+                            "decode_ok": 1,
+                        }
+                    )
+                except Exception:
+                    # corrupt payload: flag, never die
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "colorfulness": None,
+                            "brightness": None,
+                            "is_low_color": None,
+                            "decode_ok": 0,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=COLORFULNESS_SCHEMA
+    )

@@ -538,3 +538,58 @@ class TestJpegQualityTriage:
         assert got["b"]["luma_sum"] > got["a"]["luma_sum"]  # harsher table
         assert got["junk"]["parse_ok"] == 0 and got["junk"]["q_est"] is None
         assert got["empty"]["parse_ok"] == 0
+
+
+class TestColorfulness:
+    def test_metric_ground_truth(self):
+        import numpy as np
+
+        from olx_spark.operators.multimodal import colorfulness_metric
+
+        # pure gray: rg = yb = 0 everywhere -> M exactly 0
+        gray = np.full((8, 8, 3), 128, dtype=np.uint8)
+        m, br = colorfulness_metric(gray)
+        assert m == 0.0 and br == 128.0
+        # saturated red/green checkerboard: large opponent variance
+        x = np.zeros((8, 8, 3), dtype=np.uint8)
+        x[::2, :, 0] = 255   # red rows
+        x[1::2, :, 1] = 255  # green rows
+        m2, _ = colorfulness_metric(x)
+        assert m2 > 100.0
+        # mild tint sits between
+        tint = np.full((8, 8, 3), 120, dtype=np.uint8)
+        tint[..., 0] = 140
+        m3, _ = colorfulness_metric(tint)
+        assert 0.0 < m3 < m2
+
+    def test_stats_operator(self, spark):
+        import numpy as np
+
+        from olx_spark.fixtures.images import encode_image
+        from olx_spark.operators.multimodal import colorfulness_stats
+
+        gray = np.full((8, 8, 3), 50, dtype=np.uint8)
+        loud = np.zeros((8, 8, 3), dtype=np.uint8)
+        loud[..., 0] = 250
+        loud[:, ::2, 2] = 240
+        rows = [
+            ("g", encode_image(gray, "png"), "png"),
+            ("c", encode_image(loud, "raw"), "raw"),
+            ("junk", b"\x00\x01", "png"),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        got = {r["image_id"]: r.asDict() for r in colorfulness_stats(df).collect()}
+        assert got["g"]["is_low_color"] == 1 and got["g"]["colorfulness"] == 0.0
+        assert got["c"]["is_low_color"] == 0 and got["c"]["colorfulness"] > 50
+        assert got["junk"]["decode_ok"] == 0 and got["junk"]["colorfulness"] is None
+
+    def test_unknown_fmt_raises(self, spark):
+        from olx_spark.operators.multimodal import colorfulness_stats
+
+        df = spark.createDataFrame(
+            [("x", b"abc", "tiff")], "image_id string, bytes binary, fmt string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="unknown fmt"):
+            colorfulness_stats(df).collect()
