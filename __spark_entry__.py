@@ -1363,6 +1363,28 @@ def q_dedup_decisions(spark, sf):
     return keep_canonical(_dup_comps(spark, sf), scores)
 
 
+def q_file_plan(spark, sf):
+    # size-balanced output-file planning (operators/layout.
+    # size_balanced_assignment): documents weighed by synthetic
+    # payload sizes — every 5th row carries an image-sized 400 KB
+    # payload, the exact skew that breaks row-count repartitioning —
+    # assigned clustered file_ids at a 1 MB target via the
+    # distributed prefix-sum. Oracle: one window cumsum in the same
+    # order.
+    from olx_spark.operators.layout import size_balanced_assignment
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            F.length("text") * 50
+            + F.when(F.col("doc_id") % 5 == 0, F.lit(400_000)).otherwise(F.lit(0))
+        ).cast("long").alias("nbytes"),
+    )
+    return size_balanced_assignment(
+        d, "nbytes", ["doc_id"], target_bytes=1_000_000
+    ).select("doc_id", "nbytes", "file_id")
+
+
 def q_equi_depth(spark, sf):
     # exact equi-depth histogram of l_extendedprice (operators/
     # profile.equi_depth_histogram): the optimizer statistic, built
@@ -3018,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_agg_topk": q_join_agg_topk,
         "q_bloom_join": q_bloom_join,
         "q_equi_depth": q_equi_depth,
+        "q_file_plan": q_file_plan,
         "q_multi_join": q_multi_join,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
@@ -7010,6 +7033,19 @@ def oracle_sql() -> dict[str, str]:
             )
             select id_a, id_b, round(cs, 6) as cos_sim
             from pairs where cs >= 0.3
+        """,
+        "q_file_plan": """
+            with d as (
+                select doc_id,
+                       (length(text) * 50
+                        + case when doc_id % 5 = 0 then 400000 else 0 end)::bigint as nbytes
+                from documents
+            )
+            select doc_id, nbytes,
+                   floor((sum(nbytes) over (order by doc_id
+                            rows between unbounded preceding and current row)
+                          - nbytes) / 1000000.0)::int as file_id
+            from d
         """,
         "q_equi_depth": """
             with c as (

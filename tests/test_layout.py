@@ -109,3 +109,51 @@ def test_explicit_stats_skip_the_scan(spark, grid):
         grid, ["a", "b"], bits=4, stats={"a": (0, 15), "b": (0, 15)}
     ).collect()}
     assert with_scan == given
+
+
+class TestSizeBalancedAssignment:
+    def _assign(self, spark, sizes, target):
+        from olx_spark.operators.layout import size_balanced_assignment
+
+        df = spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(sizes)], "id long, nbytes long"
+        )
+        out = size_balanced_assignment(df, "nbytes", ["id"], target)
+        return [r["file_id"] for r in out.orderBy("id").collect()]
+
+    def test_boundaries_at_cumulative_target(self, spark):
+        got = self._assign(spark, [400, 400, 400, 400, 400], 1000)
+        # before-bytes: 0,400,800,1200,1600 -> files 0,0,0,1,1
+        assert got == [0, 0, 0, 1, 1]
+
+    def test_oversized_row_gets_own_file(self, spark):
+        got = self._assign(spark, [100, 5000, 100, 100], 1000)
+        # before: 0,100,5100,5200 -> 0,0,5,5: the giant row opens its
+        # file and pushes the cursor past four empty slots (no split)
+        assert got == [0, 0, 5, 5]
+
+    def test_files_near_target_under_skew(self, spark):
+        import random
+
+        rng = random.Random(7)
+        sizes = [rng.choice([50, 80, 120, 4000]) for _ in range(400)]
+        got = self._assign(spark, sizes, 10_000)
+        by_file = {}
+        for s, f in zip(sizes, got):
+            by_file[f] = by_file.get(f, 0) + s
+        # every file except possibly the last crosses the target once
+        # it closes, and none exceeds target + max row size
+        fids = sorted(by_file)
+        for f in fids[:-1]:
+            assert by_file[f] <= 10_000 + 4000
+        # clustered: file ids are nondecreasing in sort order
+        assert got == sorted(got)
+
+    def test_bad_target_refused(self, spark):
+        import pytest as _pytest
+
+        from olx_spark.operators.layout import size_balanced_assignment
+
+        df = spark.createDataFrame([(1, 10)], "id long, nbytes long")
+        with _pytest.raises(ValueError):
+            size_balanced_assignment(df, "nbytes", ["id"], 0)
