@@ -817,6 +817,23 @@ def q_main_content(spark, sf):
     )
 
 
+def q_consistent_shard(spark, sf):
+    # consistent-hash fetch-fleet routing (functions/urls.
+    # consistent_shard): ring hashing over 8 workers x 16 vnodes as a
+    # literal struct array — zero shuffle, whole-stage codegen; the
+    # resize-stability property (one worker added remaps ~1/n of the
+    # keys) is pinned in tests/test_warc.py::TestConsistentShard. The
+    # oracle replays the identical ring (same md5 positions) with an
+    # arg_min over a cross join.
+    from olx_spark.functions.urls import consistent_shard
+
+    url = F.concat(F.lit("https://s.example/p/"), F.col("o_orderkey").cast("string"))
+    return _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        consistent_shard(url, [f"w{i}" for i in range(8)], 16).alias("worker"),
+    )
+
+
 def q_canonical_dedup(spark, sf):
     # head-metadata extraction + canonical-URL dedup (functions/
     # html.head_metadata): <link rel="canonical"> is the server's own
@@ -3019,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdx_index": q_cdx_index,
         "q_link_directives": q_link_directives,
         "q_canonical_dedup": q_canonical_dedup,
+        "q_consistent_shard": q_consistent_shard,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -5689,6 +5707,30 @@ def _sql_jpeg_features(n: int = 48, seed: int = 13) -> str:
     """
 
 
+def _sql_consistent_shard() -> str:
+    """DuckDB twin of q_consistent_shard: the identical ring (same
+    md5-60 vnode positions, inlined as VALUES) resolved per key with
+    a filtered arg_min + wraparound fallback."""
+    from olx_spark.functions.urls import consistent_ring
+
+    ring = consistent_ring([f"w{i}" for i in range(8)], 16)
+    vals = ", ".join(f"({p}, '{w}')" for p, w in ring)
+    wrap = ring[0][1]
+    return f"""
+        with ring(p, w) as (values {vals}),
+        d as (
+            select o_orderkey as key,
+                   {_sql_md5_60("'https://s.example/p/' || o_orderkey::varchar")} as h
+            from orders
+        )
+        select d.key,
+               coalesce(arg_min(ring.w, ring.p) filter (where ring.p >= d.h),
+                        '{wrap}') as worker
+        from d cross join ring
+        group by d.key, d.h
+    """
+
+
 def _sql_colorfulness(n: int = 64, seed: int = 9, cut: float = 12.0) -> str:
     """DuckDB twin of q_colorfulness: expected rows from the same
     decode + metric on the driver (VALUES plumbing oracle, the
@@ -6465,6 +6507,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(kept, s -> s.text), ' ') as main_text
             from kp
         """,
+        "q_consistent_shard": _sql_consistent_shard(),
         "q_canonical_dedup": r"""
             with d as (
                 select doc_id,

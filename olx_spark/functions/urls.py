@@ -136,3 +136,49 @@ def surt(col):
         query.isNotNull(), F.concat(path, F.lit("?"), query)
     ).otherwise(path)
     return F.concat(rev, F.lit(")"), pq)
+
+
+def consistent_ring(workers: list[str], vnodes: int = 16) -> list[tuple[int, str]]:
+    """The hash ring: ``vnodes`` positions per worker at
+    md5-60("worker#v"), sorted. Pure config (computed driver-side
+    with hashlib — bit-identical to the SQL ``md5`` the oracle uses);
+    ships into the plan as a literal array."""
+    import hashlib
+
+    ring = []
+    for w in workers:
+        for v in range(vnodes):
+            h = int(hashlib.md5(f"{w}#{v}".encode()).hexdigest()[:15], 16)
+            ring.append((h, w))
+    ring.sort()
+    return ring
+
+
+def consistent_shard(col, workers: list[str], vnodes: int = 16):
+    """Consistent-hash worker assignment for a key column (Karger et
+    al. ring hashing, the fetch-fleet router): key k goes to the
+    worker owning the first ring position >= md5_60(k), wrapping to
+    the ring minimum. THE property ``pmod(hash, n)`` lacks: adding or
+    removing one worker remaps only ~1/n of the keys (tested), so a
+    fleet resize never reshuffles the politeness state of every host.
+    Pure JVM: the ring is a literal struct array (W x vnodes
+    elements), the successor is an array_min over a filtered literal
+    — whole-stage codegen, zero shuffle, no Python."""
+    from olx_spark.functions.text import let_, md5_60
+
+    if not workers:
+        raise ValueError("workers must be non-empty")
+    ring = consistent_ring(workers, vnodes)
+    ring_lit = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(w).alias("w"))
+            for p, w in ring
+        ]
+    )
+    wrap = F.lit(ring[0][1])  # min position's worker
+
+    def pick(h):
+        succ = F.array_min(F.filter(ring_lit, lambda s: s["p"] >= h))
+        return F.coalesce(succ.getField("w"), wrap)
+
+    return let_(md5_60(col), pick)

@@ -155,3 +155,48 @@ def test_surt_keys(spark):
     all_sorted = sorted(keys)
     i = all_sorted.index(in_domain[0])
     assert all_sorted[i : i + len(in_domain)] == in_domain
+
+
+class TestConsistentShard:
+    def _assign(self, spark, workers):
+        from pyspark.sql import functions as F
+
+        from olx_spark.functions.urls import consistent_shard
+
+        df = spark.range(4000).select(
+            F.concat(F.lit("https://ex/p/"), F.col("id").cast("string")).alias("u"),
+            "id",
+        )
+        rows = df.select("id", consistent_shard("u", workers, 16).alias("w")).collect()
+        return {r["id"]: r["w"] for r in rows}
+
+    def test_balanced_and_deterministic(self, spark):
+        workers = [f"w{i}" for i in range(8)]
+        a = self._assign(spark, workers)
+        b = self._assign(spark, workers)
+        assert a == b
+        counts = {}
+        for w in a.values():
+            counts[w] = counts.get(w, 0) + 1
+        assert set(counts) == set(workers)
+        # vnode-smoothed balance: no worker beyond ~2.5x fair share
+        assert max(counts.values()) < 2.5 * 4000 / 8
+
+    def test_resize_moves_about_one_nth(self, spark):
+        base = self._assign(spark, [f"w{i}" for i in range(8)])
+        grown = self._assign(spark, [f"w{i}" for i in range(9)])
+        moved = sum(1 for k in base if base[k] != grown[k])
+        frac = moved / len(base)
+        # theory: 1/9 ≈ 0.111 of keys move to the new worker; pmod
+        # rehashing would move ~8/9. Loose band around 1/9.
+        assert 0.04 < frac < 0.25, frac
+        # and every moved key went TO the new worker
+        assert all(grown[k] == "w8" for k in base if base[k] != grown[k])
+
+    def test_empty_workers_refused(self):
+        import pytest as _pytest
+
+        from olx_spark.functions.urls import consistent_shard
+
+        with _pytest.raises(ValueError):
+            consistent_shard("u", [], 16)
