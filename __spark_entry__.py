@@ -581,6 +581,20 @@ def q_split_assign(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    # A-Res weighted sampling without replacement (operators/
+    # sampling.weighted_sample): exactly 50 documents drawn with
+    # probability proportional to token count — key = -ln(u)/w with
+    # deterministic salted-hash uniforms, k-smallest via
+    # TakeOrderedAndProject. Oracle: same formula + window top-k.
+    from olx_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    return weighted_sample(d, "doc_id", "ntok", k=50)
+
+
 def q_stratified_sample(spark, sf):
     # corpus balancing: exactly min(12, |stratum|) documents per
     # (lang, source) cell, picked by the salted-hash total order
@@ -3023,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles": q_quantiles,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
         "q_pack_shards": q_pack_shards,
         "q_corpus_mix": q_corpus_mix,
         "q_hll_distinct": q_hll_distinct,
@@ -6508,6 +6523,20 @@ def oracle_sql() -> dict[str, str]:
             from kp
         """,
         "q_consistent_shard": _sql_consistent_shard(),
+        "q_weighted_sample": f"""
+            with d as (
+                select doc_id as id,
+                       ({_sql_token_count('text')})::double as weight,
+                       -ln(({_sql_md5_60("'ares-v1:' || doc_id::varchar")} + 1)
+                           / 1152921504606846976.0)
+                           / ({_sql_token_count('text')})::double as key
+                from documents
+                where ({_sql_token_count('text')}) > 0
+            )
+            select row_number() over (order by key, id)::int as rank,
+                   id, weight, round(key, 9) as key
+            from d order by key, id limit 50
+        """,
         "q_canonical_dedup": r"""
             with d as (
                 select doc_id,

@@ -129,6 +129,14 @@ HEADLINE = [
     "q_path_tree",
     "q_equi_depth",
     "q_revalidation",
+    "q_canonical_dedup",
+    "q_cache_ttl",
+    "q_robots_sitemaps",
+    "q_mojibake",
+    "q_colorfulness",
+    "q_file_plan",
+    "q_consistent_shard",
+    "q_weighted_sample",
 ]
 
 REPS = 3

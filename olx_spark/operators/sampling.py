@@ -231,3 +231,52 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ares-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006, A-Res):
+    each row draws u ~ U(0,1] and competes with key ``-ln(u)/w`` —
+    the k SMALLEST keys are a correctly-distributed weighted sample
+    (inclusion probability proportional to weight, jointly without
+    replacement), the quality-weighted corpus subsampling primitive
+    (sample pretraining docs by quality score, hosts by traffic)
+    that per-row Bernoulli (:func:`hash_bernoulli_sample`) cannot
+    express when an EXACT output size is required.
+
+    ``u`` is the salted md5-60 of the id mapped to (0, 1] — the
+    engine's deterministic-fate contract: re-runs, resumes, engines
+    agree row by row; disjoint salts draw independent samples. The
+    k-smallest selection is :func:`ranking.ordered_limit`
+    (TakeOrderedAndProject — distributed partial top-k, no global
+    sort). Rows with weight <= 0 never win (key = +inf analog via a
+    filter). Returns (rank, id, weight, key) with ``rank`` 1-based.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (md5_60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    key = -F.log(u) / w
+    scored = (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            key.alias("key"),
+        )
+    )
+    top = ordered_limit(scored, k, ["key", "id"])
+    return top.select(
+        (F.col("rank_in_limit") + 1).cast("int").alias("rank"),
+        "id",
+        "weight",
+        F.round("key", 9).alias("key"),
+    )

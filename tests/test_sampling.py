@@ -312,3 +312,55 @@ class TestLeakageSafeSplit:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestWeightedSample:
+    def test_exact_k_and_determinism(self, spark):
+        from olx_spark.operators.sampling import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc"), (F.col("id") % 7 + 1).alias("w")
+        )
+        a = weighted_sample(df, "doc", "w", k=40).collect()
+        b = weighted_sample(df, "doc", "w", k=40).collect()
+        assert len(a) == 40
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert [r["rank"] for r in a] == list(range(1, 41))
+        # disjoint salts draw differently
+        c = weighted_sample(df, "doc", "w", k=40, salt="ares-v2").collect()
+        assert {r["id"] for r in a} != {r["id"] for r in c}
+
+    def test_nonpositive_weights_never_win(self, spark):
+        from olx_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "doc long, w double"
+        )
+        got = {r["id"] for r in weighted_sample(df, "doc", "w", k=4).collect()}
+        assert got == {1, 4}
+
+    def test_inclusion_proportional_to_weight(self, spark):
+        from olx_spark.operators.sampling import weighted_sample
+
+        # 100 heavy (w=10) + 900 light (w=1); k=100 over 30 salts:
+        # heavy inclusion rate must dominate light by several x
+        rows = [(i, 10.0 if i < 100 else 1.0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc long, w double").cache()
+        heavy = light = 0
+        for s in range(30):
+            got = weighted_sample(df, "doc", "w", k=100, salt=f"t{s}").collect()
+            heavy += sum(1 for r in got if r["id"] < 100)
+            light += sum(1 for r in got if r["id"] >= 100)
+        rate_h = heavy / (30 * 100)
+        rate_l = light / (30 * 900)
+        assert rate_h > 4 * rate_l, (rate_h, rate_l)
+
+    def test_take_ordered_plan(self, spark):
+        from olx_spark.operators.sampling import weighted_sample
+
+        df = spark.range(100).select(F.col("id").alias("doc"), F.lit(1.0).alias("w"))
+        plan = (
+            weighted_sample(df, "doc", "w", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
