@@ -483,6 +483,24 @@ def q_range_join(spark, sf):
     )
 
 
+def q_recency_scores(spark, sf):
+    # recency-weighted per-user activity score (operators/temporal.
+    # recency_weighted_scores): value halved once per elapsed 3-day
+    # half-life against an explicit now — step-decay in pure integer
+    # shift arithmetic, so unlike float exp decay the sum is exact
+    # and order-independent (full oracle). One map-side-combinable
+    # shuffle.
+    from olx_spark.operators.temporal import recency_weighted_scores
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 40).alias("grp_in"), "ts", "value"
+    )
+    return recency_weighted_scores(
+        ev, "grp_in", "ts", "value", now="2024-03-01 00:00:00",
+        half_life_s=3 * 86400,
+    )
+
+
 def q_sessionize(spark, sf):
     # gap sessionization: per-user sessions split on >6 h idle,
     # aggregated to one row per session (operators/temporal.sessionize
@@ -3031,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
+        "q_recency_scores": q_recency_scores,
         "q_funnel": q_funnel,
         "q_json_props": q_json_props,
         "q_bm25_top_terms": q_bm25_top_terms,
@@ -6523,6 +6542,23 @@ def oracle_sql() -> dict[str, str]:
             from kp
         """,
         "q_consistent_shard": _sql_consistent_shard(),
+        "q_recency_scores": """
+            with c as (
+                select user_id % 40 as grp,
+                       case when floor(epoch(timestamp '2024-03-01 00:00:00'))::bigint
+                                 - floor(epoch(ts))::bigint < 0
+                            then floor(value * 100)::bigint
+                            else floor(value * 100)::bigint
+                                 >> least(floor((floor(epoch(timestamp '2024-03-01 00:00:00'))::bigint
+                                                 - floor(epoch(ts))::bigint) / 259200.0)::int, 40)
+                       end as contrib
+                from events
+            )
+            select grp, count(*)::bigint as n_events,
+                   sum(contrib)::bigint as score_scaled,
+                   sum(contrib)::bigint / 100.0 as score
+            from c group by grp
+        """,
         "q_weighted_sample": f"""
             with d as (
                 select doc_id as id,

@@ -357,3 +357,57 @@ def funnel(
             F.col(f"t_{last}_us") - F.col(f"t_{first}_us"),
         ),
     )
+
+
+def recency_weighted_scores(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    now: str,
+    half_life_s: int = 86_400,
+    value_scale: int = 100,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Recency-weighted per-group score: every event contributes its
+    value decayed by age — the host-quality / trending-entity signal
+    a refresh crawler ranks by. The decay is STEP-HALVING — the
+    contribution is ``floor(value*scale) >> min(floor(age/half_life),
+    max_halvings)`` — i.e. exactly halved once per elapsed half-life,
+    a documented stepwise stand-in for continuous ``exp`` decay
+    chosen because it is ALL integer arithmetic: ``exp`` is not
+    correctly-rounded across libms, so a float decay cannot carry a
+    bit-exact cross-engine oracle, while shift/floor arithmetic can
+    (the ``recrawl_due`` backoff precedent). ``now`` is an explicit
+    timestamp literal, never a clock read.
+
+    Returns ``(group, n_events, score_scaled, score)`` where
+    ``score_scaled`` is the exact integer sum and ``score`` =
+    score_scaled / scale. ONE map-side-combinable shuffle."""
+    if half_life_s < 1:
+        raise ValueError(f"half_life_s must be >= 1, got {half_life_s}")
+    now_s = F.unix_timestamp(F.to_timestamp(F.lit(now)))
+    age = now_s - F.unix_timestamp(F.col(ts_col))
+    halvings = F.least(
+        F.floor(age / F.lit(half_life_s)).cast("int"), F.lit(max_halvings)
+    )
+    v = F.floor(F.col(value_col).cast("double") * value_scale).cast("long")
+    # shiftright with a COLUMN bit count needs the SQL builtin (the
+    # Python wrapper only takes a literal), and events from the
+    # future (clock skew) decay nothing
+    contrib = F.when(age < 0, v).otherwise(
+        F.call_function("shiftright", v, halvings)
+    )
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).alias("score_scaled"),
+        )
+        .select(
+            "grp",
+            "n_events",
+            "score_scaled",
+            (F.col("score_scaled") / F.lit(float(value_scale))).alias("score"),
+        )
+    )

@@ -299,3 +299,59 @@ def test_funnel_single_shuffle(spark):
     # hash partitioning: exactly one Exchange, no Join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+class TestRecencyWeightedScores:
+    def test_halving_steps_exact(self, spark):
+        from olx_spark.operators.temporal import recency_weighted_scores
+
+        rows = [
+            ("h", "2024-01-10 00:00:00", 8.0),   # age 0 -> 800
+            ("h", "2024-01-09 00:00:00", 8.0),   # 1 day = 1 half-life -> 400
+            ("h", "2024-01-08 00:00:00", 8.0),   # 2 -> 200
+            ("h", "2024-01-05 00:00:00", 8.0),   # 5 -> 25
+            ("h", "2024-01-11 00:00:00", 8.0),   # future: undecayed 800
+            ("cold", "2023-01-01 00:00:00", 8.0),  # ancient -> >> capped
+        ]
+        df = spark.createDataFrame(rows, "g string, ts string, value double")
+        df = df.withColumn("ts", df["ts"].cast("timestamp"))
+        got = {
+            r["grp"]: r.asDict()
+            for r in recency_weighted_scores(
+                df, "g", "ts", "value", now="2024-01-10 00:00:00",
+                half_life_s=86400,
+            ).collect()
+        }
+        assert got["h"]["score_scaled"] == 800 + 400 + 200 + 25 + 800
+        assert got["h"]["n_events"] == 5
+        assert got["h"]["score"] == got["h"]["score_scaled"] / 100.0
+        assert got["cold"]["score_scaled"] == 0  # 800 >> 40
+
+    def test_order_independence(self, spark):
+        import random
+
+        from olx_spark.operators.temporal import recency_weighted_scores
+
+        rows = [("g", f"2024-01-{1 + i % 9:02d} 03:00:00", 1.0 + i % 5) for i in range(200)]
+        shuffled = rows[:]
+        random.Random(3).shuffle(shuffled)
+
+        def score(rs):
+            df = spark.createDataFrame(rs, "g string, ts string, value double")
+            df = df.withColumn("ts", df["ts"].cast("timestamp"))
+            return recency_weighted_scores(
+                df, "g", "ts", "value", now="2024-01-10 00:00:00"
+            ).first()["score_scaled"]
+
+        assert score(rows) == score(shuffled)  # exact integer sum
+
+    def test_bad_half_life(self, spark):
+        import pytest as _pytest
+
+        from olx_spark.operators.temporal import recency_weighted_scores
+
+        df = spark.createDataFrame([("g", "2024-01-01 00:00:00", 1.0)],
+                                   "g string, ts string, value double")
+        with _pytest.raises(ValueError):
+            recency_weighted_scores(df, "g", "ts", "value",
+                                    now="2024-01-01 00:00:00", half_life_s=0)
