@@ -2018,6 +2018,21 @@ def q_video_frames(spark, sf):
     )
 
 
+def q_ssim_verify(spark, sf):
+    # the VERIFY stage after phash banding (operators/multimodal.
+    # ssim_verify_pairs): decode each candidate pair and confirm with
+    # global SSIM — hash distance finds look-alike signatures, SSIM
+    # confirms look-alike pixels. Oracle: brute-force pairs + the
+    # same numpy SSIM, driver-side VALUES.
+    from olx_spark.operators.multimodal import ssim_verify_pairs
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("near_dup", 96, 11),
+        "image_id string, bytes binary, fmt string",
+    )
+    return ssim_verify_pairs(df)
+
+
 def q_phash_near_dup(spark, sf):
     # image DEDUP: decode -> phash64 -> banded Hamming pairing (bands
     # derived from max_dist => complete recall => equals brute force,
@@ -3137,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_features": q_jpeg_features,
         "q_jpeg_quality": q_jpeg_quality,
         "q_colorfulness": q_colorfulness,
+        "q_ssim_verify": q_ssim_verify,
         "q_charset": q_charset,
         "q_audio_features": q_audio_features,
         "q_video_features": q_video_features,
@@ -5976,6 +5992,44 @@ def _sql_phash_near_dup(max_dist: int = 6, n: int = 96, seed: int = 11) -> str:
     """
 
 
+def _sql_ssim_verify(max_dist: int = 6, cut: float = 0.85, n: int = 96, seed: int = 11) -> str:
+    """DuckDB twin of q_ssim_verify: candidate pairs by brute-force
+    Hamming over driver-computed phashes (== the banded pipeline, as
+    q_phash_near_dup proves), each scored with the same numpy
+    ssim_global, inlined as VALUES."""
+    from olx_spark.fixtures.images import (
+        decode_image,
+        encode_image,
+        near_dup_pixels,
+        phash64,
+    )
+    from olx_spark.operators.multimodal import ssim_global
+
+    imgs = []
+    for i in range(n):
+        fmt, arr = near_dup_pixels(i, seed)
+        dec = decode_image(encode_image(arr, fmt), fmt)
+        imgs.append((f"nd-{i:05d}", phash64(dec), dec))
+    vals = []
+    for i in range(len(imgs)):
+        for j in range(i + 1, len(imgs)):
+            ida, pa, a = imgs[i]
+            idb, pb, b = imgs[j]
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= max_dist:
+                s = ssim_global(a, b) if a.shape == b.shape else 0.0
+                vals.append(
+                    f"('{ida}', '{idb}', {d}, {round(s, 6)!r}::double, "
+                    f"{int(s >= cut)})"
+                )
+    return f"""
+        select id_a, id_b, dist::int as dist, ssim,
+               same_image::int as same_image
+        from (values {", ".join(vals)})
+             t(id_a, id_b, dist, ssim, same_image)
+    """
+
+
 def _sql_simhash16() -> str:
     toks = f"string_split({_sql_norm('text')}, ' ')"
     hashes = f"[{_sql_md5_60('t')} for t in {toks}]"
@@ -7038,6 +7092,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jpeg_quality": _sql_jpeg_quality(),
         "q_charset": _sql_charset(),
         "q_colorfulness": _sql_colorfulness(),
+        "q_ssim_verify": _sql_ssim_verify(),
         "q_audio_features": _sql_audio_features(),
         "q_video_features": _sql_video_features(),
         "q_video_frames": _sql_video_frames(),

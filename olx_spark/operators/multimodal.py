@@ -1004,3 +1004,100 @@ def colorfulness_stats(df: DataFrame, low_color_cut: float = 12.0) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=COLORFULNESS_SCHEMA
     )
+
+
+# ------------------------------------------------ near-dup verification
+
+SSIM_SCHEMA = StructType(
+    [
+        StructField("id_a", StringType()),
+        StructField("id_b", StringType()),
+        StructField("dist", IntegerType()),
+        StructField("ssim", DoubleType()),
+        StructField("same_image", IntegerType()),
+    ]
+)
+
+
+def ssim_global(a: np.ndarray, b: np.ndarray) -> float:
+    """Global (single-window) SSIM between two decoded RGB images
+    (Wang, Bovik, Sheikh, Simoncelli, IEEE TIP 2004 — the standard
+    structural-similarity index, evaluated over the whole luminance
+    plane instead of an 11x11 sliding window: the VERIFY metric for
+    candidate pairs, not a perceptual map). Images must share a
+    shape; C1/C2 at the published K1=0.01, K2=0.03, L=255."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    gray = np.array([0.299, 0.587, 0.114])
+    x = a.astype(np.float64) @ gray
+    y = b.astype(np.float64) @ gray
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    mx, my = x.mean(), y.mean()
+    vx, vy = x.var(), y.var()
+    cov = ((x - mx) * (y - my)).mean()
+    return float(
+        ((2 * mx * my + c1) * (2 * cov + c2))
+        / ((mx * mx + my * my + c1) * (vx + vy + c2))
+    )
+
+
+def ssim_verify_pairs(
+    df: DataFrame,
+    max_dist: int = 6,
+    ssim_cut: float = 0.85,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """The VERIFY stage of image dedup: phash banding proposes
+    candidate pairs (:func:`phash_near_dups` — complete recall at
+    ``max_dist``), then each pair is decoded and scored with global
+    SSIM, and ``same_image = ssim >= ssim_cut`` is the final dedup
+    verdict — hash distance finds LOOK-ALIKE SIGNATURES, SSIM
+    confirms look-alike PIXELS, killing the phash collisions a pure
+    banding pass would merge.
+
+    Scale shape: candidates (not the corpus!) drive the cost — two
+    hash joins attach the payload bytes to each pair, then one
+    Arrow-batched mapInPandas decodes and scores; pair payloads never
+    visit the driver. A pair whose payload fails to decode cannot
+    reach this stage (phash_near_dups already drops decode_ok=0)."""
+    pairs = phash_near_dups(df, max_dist=max_dist, max_bucket=max_bucket)
+    payload = df.select("image_id", "bytes", "fmt")
+    joined = (
+        pairs.join(
+            payload.select(
+                F.col("image_id").alias("id_a"),
+                F.col("bytes").alias("bytes_a"),
+                F.col("fmt").alias("fmt_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            payload.select(
+                F.col("image_id").alias("id_b"),
+                F.col("bytes").alias("bytes_b"),
+                F.col("fmt").alias("fmt_b"),
+            ),
+            "id_b",
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _decode(bytes(r.bytes_a), r.fmt_a)
+                b = _decode(bytes(r.bytes_b), r.fmt_b)
+                s = ssim_global(a, b) if a.shape == b.shape else 0.0
+                out.append(
+                    {
+                        "id_a": r.id_a,
+                        "id_b": r.id_b,
+                        "dist": int(r.dist),
+                        "ssim": round(s, 6),
+                        "same_image": int(s >= ssim_cut),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return joined.mapInPandas(run, schema=SSIM_SCHEMA)

@@ -593,3 +593,45 @@ class TestColorfulness:
 
         with _pytest.raises(Exception, match="unknown fmt"):
             colorfulness_stats(df).collect()
+
+
+class TestSsimVerify:
+    def test_ssim_ground_truth(self):
+        import numpy as np
+
+        from olx_spark.operators.multimodal import ssim_global
+
+        rng = np.random.default_rng(2)
+        a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        assert ssim_global(a, a) == 1.0
+        # mild noise: high but < 1
+        noisy = np.clip(a.astype(int) + rng.integers(-6, 7, a.shape), 0, 255).astype(np.uint8)
+        s = ssim_global(a, noisy)
+        assert 0.8 < s < 1.0
+        # unrelated content: low
+        b = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        assert ssim_global(a, b) < 0.5
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="shape"):
+            ssim_global(a, b[:8])
+
+    def test_verify_confirms_planted_pairs(self, spark):
+        from olx_spark.operators.multimodal import ssim_verify_pairs
+
+        import __spark_entry__ as entry
+
+        df = spark.createDataFrame(
+            entry._image_corpus_rows("near_dup", 48, 11),
+            "image_id string, bytes binary, fmt string",
+        )
+        got = ssim_verify_pairs(df).collect()
+        assert got, "no candidate pairs"
+        planted = [
+            r for r in got
+            if int(r["id_a"][3:]) % 2 == 0
+            and int(r["id_b"][3:]) == int(r["id_a"][3:]) + 1
+        ]
+        assert planted
+        # planted perturbed copies verify as the same image
+        assert all(r["same_image"] == 1 for r in planted)
+        assert all(0.0 <= r["ssim"] <= 1.0 for r in got)
