@@ -1770,6 +1770,21 @@ def q_char_entropy(spark, sf):
     return char_word_entropy(_t(spark, sf, "documents"))
 
 
+def q_mad_outliers(spark, sf):
+    # robust per-group outlier flags (operators/outliers.mad_outliers,
+    # Iglewicz-Hoaglin modified z-score): o_totalprice by order
+    # priority — exact medians/MADs per group, broadcast back; the
+    # MAD threshold is immune to the outliers it hunts, unlike the
+    # 3-sigma rule. Oracle: DuckDB medians (same linear
+    # interpolation) + the same formula.
+    from olx_spark.operators.outliers import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderkey",
+        "o_totalprice", k=3.5,
+    )
+
+
 def q_winsorize(spark, sf):
     # heavy-tail robustness pass: per-event_type exact p01/p99
     # clipping, broadcast bounds join, codegen clip — no second
@@ -3124,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_char_entropy": q_char_entropy,
         "q_winsorize": q_winsorize,
+        "q_mad_outliers": q_mad_outliers,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6596,6 +6612,30 @@ def oracle_sql() -> dict[str, str]:
             from kp
         """,
         "q_consistent_shard": _sql_consistent_shard(),
+        "q_mad_outliers": """
+            with med as (
+                select o_orderpriority as grp,
+                       quantile_cont(o_totalprice, 0.5) as med
+                from orders group by 1
+            ), mad as (
+                select o.o_orderpriority as grp,
+                       quantile_cont(abs(o.o_totalprice - m.med), 0.5) as mad
+                from orders o join med m on o.o_orderpriority = m.grp
+                group by 1
+            )
+            select o.o_orderkey as id, o.o_orderpriority as grp,
+                   o.o_totalprice as value,
+                   case when d.mad = 0
+                        then (case when o.o_totalprice - m.med = 0 then 0.0 end)
+                        else round(0.6745 * (o.o_totalprice - m.med) / d.mad, 6)
+                   end as robust_z,
+                   (case when d.mad = 0 then (o.o_totalprice - m.med != 0)
+                         else abs(0.6745 * (o.o_totalprice - m.med) / d.mad) > 3.5
+                    end)::int as is_outlier
+            from orders o
+            join med m on o.o_orderpriority = m.grp
+            join mad d on o.o_orderpriority = d.grp
+        """,
         "q_recency_scores": """
             with c as (
                 select user_id % 40 as grp,

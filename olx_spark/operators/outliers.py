@@ -66,3 +66,63 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median absolute
+    deviation (the Iglewicz-Hoaglin modified z-score, the standard
+    robust alternative to mean/stddev rules — one wild value cannot
+    move its own threshold, which is exactly what breaks 3-sigma on
+    crawl metrics): ``z = 0.6745 * (x - median) / MAD``, flag
+    ``|z| > k`` (3.5 is the published default).
+
+    A zero-MAD group (majority-constant values) degenerates: rows AT
+    the median read z = 0, rows off it are flagged with NULL z (the
+    modified z-score is undefined there, but the row is certainly
+    anomalous — the flag is the answer, the score honestly absent).
+
+    Scale shape: two grouped EXACT percentiles (Spark ``percentile``
+    — per-group sort in the aggregation buffer, fine for the bounded
+    group cardinalities of monitoring dimensions; a billion-row
+    single group wants the approx sketch instead) + two broadcast
+    joins back. Returns (id, group, value, robust_z, is_outlier).
+    """
+    med = (
+        df.groupBy(F.col(group_col).alias("__mo_g"))
+        .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("med"))
+    )
+    with_med = df.join(
+        F.broadcast(med), F.col(group_col) == F.col("__mo_g")
+    ).drop("__mo_g")
+    mad = (
+        with_med.groupBy(F.col(group_col).alias("__mo_g"))
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    j = with_med.join(
+        F.broadcast(mad), F.col(group_col) == F.col("__mo_g")
+    ).drop("__mo_g")
+    dev = F.col(value_col) - F.col("med")
+    z = F.lit(0.6745) * dev / F.col("mad")
+    robust_z = F.when(
+        F.col("mad") == 0, F.when(dev == 0, F.lit(0.0)).otherwise(F.lit(None))
+    ).otherwise(F.round(z, 6))
+    flag = F.when(
+        F.col("mad") == 0, (dev != 0).cast("int")
+    ).otherwise((F.abs(z) > k).cast("int"))
+    return j.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"),
+        robust_z.alias("robust_z"),
+        flag.alias("is_outlier"),
+    )

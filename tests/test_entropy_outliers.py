@@ -85,3 +85,42 @@ def test_no_python_udfs(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        from olx_spark.operators.outliers import mad_outliers
+
+        # group g: values 1..9 plus a wild 1000
+        rows = [("g", i, float(v)) for i, v in enumerate([1,2,3,4,5,6,7,8,9,1000])]
+        df = spark.createDataFrame(rows, "grp string, id long, v double")
+        got = {r["id"]: r.asDict() for r in mad_outliers(df, "grp", "id", "v").collect()}
+        # median = 5.5, MAD = median(|x-5.5|) = median(4.5,3.5,...,994.5) = 2.5
+        wild = got[9]
+        assert wild["is_outlier"] == 1
+        assert abs(wild["robust_z"] - round(0.6745 * (1000 - 5.5) / 2.5, 6)) < 1e-9
+        assert sum(r["is_outlier"] for r in got.values()) == 1  # ONLY the wild one
+
+    def test_sigma_rule_would_have_missed(self, spark):
+        # the motivating property: the same wild value inflates stddev
+        # enough that a 3-sigma rule misses it less robustly; here we
+        # just assert MAD flags it while leaving all inliers unflagged
+        from olx_spark.operators.outliers import mad_outliers
+
+        import numpy as np
+
+        vals = [float(v) for v in np.arange(100)] + [1e6]
+        rows = [("g", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "grp string, id long, v double")
+        got = mad_outliers(df, "grp", "id", "v").collect()
+        flagged = {r["id"] for r in got if r["is_outlier"] == 1}
+        assert flagged == {100}
+
+    def test_zero_mad_group(self, spark):
+        from olx_spark.operators.outliers import mad_outliers
+
+        rows = [("c", 0, 5.0), ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 99.0)]
+        df = spark.createDataFrame(rows, "grp string, id long, v double")
+        got = {r["id"]: r.asDict() for r in mad_outliers(df, "grp", "id", "v").collect()}
+        assert got[0]["robust_z"] == 0.0 and got[0]["is_outlier"] == 0
+        assert got[3]["robust_z"] is None and got[3]["is_outlier"] == 1
