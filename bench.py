@@ -137,6 +137,9 @@ HEADLINE = [
     "q_file_plan",
     "q_consistent_shard",
     "q_weighted_sample",
+    "q_recency_scores",
+    "q_ssim_verify",
+    "q_mad_outliers",
 ]
 
 REPS = 3
