@@ -3056,6 +3056,46 @@ def q_normalize_images(spark, sf):
     )
 
 
+_PSL_TLDS = [
+    "com", "co.uk", "ck", "kawasaki.jp", "city.kawasaki.jp",
+    "com.au", "zz", "k12.ma.us", "ac.jp",
+]
+_PSL_RULES = [
+    "com", "uk", "co.uk", "au", "com.au", "jp", "ac.jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck",
+    "us", "ma.us", "k12.ma.us",
+]
+
+
+def q_registrable_domain(spark, sf):
+    # public-suffix-list eTLD+1 extraction (operators/psl): the key
+    # every per-site politeness/dedup budget hangs off at web scale.
+    # Hosts synthesized from customer keys cover normal longest-match
+    # (co.uk beats uk), wildcard (*.ck, *.kawasaki.jp), exception
+    # (!city.kawasaki.jp prevailing over the wildcard), unlisted TLDs
+    # under the implicit "*" default rule, and hosts that ARE a
+    # public suffix (registrable_domain NULL). Matching runs over
+    # distinct hosts only and broadcast-joins back; the oracle
+    # replays the full PSL algorithm over the same candidate
+    # explosion in SQL.
+    from olx_spark.operators.psl import psl_rules, registrable_domains
+
+    k = F.col("c_custkey")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _PSL_TLDS]), ((k % 9) + 1).cast("int")
+    )
+    base = F.concat(F.lit("shop"), (k % 97).cast("string"))
+    host = (
+        F.when(k % 3 == 0, F.concat(base, F.lit("."), tld))
+        .when(k % 3 == 1, F.concat(F.lit("www."), base, F.lit("."), tld))
+        .otherwise(tld)
+    )
+    df = _t(spark, sf, "customer").select(k.alias("custkey"), host.alias("host"))
+    return registrable_domains(df, psl_rules(spark, _PSL_RULES)).select(
+        "custkey", "host", "public_suffix", "registrable_domain"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3140,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_winsorize": q_winsorize,
         "q_mad_outliers": q_mad_outliers,
+        "q_registrable_domain": q_registrable_domain,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6203,6 +6244,77 @@ def _sql_hits(iters: int = 6) -> str:
     )
 
 
+def _sql_registrable_domain() -> str:
+    """DuckDB twin of q_registrable_domain: the full publicsuffix.org
+    algorithm replayed in SQL — same host synthesis, same candidate
+    label-suffix explosion, normal/wildcard/exception rule joins,
+    exception-then-most-labels prevailing pick (struct max), implicit
+    '*' default, and the host-IS-a-suffix NULL case."""
+    tlds = ", ".join(f"'{t}'" for t in _PSL_TLDS)
+    rules = []
+    for r in _PSL_RULES:
+        if r.startswith("!"):
+            key = r[1:]
+            rules.append(("exc", key, len(key.split(".")) - 1))
+        elif r.startswith("*."):
+            key = r[2:]
+            rules.append(("wild", key, len(key.split(".")) + 1))
+        else:
+            rules.append(("norm", r, len(r.split("."))))
+    rule_vals = ", ".join(f"('{k}', '{key}', {m})" for k, key, m in rules)
+    return f"""
+        with c as (
+            select c_custkey as custkey,
+                   case (c_custkey % 3)
+                     when 0 then 'shop' || (c_custkey % 97) || '.' || tld
+                     when 1 then 'www.shop' || (c_custkey % 97) || '.' || tld
+                     else tld end as host
+            from (select c_custkey,
+                         list_value({tlds})[(c_custkey % 9) + 1] as tld
+                  from customer)
+        ), hosts as (select distinct host from c
+        ), lab as (
+            select host, string_split(host, '.') as ls,
+                   len(string_split(host, '.')) as n
+            from hosts
+        ), cand as (
+            select host, ls, n, unnest(range(0, n)) as i from lab
+        ), cs as (
+            select host,
+                   array_to_string(list_slice(ls, i + 1, n), '.') as s,
+                   array_to_string(list_slice(ls, i + 2, n), '.') as t
+            from cand
+        ), rules(kind, key, ps_labels) as (values {rule_vals}
+        ), best as (
+            select host,
+                   max(struct_pack(
+                       is_exc := (kind = 'exc')::int, ml := ps_labels
+                   )) as b
+            from (
+                select cs.host, r.kind, r.ps_labels
+                from cs join rules r on r.kind <> 'wild' and r.key = cs.s
+                union all
+                select cs.host, r.kind, r.ps_labels
+                from cs join rules r on r.kind = 'wild' and r.key = cs.t
+            ) group by host
+        ), fin as (
+            select lab.host,
+                   array_to_string(
+                       list_slice(ls, n - mm + 1, n), '.') as public_suffix,
+                   case when n > mm then
+                       array_to_string(list_slice(ls, n - mm, n), '.')
+                   end as registrable_domain
+            from (
+                select lab.host, lab.ls, lab.n,
+                       coalesce(best.b.ml, 1) as mm
+                from lab left join best using (host)
+            ) lab
+        )
+        select c.custkey, c.host, f.public_suffix, f.registrable_domain
+        from c join fin f using (host)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter": """
@@ -6612,6 +6724,7 @@ def oracle_sql() -> dict[str, str]:
             from kp
         """,
         "q_consistent_shard": _sql_consistent_shard(),
+        "q_registrable_domain": _sql_registrable_domain(),
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

@@ -140,6 +140,7 @@ HEADLINE = [
     "q_recency_scores",
     "q_ssim_verify",
     "q_mad_outliers",
+    "q_registrable_domain",
 ]
 
 REPS = 3
