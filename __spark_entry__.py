@@ -6200,10 +6200,13 @@ def _sql_pagerank(iters: int = 6, damping: float = 0.85) -> str:
 
 def _sql_hits(iters: int = 6) -> str:
     """Unrolled HITS twin: same directed edge set, authorities-then-
-    hubs per iteration, L1 normalization, zero-guard on the totals."""
+    hubs per iteration, UNnormalized through the recurrence (each
+    per-step L1 divide is a global scalar through a linear map, so it
+    cancels — mirrored in operators/graph.hits), one L1 normalization
+    per side at the end with a zero-guard."""
     # every multiply-referenced CTE is AS MATERIALIZED: inlining would
-    # re-expand each normalization's raw frame twice per iteration —
-    # a 4^iters plan blow-up that exhausts file handles on the base
+    # re-expand each half-step's raw frame twice per iteration — a
+    # 4^iters plan blow-up that exhausts file handles on the base
     # parquet scan before it exhausts patience
     base = """
         with e as materialized (
@@ -6216,31 +6219,30 @@ def _sql_hits(iters: int = 6) -> str:
         ), h0 as (select id, 1.0 as hub from nodes)"""
     steps = []
     for k in range(1, iters + 1):
-        steps.append(f""", ar{k} as materialized (
-            select nodes.id, coalesce(q.s, 0.0) as s
+        steps.append(f""", a{k} as materialized (
+            select nodes.id, coalesce(q.s, 0.0) as auth
             from nodes left join (
                 select e.dst as id, sum(h.hub) as s
                 from e join h{k - 1} h on h.id = e.src group by e.dst
             ) q on q.id = nodes.id
-        ), at{k} as (select sum(s) as t from ar{k}
-        ), a{k} as materialized (
-            select id, case when t > 0 then s / t else 0.0 end as auth
-            from ar{k} cross join at{k}
-        ), hr{k} as materialized (
-            select nodes.id, coalesce(q.s, 0.0) as s
+        ), h{k} as materialized (
+            select nodes.id, coalesce(q.s, 0.0) as hub
             from nodes left join (
                 select e.src as id, sum(a.auth) as s
                 from e join a{k} a on a.id = e.dst group by e.src
             ) q on q.id = nodes.id
-        ), ht{k} as (select sum(s) as t from hr{k}
-        ), h{k} as materialized (
-            select id, case when t > 0 then s / t else 0.0 end as hub
-            from hr{k} cross join ht{k}
         )""")
     return (
         base + "".join(steps)
-        + f""" select a.id, round(a.auth, 8) as auth, round(h.hub, 8) as hub
-           from a{iters} a join h{iters} h on h.id = a.id"""
+        + f""", ta as (select sum(auth) as t from a{iters}
+        ), th as (select sum(hub) as t from h{iters})
+        select a.id,
+               round(case when ta.t > 0 then a.auth / ta.t else 0.0 end,
+                     8) as auth,
+               round(case when th.t > 0 then h.hub / th.t else 0.0 end,
+                     8) as hub
+        from a{iters} a join h{iters} h on h.id = a.id
+        cross join ta cross join th"""
     )
 
 

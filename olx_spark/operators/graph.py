@@ -152,6 +152,7 @@ def hits(
     dst: str = "dst",
     iters: int = 6,
     reliable: bool | None = None,
+    materialize_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
     list: hubs point at good authorities, authorities are pointed at
@@ -162,33 +163,45 @@ def hits(
     which have no in-links).
 
     Update per iteration (classic two-phase, authorities first,
-    hubs from the NEW authorities)::
+    hubs from the NEW authorities), normalized ONCE at the end::
 
-        auth'(v) = sum over u->v of hub(u);   auth = auth' / L1(auth')
-        hub'(v)  = sum over v->u of auth(u);  hub  = hub'  / L1(hub')
+        auth'(v) = sum over u->v of hub(u)
+        hub'(v)  = sum over v->u of auth'(u)
+        ... after `iters` rounds:  auth = auth' / L1, hub = hub' / L1
 
-    L1 normalization (not Kleinberg's L2): same fixed point up to
-    scaling, but replayable in plain SQL without sqrt-of-sum ordering
-    concerns — stated so the oracle and consumers agree. FIXED
-    ``iters``, so the result is a deterministic function of the graph
-    and the DuckDB oracle unrolls the same steps. A graph whose
-    iteration drives one side's total mass to zero (no edges) yields
-    zeros, never a division error.
+    Per-step L1 normalization (Kleinberg's presentation, modulo his
+    L2) divides EVERY entry by the same scalar, and each half-step is
+    linear in the previous vector — so the scalars cancel through the
+    recurrence and normalizing once at the end yields the identical
+    real-valued result while deleting ``2*iters - 2`` global-total
+    subqueries from the plan (values stay tiny: bounded by
+    ``n * max_degree**iters`` in a double). L1 (not L2): same fixed
+    point up to scaling, replayable in plain SQL without
+    sqrt-of-sum ordering concerns — stated so the oracle and
+    consumers agree. FIXED ``iters``, so the result is a
+    deterministic function of the graph and the DuckDB oracle
+    unrolls the same end-normalized steps. A graph whose iteration
+    drives one side's total mass to zero (no edges) yields zeros,
+    never a division error.
 
     Scale shape (100 TB): the edge table is materialized ONCE and
     reused by all ``2 * iters`` joins; per half-iteration the work is
     one score-table join keyed on ``src`` (resp. ``dst``) + one
     map-side-combined groupBy — hot hub/authority nodes are
-    partial-aggregated before the shuffle. The L1 totals are 1-row
-    aggregates over the just-materialized score frame riding explicit
-    broadcast cross joins (no driver collect). Score frames are
-    materialized every half-iteration (they are 1-row-per-node —
-    orders of magnitude below the edge table), bounding lineage and
-    making the broadcast-total scan cheap. At billions of nodes the
-    cluster-grade upgrade is the same as :func:`pagerank`'s
-    ``edge_layout="bucketed"`` but with TWO bucketed copies (by src
-    and by dst) since HITS alternates join keys; the ``reliable``
-    knob hardens the materialize against executor loss.
+    partial-aggregated before the shuffle. Score frames (1 row per
+    node — orders of magnitude below the edge table) are materialized
+    every ``materialize_every`` half-steps (and always at the two
+    loop exits, where a frame gains a second consumer) — the same
+    lineage-bound-vs-barrier-count trade as :func:`pagerank`'s
+    ``materialize_every``; in between, a half-step's single consumer
+    is the next half-step, so laziness never double-executes a join.
+    The two final L1 totals are 1-row aggregates over materialized
+    frames riding explicit broadcast cross joins (no driver collect).
+    At billions of nodes the cluster-grade upgrade is the same as
+    :func:`pagerank`'s ``edge_layout="bucketed"`` but with TWO
+    bucketed copies (by src and by dst) since HITS alternates join
+    keys; the ``reliable`` knob hardens the materialize against
+    executor loss.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = materialize(
@@ -206,25 +219,38 @@ def hits(
             .groupBy(F.col(group_key).alias("id"))
             .agg(F.sum(score_col).alias("s"))
         )
-        full = materialize(
-            nodes.join(raw, "id", "left")
-            .select("id", F.coalesce("s", F.lit(0.0)).alias("s")),
-            reliable=reliable,
-        )
-        tot = full.agg(F.sum("s").alias("t"))
-        return full.crossJoin(F.broadcast(tot)).select(
-            "id",
-            F.when(F.col("t") > 0, F.col("s") / F.col("t"))
-            .otherwise(F.lit(0.0))
-            .alias(out_col),
+        return nodes.join(raw, "id", "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias(out_col)
         )
 
     auth = nodes.select("id", F.lit(1.0).alias("auth"))
     hub = nodes.select("id", F.lit(1.0).alias("hub"))
-    for _ in range(iters):
+    stride = max(1, materialize_every)
+    for i in range(iters):
         auth = half_step(hub, "hub", "src", "dst", "auth")
+        # the final auth feeds BOTH the last hub half-step and the
+        # output join — always cut it so that subtree runs once
+        if (2 * i + 1) % stride == 0 or i == iters - 1:
+            auth = materialize(auth, reliable=reliable)
         hub = half_step(auth, "auth", "dst", "src", "hub")
-    return auth.join(hub, "id")
+        if (2 * i + 2) % stride == 0 or i == iters - 1:
+            hub = materialize(hub, reliable=reliable)
+    tot_a = auth.agg(F.sum("auth").alias("ta"))
+    tot_h = hub.agg(F.sum("hub").alias("th"))
+    return (
+        auth.join(hub, "id")
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_h))
+        .select(
+            "id",
+            F.when(F.col("ta") > 0, F.col("auth") / F.col("ta"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+            F.when(F.col("th") > 0, F.col("hub") / F.col("th"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+    )
 
 
 def pagerank(
