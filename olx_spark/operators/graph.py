@@ -405,32 +405,39 @@ def seed_distance(
     visited set — the same pending-minus-seen shape as the crawl
     engine's round derivation (`plans/scaled.py`), and the same
     partitioning, so a bucketed edge layout makes the hop join
-    co-located. The visited table (one row per reached node) is
-    materialized per hop through :func:`olx_spark.session.materialize`
-    (lineage cut; ``spark.olx.checkpoint.reliable`` knob applies).
+    co-located. Only each hop's LAYER is materialized (lineage cut;
+    ``spark.olx.checkpoint.reliable`` knob applies) — the visited set
+    stays a lazy union of the already-materialized layers, so the
+    anti-join scans the same one-row-per-node total without paying an
+    O(reached) re-checkpoint of the whole set every hop (the union is
+    at most ``max_hops`` frames deep, each with lineage depth one).
     Early exit when a layer drains: a bounded-diameter graph costs
     diameter hops, not ``max_hops``.
     """
+    from functools import reduce
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     frontier = materialize(
         seeds.select(F.col(seed_col).alias("id")).distinct()
         .withColumn("dist", F.lit(0)),
         reliable=reliable,
     )
-    visited = frontier
+    layers = [frontier]
+    visited_ids = frontier.select("id")
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.select(F.col("id").alias("src")), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(visited_ids, "id", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
         frontier = materialize(nxt, reliable=reliable)
         if frontier.limit(1).count() == 0:
             break
-        visited = materialize(visited.union(frontier), reliable=reliable)
-    return visited
+        layers.append(frontier)
+        visited_ids = visited_ids.union(frontier.select("id"))
+    return reduce(lambda a, b: a.union(b), layers)
 
 
 def label_propagation(
