@@ -3096,6 +3096,55 @@ def q_registrable_domain(spark, sf):
     )
 
 
+def q_exif_features(spark, sf):
+    # EXIF orientation/provenance extraction (operators/exif): a
+    # bounds-checked TIFF-IFD walk over Exif APP1 segments in real
+    # fixture-codec jpegs (both byte orders, out-of-line ASCII
+    # values, Exif sub-IFD dimensions); damaged rows — no APP1,
+    # truncated segment, bad magic, wild IFD offset — flag exif_ok=0
+    # with NULL fields. The oracle inlines the WRITER's generated
+    # truth (fixtures/exif.exif_truth), which the parser never sees:
+    # encoder and decoder are independent implementations checking
+    # each other.
+    from olx_spark.fixtures.exif import make_exif_corpus
+    from olx_spark.operators.exif import exif_features
+
+    rows = make_exif_corpus(64, n_bad=8)
+    df = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"])) for r in rows],
+        "image_id string, bytes binary",
+    )
+    return exif_features(df)
+
+
+def _sql_exif_features() -> str:
+    """DuckDB twin of q_exif_features: the generator's ground-truth
+    fields inlined as VALUES — independent of the parser under test."""
+    from olx_spark.fixtures.exif import make_exif_corpus
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join(
+        f"('{r['image_id']}', {lit(r['orientation'])}, {lit(r['make'])}, "
+        f"{lit(r['model'])}, {lit(r['datetime'])}, {lit(r['pixel_x'])}, "
+        f"{lit(r['pixel_y'])}, {r['exif_ok']})"
+        for r in make_exif_corpus(64, n_bad=8)
+    )
+    return f"""
+        select image_id, orientation::int as orientation, make, model,
+               datetime, pixel_x::int as pixel_x, pixel_y::int as pixel_y,
+               exif_ok::int as exif_ok
+        from (values {vals})
+             t(image_id, orientation, make, model, datetime,
+               pixel_x, pixel_y, exif_ok)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3181,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_mad_outliers": q_mad_outliers,
         "q_registrable_domain": q_registrable_domain,
+        "q_exif_features": q_exif_features,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6727,6 +6777,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_consistent_shard": _sql_consistent_shard(),
         "q_registrable_domain": _sql_registrable_domain(),
+        "q_exif_features": _sql_exif_features(),
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

@@ -141,6 +141,7 @@ HEADLINE = [
     "q_ssim_verify",
     "q_mad_outliers",
     "q_registrable_domain",
+    "q_exif_features",
 ]
 
 REPS = 3
