@@ -3145,6 +3145,59 @@ def _sql_exif_features() -> str:
     """
 
 
+def q_oriented_phash(spark, sf):
+    # EXIF-oriented perceptual hashing (operators/exif.oriented_phash):
+    # each group stores ONE upright image under orientations 1/3/6/8
+    # (pixels pre-rotated, tag set) — the raw phash of a rotated
+    # variant misses its twin by 30+ bits while the oriented phash
+    # agrees within jpeg noise (pinned in tests/test_exif.py). The
+    # oracle recomputes decode+orient+phash driver-side with the same
+    # fixture codec (plumbing oracle, q_jpeg_features pattern); the
+    # parser/transform pair is independently pinned by the
+    # writer-vs-parser tests.
+    from olx_spark.fixtures.exif import make_oriented_corpus
+    from olx_spark.operators.exif import oriented_phash
+
+    rows = make_oriented_corpus(12)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["group_id"], bytearray(r["bytes"])) for r in rows],
+        "image_id string, group_id int, bytes binary",
+    )
+    return oriented_phash(df)
+
+
+def _sql_oriented_phash() -> str:
+    """DuckDB twin of q_oriented_phash: expected rows computed by the
+    same decode+orient+phash driver-side, inlined as VALUES."""
+    import numpy as np
+
+    from olx_spark.fixtures.exif import make_oriented_corpus
+    from olx_spark.fixtures.images import decode_image, phash64
+    from olx_spark.operators.exif import apply_orientation, parse_exif
+
+    vals = []
+    for r in make_oriented_corpus(12):
+        meta = parse_exif(r["bytes"])
+        arr = decode_image(r["bytes"], "jpeg")
+        oriented = np.ascontiguousarray(
+            apply_orientation(arr, meta["orientation"])
+        )
+        vals.append(
+            f"('{r['image_id']}', {r['group_id']}, {meta['orientation']}, "
+            f"{phash64(arr)}, {phash64(oriented)}, 1)"
+        )
+    return f"""
+        select image_id, group_id::int as group_id,
+               orientation::int as orientation,
+               phash_raw::bigint as phash_raw,
+               phash_oriented::bigint as phash_oriented,
+               decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, group_id, orientation, phash_raw,
+               phash_oriented, decode_ok)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3231,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": q_mad_outliers,
         "q_registrable_domain": q_registrable_domain,
         "q_exif_features": q_exif_features,
+        "q_oriented_phash": q_oriented_phash,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6778,6 +6832,7 @@ def oracle_sql() -> dict[str, str]:
         "q_consistent_shard": _sql_consistent_shard(),
         "q_registrable_domain": _sql_registrable_domain(),
         "q_exif_features": _sql_exif_features(),
+        "q_oriented_phash": _sql_oriented_phash(),
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

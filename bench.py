@@ -142,6 +142,7 @@ HEADLINE = [
     "q_mad_outliers",
     "q_registrable_domain",
     "q_exif_features",
+    "q_oriented_phash",
 ]
 
 REPS = 3

@@ -119,6 +119,50 @@ def exif_truth(i: int) -> dict:
     }
 
 
+ORIENT_VARIANTS = (1, 3, 6, 8)
+
+
+def make_oriented_corpus(n_groups: int = 12, seed: int = 5) -> list[dict]:
+    """Rotated re-posts of one image: each group is a single upright
+    32x16 picture stored under EXIF orientations 1/3/6/8, with the
+    STORED pixels pre-transformed so ``apply_orientation(stored, o)``
+    reproduces the upright image exactly (then jpeg-coded, so decode
+    adds bounded lossy noise). The raw phashes of the variants
+    disagree wildly; the oriented phashes agree — the corpus that
+    proves why a dedup pipeline must orient before hashing."""
+    from olx_spark.fixtures.images import encode_image, make_image_array
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        upright = make_image_array(rng, 32, 16)
+        for o in ORIENT_VARIANTS:
+            if o == 1:
+                stored = upright
+            elif o == 3:
+                stored = upright[::-1, ::-1]
+            elif o == 6:
+                stored = np.rot90(upright, 1)
+            else:  # 8
+                stored = np.rot90(upright, -1)
+            t = exif_truth(g)
+            app1 = build_exif_app1(
+                o, t["make"], t["model"], t["datetime"],
+                stored.shape[1], stored.shape[0],
+                big_endian=(g % 2 == 1),
+            )
+            jpeg = encode_image(np.ascontiguousarray(stored), "jpeg")
+            rows.append(
+                {
+                    "image_id": f"orient-{g:03d}-o{o}",
+                    "group_id": g,
+                    "orientation": o,
+                    "bytes": splice_app1(jpeg, app1),
+                }
+            )
+    return rows
+
+
 def make_exif_corpus(n: int = 64, seed: int = 7, n_bad: int = 8) -> list[dict]:
     """``n`` valid EXIF-tagged jpegs + ``n_bad`` damaged rows.
 

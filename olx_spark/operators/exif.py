@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -177,6 +178,96 @@ _EXIF_FIELDS = [
     StructField("pixel_y", IntegerType()),
     StructField("exif_ok", IntegerType()),
 ]
+
+
+def apply_orientation(arr, orientation: int):
+    """Map STORED pixels to upright display per EXIF orientation 1..8
+    (TIFF 6.0 / JEITA CP-3451 table). Numpy views — no copy unless
+    the caller needs contiguity."""
+    import numpy as np
+
+    o = int(orientation) if orientation is not None else 1
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    if o == 5:
+        return np.transpose(arr, (1, 0, 2))
+    if o == 6:
+        return np.rot90(arr, -1)
+    if o == 7:
+        return np.transpose(arr[::-1, ::-1], (1, 0, 2))
+    if o == 8:
+        return np.rot90(arr, 1)
+    return arr
+
+
+def oriented_phash(
+    df: DataFrame, data_col: str = "bytes", fmt: str = "jpeg"
+) -> DataFrame:
+    """Decode + EXIF-orient + 64-bit phash, Arrow-batched.
+
+    THE reason a curation pipeline parses Orientation at all: a phash
+    of stored portrait pixels never matches its upright twin, so
+    rotated re-posts of one image survive near-dup removal unless
+    every hash is computed on ORIENTED pixels. Appends
+    ``orientation`` (parsed, default 1), ``phash_raw`` (stored
+    pixels), ``phash_oriented`` (after :func:`apply_orientation`) and
+    ``decode_ok``; undecodable rows flag 0 with NULL hashes. Same
+    mapInPandas shape and corrupt-bytes doctrine as
+    ``multimodal.image_features``.
+    """
+    import numpy as np
+
+    from olx_spark.fixtures.images import decode_image, phash64
+
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != data_col]
+        + [
+            StructField("orientation", IntegerType()),
+            StructField("phash_raw", LongType()),
+            StructField("phash_oriented", LongType()),
+            StructField("decode_ok", IntegerType()),
+        ]
+    )
+    passthrough = [f.name for f in df.schema.fields if f.name != data_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[data_col]:
+                meta = parse_exif(blob)
+                o = meta["orientation"] if meta["exif_ok"] else None
+                try:
+                    arr = decode_image(bytes(blob), fmt)
+                    rows.append(
+                        (
+                            o,
+                            phash64(arr),
+                            phash64(np.ascontiguousarray(
+                                apply_orientation(arr, o or 1))),
+                            1,
+                        )
+                    )
+                except Exception:
+                    rows.append((o, None, None, 0))
+            feats = pd.DataFrame(
+                rows,
+                columns=["orientation", "phash_raw", "phash_oriented",
+                         "decode_ok"],
+            )
+            out = pd.concat(
+                [pdf[passthrough].reset_index(drop=True), feats], axis=1
+            )
+            out["orientation"] = out["orientation"].astype("Int32")
+            out["decode_ok"] = out["decode_ok"].astype("Int32")
+            for col in ("phash_raw", "phash_oriented"):
+                out[col] = out[col].astype("Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def exif_features(df: DataFrame, data_col: str = "bytes") -> DataFrame:

@@ -93,3 +93,60 @@ def test_plan_is_arrow_batched(spark):
     )
     plan = exif_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+class TestOrientedPhash:
+    def test_oriented_agree_raw_disagree(self, spark):
+        from olx_spark.fixtures.exif import make_oriented_corpus
+        from olx_spark.operators.exif import oriented_phash
+
+        rows = make_oriented_corpus(4)
+        df = spark.createDataFrame(
+            [(r["image_id"], r["group_id"], bytearray(r["bytes"])) for r in rows],
+            "image_id string, group_id int, bytes binary",
+        )
+        got = oriented_phash(df).collect()
+        assert all(r["decode_ok"] == 1 for r in got)
+
+        def ham(a, b):
+            return bin((a ^ b) & (2**64 - 1)).count("1")
+
+        by_group = {}
+        for r in got:
+            by_group.setdefault(r["group_id"], []).append(r)
+        for grp in by_group.values():
+            base = next(r for r in grp if r["orientation"] == 1)
+            for r in grp:
+                assert ham(r["phash_oriented"], base["phash_oriented"]) <= 4
+                if r["orientation"] != 1:
+                    # the un-oriented hash misses the duplicate entirely
+                    assert ham(r["phash_raw"], base["phash_raw"]) >= 16
+
+    def test_undecodable_flags(self, spark):
+        from olx_spark.operators.exif import oriented_phash
+
+        df = spark.createDataFrame(
+            [("x", bytearray(b"\xff\xd8garbage"))], "image_id string, bytes binary"
+        )
+        r = oriented_phash(df).collect()[0]
+        assert r["decode_ok"] == 0 and r["phash_raw"] is None
+
+    def test_apply_orientation_inverts_all_eight(self):
+        import numpy as np
+
+        from olx_spark.operators.exif import apply_orientation
+
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 256, (6, 4, 3)).astype("uint8")
+        inv = {
+            1: lambda a: a,
+            2: lambda a: a[:, ::-1],
+            3: lambda a: a[::-1, ::-1],
+            4: lambda a: a[::-1, :],
+            5: lambda a: np.transpose(a, (1, 0, 2)),
+            6: lambda a: np.rot90(a, 1),
+            7: lambda a: np.transpose(a[::-1, ::-1], (1, 0, 2)),
+            8: lambda a: np.rot90(a, -1),
+        }
+        for o, f in inv.items():
+            np.testing.assert_array_equal(apply_orientation(f(u), o), u)
