@@ -3198,6 +3198,66 @@ def _sql_oriented_phash() -> str:
     """
 
 
+def q_crop_dups(spark, sf):
+    # cropped-duplicate detection by tile-phash voting (operators/
+    # crops): whole-image phash misses crops; an aligned 16-px tile
+    # lattice makes the original and its crop agree on every retained
+    # tile. Planted corpus: 10 groups of (base, grid-aligned 48x48
+    # crop sharing 9/16 tiles, distractor). The tiling stage is
+    # plumbing-oracled (driver-side numpy over the same lossless png
+    # corpus); the MATCHING stage — mega-bucket frequency guard,
+    # self-join, vote threshold — is replayed exactly in SQL.
+    from olx_spark.fixtures.images import make_crop_corpus
+    from olx_spark.operators.crops import crop_candidates, tile_phashes
+
+    rows = make_crop_corpus(10)
+    df = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"]), r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return crop_candidates(tile_phashes(df), min_votes=4).select(
+        "id_a", "id_b", F.col("votes").cast("long").alias("votes")
+    )
+
+
+def _sql_crop_dups(min_votes: int = 4, max_hash_freq: int = 32) -> str:
+    """DuckDB twin of q_crop_dups: the tile-hash table computed
+    driver-side with the same numpy path (png is lossless, so hashes
+    are bit-identical), inlined as VALUES; the guard + self-join +
+    vote-count logic replayed in SQL."""
+    import numpy as np
+
+    from olx_spark.fixtures.images import (
+        decode_image,
+        make_crop_corpus,
+        phash64,
+    )
+
+    vals = []
+    for r in make_crop_corpus(10):
+        arr = decode_image(r["bytes"], r["fmt"])
+        for ty in range(arr.shape[0] // 16):
+            for tx in range(arr.shape[1] // 16):
+                t = np.ascontiguousarray(
+                    arr[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+                )
+                vals.append(f"('{r['image_id']}', {phash64(t)})")
+    return f"""
+        with tiles(id, h) as (values {", ".join(vals)}),
+        productive as (
+            select id, h from tiles
+            where h in (
+                select h from tiles group by h
+                having count(*) <= {max_hash_freq}
+            )
+        )
+        select a.id as id_a, b.id as id_b, count(*)::bigint as votes
+        from productive a join productive b on a.h = b.h and a.id < b.id
+        group by a.id, b.id
+        having count(*) >= {min_votes}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3285,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_registrable_domain": q_registrable_domain,
         "q_exif_features": q_exif_features,
         "q_oriented_phash": q_oriented_phash,
+        "q_crop_dups": q_crop_dups,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6833,6 +6894,7 @@ def oracle_sql() -> dict[str, str]:
         "q_registrable_domain": _sql_registrable_domain(),
         "q_exif_features": _sql_exif_features(),
         "q_oriented_phash": _sql_oriented_phash(),
+        "q_crop_dups": _sql_crop_dups(),
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

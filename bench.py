@@ -143,6 +143,7 @@ HEADLINE = [
     "q_registrable_domain",
     "q_exif_features",
     "q_oriented_phash",
+    "q_crop_dups",
 ]
 
 REPS = 3

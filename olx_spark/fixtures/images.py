@@ -373,3 +373,28 @@ def letterbox_pixels(
     elif kind == 2:
         arr[:] = np.array([10, 20, 30], dtype=np.uint8)
     return w, h, fmt, arr
+
+
+def make_crop_corpus(n_groups: int = 10, seed: int = 17) -> list[dict]:
+    """Planted CROP duplicates for tile-phash voting tests/oracles:
+    each group is a 64x64 base image (png — lossless, so retained
+    tiles match bit-exactly), a grid-aligned 48x48 crop of it
+    (offset one 16-px tile down: shares 9 of the base's 16 tiles),
+    and one unrelated distractor. Expected candidate pairs at
+    min_votes=4: exactly (base, crop) per group with 9 votes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        base = make_image_array(rng, 64, 64)
+        crop = np.ascontiguousarray(base[16:64, 0:48])
+        distractor = make_image_array(rng, 64, 64)
+        for suffix, arr in (("base", base), ("crop", crop),
+                            ("other", distractor)):
+            rows.append(
+                {
+                    "image_id": f"crop-{g:03d}-{suffix}",
+                    "bytes": encode_image(arr, "png"),
+                    "fmt": "png",
+                }
+            )
+    return rows
