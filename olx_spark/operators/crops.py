@@ -49,12 +49,21 @@ def tile_phashes(
     fmt_col: str = "fmt",
     id_col: str = "image_id",
     tile: int = 16,
+    grid_offsets: tuple = ((0, 0),),
 ) -> DataFrame:
-    """Explode each image into its aligned tile lattice:
-    ``(id_col, ty, tx, tile_phash, decode_ok)`` — one row per full
-    ``tile x tile`` tile (ragged edges are dropped: a partial tile's
-    hash can never match its counterpart). Undecodable rows yield one
-    ``decode_ok=0`` row with NULL hash, never a crash."""
+    """Explode each image into its tile lattice(s):
+    ``(id_col, oy, ox, ty, tx, tile_phash, decode_ok)`` — one row per
+    full ``tile x tile`` tile of each grid offset (ragged edges are
+    dropped: a partial tile's hash can never match its counterpart).
+    Undecodable rows yield one ``decode_ok=0`` row with NULL hash,
+    never a crash.
+
+    ``grid_offsets``: extra shifted lattices. The default single
+    aligned grid only matches crops cut on tile boundaries; adding
+    e.g. ``((0, 0), (tile // 2, tile // 2))`` lets a crop at
+    half-tile alignment share hashes with the original's shifted
+    grid — linear row growth per offset, no change to the matching
+    stage (a match in ANY grid is a vote)."""
     import numpy as np
 
     from olx_spark.fixtures.images import decode_image, phash64
@@ -62,6 +71,8 @@ def tile_phashes(
     schema = StructType(
         [
             StructField(id_col, StringType()),
+            StructField("oy", IntegerType()),
+            StructField("ox", IntegerType()),
             StructField("ty", IntegerType()),
             StructField("tx", IntegerType()),
             StructField("tile_phash", LongType()),
@@ -77,23 +88,29 @@ def tile_phashes(
             ):
                 try:
                     arr = decode_image(bytes(blob), fmt)
-                    h, w = arr.shape[0] // tile, arr.shape[1] // tile
-                    if h == 0 or w == 0:
+                    any_tile = False
+                    for oy, ox in grid_offsets:
+                        h = (arr.shape[0] - oy) // tile
+                        w = (arr.shape[1] - ox) // tile
+                        for ty in range(h):
+                            for tx in range(w):
+                                t = arr[
+                                    oy + ty * tile:oy + (ty + 1) * tile,
+                                    ox + tx * tile:ox + (tx + 1) * tile,
+                                ]
+                                out.append(
+                                    (image_id, oy, ox, ty, tx,
+                                     phash64(np.ascontiguousarray(t)), 1)
+                                )
+                                any_tile = True
+                    if not any_tile:
                         raise ValueError("image smaller than one tile")
-                    for ty in range(h):
-                        for tx in range(w):
-                            t = arr[
-                                ty * tile:(ty + 1) * tile,
-                                tx * tile:(tx + 1) * tile,
-                            ]
-                            out.append(
-                                (image_id, ty, tx,
-                                 phash64(np.ascontiguousarray(t)), 1)
-                            )
                 except Exception:
-                    out.append((image_id, -1, -1, None, 0))
+                    out.append((image_id, -1, -1, -1, -1, None, 0))
             res = pd.DataFrame(
-                out, columns=[id_col, "ty", "tx", "tile_phash", "decode_ok"]
+                out,
+                columns=[id_col, "oy", "ox", "ty", "tx", "tile_phash",
+                         "decode_ok"],
             )
             res["tile_phash"] = res["tile_phash"].astype("Int64")
             yield res

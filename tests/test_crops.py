@@ -81,3 +81,23 @@ def test_plan_arrow_batched_and_single_join_shuffle(spark):
     cplan = crop_candidates(tiles)._jdf.queryExecution().executedPlan().toString()
     # the dropped-hash anti-join must be broadcast, not shuffled
     assert "BroadcastHashJoin" in cplan
+
+
+def test_shifted_grid_catches_half_tile_crop(spark):
+    # crop at (8, 8) — half-tile alignment: invisible to the single
+    # aligned grid, caught by adding the (8, 8)-shifted lattice
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (64, 64, 3)).astype("uint8")
+    crop = np.ascontiguousarray(base[8:56, 8:56])
+    rows = [
+        {"image_id": "base", "bytes": encode_image(base, "png"), "fmt": "png"},
+        {"image_id": "crop", "bytes": encode_image(crop, "png"), "fmt": "png"},
+    ]
+    aligned = crop_candidates(tile_phashes(_df(spark, rows)), min_votes=4)
+    assert aligned.collect() == []
+    shifted = crop_candidates(
+        tile_phashes(_df(spark, rows), grid_offsets=((0, 0), (8, 8))),
+        min_votes=4,
+    ).collect()
+    assert len(shifted) == 1
+    assert shifted[0]["id_a"] == "base" and shifted[0]["votes"] >= 9
