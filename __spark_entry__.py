@@ -3258,6 +3258,54 @@ def _sql_crop_dups(min_votes: int = 4, max_hash_freq: int = 32) -> str:
     """
 
 
+def q_aimd_delay(spark, sf):
+    # AIMD adaptive crawl-delay controller (operators/aimd): integer
+    # multiplicative backoff on throttle signals, additive recovery
+    # on success, clamped to [250, 64000] ms — replayed per host over
+    # the events log (host = user bucket, throttle = 'error' events,
+    # order = event_id). Exact integer state recurrence; the oracle
+    # unrolls the identical recurrence with a recursive CTE.
+    from olx_spark.operators.aimd import adaptive_crawl_delay
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", "throttle")
+        .otherwise("ok")
+        .alias("outcome"),
+    )
+    return adaptive_crawl_delay(ev)
+
+
+_SQL_AIMD = """
+    with recursive ev as (
+        select 'h' || (user_id % 40) as host, event_id::bigint as seq,
+               case when event_type = 'error' then 'throttle'
+                    else 'ok' end as outcome,
+               row_number() over (
+                   partition by (user_id % 40) order by event_id
+               ) as k
+        from events
+    ), rec as (
+        select host, seq, outcome, k, 1000 as delay_before,
+               case when outcome = 'throttle' then least(64000, 1000 * 2)
+                    else greatest(250, 1000 - 100) end as delay_after
+        from ev where k = 1
+        union all
+        select ev.host, ev.seq, ev.outcome, ev.k, rec.delay_after,
+               case when ev.outcome = 'throttle'
+                    then least(64000, rec.delay_after * 2)
+                    else greatest(250, rec.delay_after - 100) end
+        from rec join ev on ev.host = rec.host and ev.k = rec.k + 1
+    )
+    select host, seq, outcome, delay_before::int as delay_before,
+           delay_after::int as delay_after
+    from rec
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3346,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exif_features": q_exif_features,
         "q_oriented_phash": q_oriented_phash,
         "q_crop_dups": q_crop_dups,
+        "q_aimd_delay": q_aimd_delay,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6895,6 +6944,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exif_features": _sql_exif_features(),
         "q_oriented_phash": _sql_oriented_phash(),
         "q_crop_dups": _sql_crop_dups(),
+        "q_aimd_delay": _SQL_AIMD,
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

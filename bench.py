@@ -144,6 +144,7 @@ HEADLINE = [
     "q_exif_features",
     "q_oriented_phash",
     "q_crop_dups",
+    "q_aimd_delay",
 ]
 
 REPS = 3
