@@ -3306,6 +3306,24 @@ _SQL_AIMD = """
 """
 
 
+def q_footer_stats(spark, sf):
+    # parquet footer-statistics audit (operators/layout.
+    # footer_stats_audit): write orders hive-partitioned by
+    # o_orderkey % 8, then report per bucket what the FOOTERS claim
+    # (row counts + min/max of o_orderkey / o_totalprice aggregated
+    # across every row group, zero data pages read). The oracle
+    # computes the same aggregate FROM the data — hash equality
+    # certifies that the writer's pruning statistics are present and
+    # exact, the property every layout op (zorder, bucketing) banks
+    # on at 100 TB.
+    from olx_spark.operators.layout import footer_stats_audit
+
+    df = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 8).alias("b"), "o_orderkey", "o_totalprice"
+    )
+    return footer_stats_audit(df, "b", ["o_orderkey", "o_totalprice"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3395,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_oriented_phash": q_oriented_phash,
         "q_crop_dups": q_crop_dups,
         "q_aimd_delay": q_aimd_delay,
+        "q_footer_stats": q_footer_stats,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6945,6 +6964,14 @@ def oracle_sql() -> dict[str, str]:
         "q_oriented_phash": _sql_oriented_phash(),
         "q_crop_dups": _sql_crop_dups(),
         "q_aimd_delay": _SQL_AIMD,
+        "q_footer_stats": """
+            select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
+                   min(o_orderkey) as min_o_orderkey,
+                   max(o_orderkey) as max_o_orderkey,
+                   min(o_totalprice) as min_o_totalprice,
+                   max(o_totalprice) as max_o_totalprice
+            from orders group by 1
+        """,
         "q_mad_outliers": """
             with med as (
                 select o_orderpriority as grp,

@@ -145,6 +145,7 @@ HEADLINE = [
     "q_oriented_phash",
     "q_crop_dups",
     "q_aimd_delay",
+    "q_footer_stats",
 ]
 
 REPS = 3

@@ -224,3 +224,96 @@ def size_balanced_assignment(
         )
         .drop("__pid", "__off")
     )
+
+
+def footer_stats_audit(
+    df: DataFrame,
+    bucket_col: str,
+    value_cols: list[str],
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Write ``df`` hive-partitioned by ``bucket_col`` and report,
+    per bucket, what the written parquet FOOTERS claim — row counts
+    and each value column's min/max aggregated across every row
+    group of every file — without scanning a single data page.
+
+    This is the audit behind the whole pruning story: Z-order,
+    bucketing and partition layout only pay off if the files' footer
+    statistics actually carry tight, correct min/max values for the
+    clustered columns. Comparing this frame against the same
+    aggregate computed FROM the data (the oracle does exactly that)
+    certifies the writer end-to-end; a writer that drops or corrupts
+    statistics surfaces as NULL/mismatched rows, loudly.
+
+    Footers are read with pyarrow via a distributed ``mapInPandas``
+    over the file list — on a real cluster each executor reads only
+    the ~KB metadata tail of its files from the object store (the
+    same access pattern a scan planner uses), so auditing a
+    million-file table costs file-count metadata reads, zero data
+    I/O, and one tiny shuffle to merge per-bucket partials. Output
+    is independent of how many files each bucket got (stats are
+    order- and split-invariant aggregates).
+
+    Returns ``(bucket, n_rows, min_<c>, max_<c> ...)``; the bucket
+    column keeps its original name.
+    """
+    import glob as _glob
+    import tempfile
+
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="olx_footer_audit_")
+    df.write.mode("overwrite").partitionBy(bucket_col).parquet(out_dir)
+
+    files = sorted(_glob.glob(f"{out_dir}/{bucket_col}=*/*.parquet"))
+    if not files:
+        raise RuntimeError(f"no parquet files written under {out_dir}")
+    paths = spark.createDataFrame([(p,) for p in files], "path string")
+
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_fields = [StructField(bucket_col, LongType()),
+                  StructField("n_rows", LongType())]
+    for c in value_cols:
+        out_fields += [StructField(f"min_{c}", in_fields[c]),
+                       StructField(f"max_{c}", in_fields[c])]
+    schema = StructType(out_fields)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                bucket = int(path.split(f"{bucket_col}=")[1].split("/")[0])
+                md = pq.ParquetFile(path).metadata
+                names = [md.schema.column(i).name
+                         for i in range(md.num_columns)]
+                row = {bucket_col: bucket, "n_rows": 0}
+                for c in value_cols:
+                    row[f"min_{c}"] = None
+                    row[f"max_{c}"] = None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    row["n_rows"] += g.num_rows
+                    for c in value_cols:
+                        st = g.column(names.index(c)).statistics
+                        if st is None or not st.has_min_max:
+                            continue  # stays NULL -> audit mismatch
+                        mn, mx = st.min, st.max
+                        if row[f"min_{c}"] is None or mn < row[f"min_{c}"]:
+                            row[f"min_{c}"] = mn
+                        if row[f"max_{c}"] is None or mx > row[f"max_{c}"]:
+                            row[f"max_{c}"] = mx
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    per_file = paths.mapInPandas(read_footers, schema=schema)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in value_cols:
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}"),
+                 F.max(f"max_{c}").alias(f"max_{c}")]
+    return per_file.groupBy(bucket_col).agg(*aggs)
