@@ -3324,6 +3324,88 @@ def q_footer_stats(spark, sf):
     return footer_stats_audit(df, "b", ["o_orderkey", "o_totalprice"])
 
 
+def q_trustrank(spark, sf):
+    # TrustRank / personalized PageRank (operators/graph.pagerank
+    # with seeds): teleport mass restricted to a trusted seed set
+    # (order nodes with o_orderkey % 97 == 0) over the symmetrized
+    # order<->part graph — the web-spam demotion primitive: rank
+    # reaches a node only through real link paths from trust.
+    # Fixed 6 iterations; the oracle unrolls the identical seeded
+    # recurrence.
+    from olx_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct().union(
+        li.select(
+            (F.col("l_partkey") * 2 + 1).alias("src"),
+            (F.col("l_orderkey") * 2).alias("dst"),
+        ).distinct()
+    )
+    seeds = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select((F.col("o_orderkey") * 2).alias("id"))
+    )
+    r = pagerank(edges, iters=6, seeds=seeds)
+    return r.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _sql_trustrank(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled seeded power iteration — _sql_pagerank with the
+    teleport restricted to the effective (in-graph) seed set."""
+    base = f"""
+        with e as (
+            select * from (
+                select distinct l_orderkey * 2 as src, l_partkey * 2 + 1 as dst
+                from lineitem
+                union all
+                select distinct l_partkey * 2 + 1 as src, l_orderkey * 2 as dst
+                from lineitem
+            )
+        ), nodes as (
+            select distinct id from (
+                select src as id from e union select dst from e
+            )
+        ), eff as (
+            select nodes.id from nodes
+            join (select o_orderkey * 2 as id from orders
+                  where o_orderkey % 97 = 0) s using (id)
+        ), ns as (select count(*)::double as n from eff
+        ), deg as (
+            select src, count(*)::double as deg from e group by src
+        ), pr0 as (
+            select nodes.id,
+                   case when eff.id is not null then 1.0 / ns.n
+                        else 0.0 end as rank
+            from nodes cross join ns
+            left join eff on eff.id = nodes.id
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", pr{k} as (
+            select nodes.id,
+                   case when eff.id is not null
+                        then (1.0 - {damping}) / ns.n else 0.0 end
+                   + {damping} * coalesce(s.in_sum, 0.0) as rank
+            from nodes cross join ns
+            left join eff on eff.id = nodes.id
+            left join (
+                select e.dst as id, sum(p.rank / deg.deg) as in_sum
+                from e
+                join pr{k - 1} p on p.id = e.src
+                join deg on deg.src = e.src
+                group by e.dst
+            ) s on s.id = nodes.id
+        )""")
+    return (
+        base + "".join(steps)
+        + f" select id, round(rank, 9) as rank from pr{iters}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3414,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crop_dups": q_crop_dups,
         "q_aimd_delay": q_aimd_delay,
         "q_footer_stats": q_footer_stats,
+        "q_trustrank": q_trustrank,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -6964,6 +7047,7 @@ def oracle_sql() -> dict[str, str]:
         "q_oriented_phash": _sql_oriented_phash(),
         "q_crop_dups": _sql_crop_dups(),
         "q_aimd_delay": _SQL_AIMD,
+        "q_trustrank": _sql_trustrank(),
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

@@ -146,6 +146,7 @@ HEADLINE = [
     "q_crop_dups",
     "q_aimd_delay",
     "q_footer_stats",
+    "q_trustrank",
 ]
 
 REPS = 3

@@ -262,6 +262,8 @@ def pagerank(
     reliable: bool | None = None,
     edge_layout: str = "auto",
     materialize_every: int = 2,
+    seeds: DataFrame | None = None,
+    seed_col: str = "id",
 ) -> DataFrame:
     """Fixed-iteration power-iteration PageRank over a directed edge
     list (node set = all edge endpoints). Returns ``(id, rank)``.
@@ -316,6 +318,18 @@ def pagerank(
     per-iteration barrier count down: each eager cut is a full job,
     and measured at sf0.1 cutting every 2nd instead of every
     iteration is ~35% faster with no further gain beyond stride 3.
+
+    ``seeds`` switches on PERSONALIZED PageRank — TrustRank
+    (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004), the web-spam
+    demotion primitive: the teleport mass lands uniformly on the
+    trusted seed set instead of all nodes (``t(v) = 1/|S|`` for
+    seeds, else 0; ``r_0 = t``), so rank can only flow out of the
+    trusted neighborhood along real links and spam farms far from
+    any seed starve. Same loop, same layouts — the teleport vector
+    rides the (materialized) node frame as a column; non-seed
+    expression paths are untouched, so the classic mode is
+    plan-identical with or without this feature. Seeds absent from
+    the graph are ignored; an empty effective seed set raises.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = materialize(
@@ -352,18 +366,42 @@ def pagerank(
     else:
         e_deg = materialize(e_all, reliable=reliable)
     try:
-        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-        teleport = (1.0 - damping) / n
+        if seeds is None:
+            base = nodes
+            ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+            tele_col = F.lit((1.0 - damping) / n)
+        else:
+            seed_ids = seeds.select(
+                F.col(seed_col).alias("id")
+            ).distinct().withColumn("__seed", F.lit(1))
+            base = materialize(
+                nodes.join(F.broadcast(seed_ids), "id", "left"),
+                reliable=reliable,
+            )
+            n_seeds = base.where(F.col("__seed") == 1).count()
+            if n_seeds == 0:
+                raise ValueError(
+                    "trustrank: no seed appears in the edge set"
+                )
+            tele_col = F.when(
+                F.col("__seed") == 1, F.lit((1.0 - damping) / n_seeds)
+            ).otherwise(F.lit(0.0))
+            ranks = base.select(
+                "id",
+                F.when(F.col("__seed") == 1, F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("rank"),
+            )
         for i in range(iters):
             in_sum = (
                 e_deg.join(ranks.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_sum"))
             )
-            ranks = nodes.join(in_sum, "id", "left").select(
+            ranks = base.join(in_sum, "id", "left").select(
                 "id",
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
                 ).alias("rank"),
             )

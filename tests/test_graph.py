@@ -343,3 +343,68 @@ class TestLabelPropagation:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Window" not in plan  # argmax is min-of-struct, not row_number
+
+
+class TestTrustRank:
+    @staticmethod
+    def _ppr_py(edges, seeds, iters, d=0.85):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        s = [v for v in nodes if v in seeds]
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        r = {v: (1.0 / len(s) if v in seeds else 0.0) for v in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for v in nodes:
+                t = (1 - d) / len(s) if v in seeds else 0.0
+                nxt[v] = t + d * sum(
+                    r[u] / deg[u] for u, w in edges if w == v
+                )
+            r = nxt
+        return r
+
+    EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (9, 8), (8, 9)]
+
+    def test_matches_python_reference(self, spark):
+        from olx_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        want = self._ppr_py(self.EDGES, {1}, iters=4)
+        got = {r["id"]: r["rank"] for r in pagerank(
+            e, iters=4, seeds=seeds, edge_layout="inline"
+        ).collect()}
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, v
+
+    def test_spam_island_starves(self, spark):
+        from olx_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        got = {r["id"]: r["rank"] for r in pagerank(
+            e, iters=6, seeds=seeds, edge_layout="inline"
+        ).collect()}
+        # the 8<->9 island is unreachable from the trusted seed:
+        # zero teleport + zero trusted in-flow = exactly zero rank
+        assert got[8] == 0.0 and got[9] == 0.0
+        assert got[1] > 0 and got[4] > 0  # reachable chain keeps rank
+
+    def test_unknown_seeds_ignored_empty_raises(self, spark):
+        from olx_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        ok = pagerank(
+            e, iters=1,
+            seeds=spark.createDataFrame([(1,), (777,)], "id long"),
+            edge_layout="inline",
+        ).collect()
+        assert len(ok) == 7  # all graph nodes; the unknown seed is ignored
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(
+                e, iters=1,
+                seeds=spark.createDataFrame([(777,)], "id long"),
+                edge_layout="inline",
+            )
