@@ -3406,6 +3406,46 @@ def _sql_trustrank(iters: int = 6, damping: float = 0.85) -> str:
     )
 
 
+def q_sim_order(spark, sf):
+    # similarity-ordered shard layout (operators/layout.
+    # similarity_order): global (shard, pos) rank under the 4-value
+    # MinHash-prefix key, computed with the distributed prefix-sum
+    # pattern (no single-task sort). Near-dup/template docs become
+    # adjacent, which makes zstd shards ~5.8x smaller on a
+    # boilerplate-heavy corpus (measured in
+    # tests/test_similarity_order.py). The oracle recomputes the same
+    # md5-60 keys in SQL and ranks with one row_number.
+    from olx_spark.operators.layout import similarity_order
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return similarity_order(docs, "text", "doc_id", rows_per_shard=64)
+
+
+def _sql_sim_order(n_keys: int = 4, rows_per_shard: int = 64) -> str:
+    keys = ", ".join(
+        "coalesce(list_min([(('0x' || substr(md5('"
+        + str(j)
+        + ":' || s), 1, 15))::bigint) for s in sh]), -1) as k"
+        + str(j)
+        for j in range(n_keys)
+    )
+    order = ", ".join(f"k{j}" for j in range(n_keys)) + ", doc_id"
+    return f"""
+        with d as (
+            select doc_id, {_sql_shingles(3)} as sh from documents
+        ), keyed as (
+            select doc_id, {keys} from d
+        ), ranked as (
+            select doc_id,
+                   row_number() over (order by {order}) - 1 as r
+            from keyed
+        )
+        select doc_id, (r // {rows_per_shard})::int as shard,
+               (r % {rows_per_shard})::int as pos
+        from ranked
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3497,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_aimd_delay": q_aimd_delay,
         "q_footer_stats": q_footer_stats,
         "q_trustrank": q_trustrank,
+        "q_sim_order": q_sim_order,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -7048,6 +7089,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crop_dups": _sql_crop_dups(),
         "q_aimd_delay": _SQL_AIMD,
         "q_trustrank": _sql_trustrank(),
+        "q_sim_order": _sql_sim_order(),
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

@@ -147,6 +147,7 @@ HEADLINE = [
     "q_aimd_delay",
     "q_footer_stats",
     "q_trustrank",
+    "q_sim_order",
 ]
 
 REPS = 3
