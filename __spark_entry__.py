@@ -3446,6 +3446,79 @@ def _sql_sim_order(n_keys: int = 4, rows_per_shard: int = 64) -> str:
     """
 
 
+def _payload_corpus():
+    """Deterministic compressed-payload corpus shared by
+    q_decompress and its oracle: the oracle inlines the GENERATED
+    truth (status/text/encoding), which the decoder never sees."""
+    import gzip
+    import zlib
+
+    rows = []
+    for i in range(60):
+        text = f"payload {i} " + " ".join(f"tok{i}{j}" for j in range(i % 30 + 5))
+        raw = text.encode()
+        kind = i % 3
+        if kind == 0:
+            blob, enc = gzip.compress(raw, mtime=0), "gzip"
+        elif kind == 1:
+            blob, enc = zlib.compress(raw), "zlib"
+        else:
+            co = zlib.compressobj(wbits=-15)
+            blob, enc = co.compress(raw) + co.flush(), "deflate"
+        rows.append((f"p{i:03d}", blob, "ok", text, enc))
+    bomb = zlib.compress(b"\x00" * (8 << 20), 9)
+    rows.append((f"p{900}", bomb, "bomb", None, "zlib"))
+    whole = gzip.compress(b"truncated " * 200, mtime=0)
+    rows.append((f"p{901}", whole[: len(whole) // 2], "corrupt", None, "gzip"))
+    rows.append((f"p{902}", b"plainly not compressed", "corrupt", None,
+                 "deflate"))
+    rows.append((f"p{903}", b"", "empty", None, None))
+    return rows
+
+
+def q_decompress(spark, sf):
+    # compressed fetch-payload decoding with bomb guards (operators/
+    # compression): gzip/zlib/raw-deflate sniffed from bytes (headers
+    # lie), decoded STREAMING with max_bytes and max_ratio caps
+    # enforced mid-stream — an 8 MB zlib bomb is flagged after 1 MB,
+    # never materialized; truncated/garbage rows flag corrupt. The
+    # oracle inlines the corpus GENERATOR's truth, which the decoder
+    # never sees — encoder and decoder check each other (the EXIF
+    # pattern).
+    from olx_spark.operators.compression import decompress_payloads
+
+    rows = _payload_corpus()
+    df = spark.createDataFrame(
+        [(rid, bytearray(blob)) for rid, blob, _, _, _ in rows],
+        "rid string, body binary",
+    )
+    out = decompress_payloads(df, max_bytes=1 << 20, max_ratio=200.0)
+    return out.select(
+        "rid", "status", "encoding",
+        F.col("payload").cast("string").alias("text"),
+        "n_out",
+    )
+
+
+def _sql_decompress() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join(
+        f"({lit(rid)}, {lit(status)}, {lit(enc)}, {lit(text)}, "
+        f"{len(text.encode()) if text is not None else 'NULL'})"
+        for rid, _, status, text, enc in _payload_corpus()
+    )
+    return f"""
+        select rid, status, encoding, text, n_out::int as n_out
+        from (values {vals}) t(rid, status, encoding, text, n_out)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3538,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_footer_stats": q_footer_stats,
         "q_trustrank": q_trustrank,
         "q_sim_order": q_sim_order,
+        "q_decompress": q_decompress,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -7090,6 +7164,7 @@ def oracle_sql() -> dict[str, str]:
         "q_aimd_delay": _SQL_AIMD,
         "q_trustrank": _sql_trustrank(),
         "q_sim_order": _sql_sim_order(),
+        "q_decompress": _sql_decompress(),
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

@@ -148,6 +148,7 @@ HEADLINE = [
     "q_footer_stats",
     "q_trustrank",
     "q_sim_order",
+    "q_decompress",
 ]
 
 REPS = 3
