@@ -3519,6 +3519,76 @@ def _sql_decompress() -> str:
     """
 
 
+_SPOOF_ATTACKS = [
+    ("аpple.com", "apple.com"),
+    ("gооgle.com", "google.com"),
+    ("αmazon.com", "amazon.com"),
+    ("micrоsоft.com", "microsoft.com"),
+    ("goo​gle.com", "google.com"),
+    ("еbay.com", "ebay.com"),
+    ("Examplе.ORG", "example.org"),
+    ("päypal.com", "paypal.com"),
+]
+_SPOOF_TRUSTED = ["apple.com", "google.com", "amazon.com",
+                  "microsoft.com", "ebay.com", "example.org", "paypal.com"]
+_SPOOF_POOL = [a for a, _ in _SPOOF_ATTACKS] + _SPOOF_TRUSTED + [
+    "unrelated.net", "shop.example.net"
+]
+
+
+def q_spoof_hosts(spark, sf):
+    # IDN homograph / confusable host-spoof detection (functions/
+    # urls.confusable_skeleton + spoof_candidates): UTS #39-lite
+    # skeleton folding via a pure-JVM translate table (Cyrillic/
+    # Greek/accented lookalikes + zero-width strip); hosts whose
+    # skeleton collides with a trusted host while the raw form
+    # differs are the crawl-poisoning review queue. Customers pick
+    # from a 17-entry host pool (8 attacks, 7 trusted, 2 noise); the
+    # oracle replays the identical translate table and broadcast
+    # join shape in SQL.
+    from olx_spark.functions.urls import spoof_candidates
+
+    k = F.col("c_custkey")
+    pool = F.array(*[F.lit(h) for h in _SPOOF_POOL])
+    hosts = _t(spark, sf, "customer").select(
+        k.alias("custkey"),
+        F.element_at(pool, ((k % 17) + 1).cast("int")).alias("host"),
+    )
+    trusted = spark.createDataFrame(
+        [(t,) for t in _SPOOF_TRUSTED], "host string"
+    )
+    return spoof_candidates(hosts, trusted).join(
+        hosts.select("custkey", "host"), "host"
+    ).select("custkey", "host", "matches_trusted", "skeleton").distinct()
+
+
+def _sql_spoof_hosts() -> str:
+    from olx_spark.functions.urls import (
+        CONFUSABLES_FROM,
+        CONFUSABLES_TO,
+        _ZERO_WIDTH,
+    )
+
+    pool = ", ".join("'" + h + "'" for h in _SPOOF_POOL)
+    trusted = ", ".join("('" + t + "')" for t in _SPOOF_TRUSTED)
+    sk = (
+        "translate(regexp_replace(lower({0}), '" + _ZERO_WIDTH + "', '', 'g'),"
+        " '" + CONFUSABLES_FROM + "', '" + CONFUSABLES_TO + "')"
+    )
+    return f"""
+        with hosts as (
+            select c_custkey as custkey,
+                   list_value({pool})[(c_custkey % 17) + 1] as host
+            from customer
+        ), t(th) as (values {trusted}
+        ), tk as (select lower(th) as t_raw, {sk.format('th')} as sk from t)
+        select distinct hosts.custkey, hosts.host,
+               tk.t_raw as matches_trusted, tk.sk as skeleton
+        from hosts join tk on {sk.format('hosts.host')} = tk.sk
+        where lower(hosts.host) <> tk.t_raw
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3612,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trustrank": q_trustrank,
         "q_sim_order": q_sim_order,
         "q_decompress": q_decompress,
+        "q_spoof_hosts": q_spoof_hosts,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -7165,6 +7236,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trustrank": _sql_trustrank(),
         "q_sim_order": _sql_sim_order(),
         "q_decompress": _sql_decompress(),
+        "q_spoof_hosts": _sql_spoof_hosts(),
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

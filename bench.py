@@ -149,6 +149,7 @@ HEADLINE = [
     "q_trustrank",
     "q_sim_order",
     "q_decompress",
+    "q_spoof_hosts",
 ]
 
 REPS = 3

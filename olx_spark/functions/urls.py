@@ -182,3 +182,70 @@ def consistent_shard(col, workers: list[str], vnodes: int = 16):
         return F.coalesce(succ.getField("w"), wrap)
 
     return let_(md5_60(col), pick)
+
+
+# UTS #39 confusables, curated subset: the Cyrillic/Greek letters and
+# common lookalikes that map visually onto Latin a-z — the characters
+# actually used in IDN homograph attacks (Unicode TR39 skeleton
+# algorithm restricted to single-char mappings, which translate()
+# expresses JVM-side; the full data file also has multi-char mappings
+# like rn->m, out of scope here and stated so).
+CONFUSABLES_FROM = (
+    "аеорсхуіѕԁԛ"
+    "кмтвн"
+    "αονειρυκ"
+    "àáâãäåèéêë"
+    "ìíîïòóôõö"
+    "ùúûüýçñ"
+    "ıℓ"
+)
+CONFUSABLES_TO = (
+    "aeopcxyisdq"
+    "kmtbh"
+    "aoveipyk"
+    "aaaaaaeeee"
+    "iiiiooooo"
+    "uuuuycn"
+    "il"
+)
+_ZERO_WIDTH = "[​‌‍⁠﻿­]"
+
+
+def confusable_skeleton(col):
+    """Visual skeleton of a hostname (UTS #39 lite): lowercase, strip
+    zero-width/soft-hyphen characters, then fold the curated
+    confusable set onto Latin. Two hosts with EQUAL skeletons but
+    UNEQUAL raw forms are a homograph pair — the IDN spoof signal.
+    Pure JVM (lower/regexp_replace/translate), whole-stage codegen;
+    the oracle replays the identical translate table in SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), _ZERO_WIDTH, "")
+    return F.translate(cleaned, CONFUSABLES_FROM, CONFUSABLES_TO)
+
+
+def spoof_candidates(hosts, trusted, host_col: str = "host",
+                     trusted_col: str = "host"):
+    """Hosts whose skeleton collides with a TRUSTED host's skeleton
+    while the raw (lowercased) strings differ — the phishing /
+    crawl-poisoning review queue. Returns (host, matches_trusted,
+    skeleton). The trusted list is broadcast (it is curated-scale);
+    per-host cost is one translate + one broadcast probe, no
+    shuffle."""
+    t = trusted.select(
+        F.lower(F.col(trusted_col)).alias("__t_raw"),
+        confusable_skeleton(trusted_col).alias("__sk"),
+    ).distinct()
+    h = hosts.select(
+        F.col(host_col),
+        F.lower(F.col(host_col)).alias("__h_raw"),
+        confusable_skeleton(host_col).alias("__sk"),
+    )
+    return (
+        h.join(F.broadcast(t), "__sk")
+        .where(F.col("__h_raw") != F.col("__t_raw"))
+        .select(
+            F.col(host_col),
+            F.col("__t_raw").alias("matches_trusted"),
+            F.col("__sk").alias("skeleton"),
+        )
+    )
