@@ -3589,6 +3589,46 @@ def _sql_spoof_hosts() -> str:
     """
 
 
+def q_topk_heavy(spark, sf):
+    # certified exact top-k heavy hitters (operators/cms.
+    # exact_topk_heavy): per-partition weighted Misra-Gries candidate
+    # pruning + broadcast-semi exact recount — the tail never
+    # shuffles, and the k-th count clearing the N/capacity loss bound
+    # certifies the result IS the true top-k (reported per row, not
+    # assumed). Keys are exponential buckets of o_orderkey (a skewed
+    # host-like distribution); the oracle computes the brute-force
+    # top-k and the same certificate arithmetic in SQL.
+    from olx_spark.operators.cms import exact_topk_heavy
+
+    df = _t(spark, sf, "orders").select(
+        F.concat(
+            F.lit("h"),
+            F.floor(F.log2(F.col("o_orderkey") + 1)).cast("long").cast(
+                "string"
+            ),
+        ).alias("key")
+    )
+    return exact_topk_heavy(df, "key", k=8)
+
+
+_SQL_TOPK_HEAVY = """
+    with keyed as (
+        select 'h' || floor(log2(o_orderkey + 1))::bigint as key
+        from orders
+    ), counts as (
+        select key, count(*)::bigint as cnt from keyed group by key
+    ), topk as (
+        select key, cnt from counts
+        order by cnt desc, key asc limit 8
+    ), cert as (
+        select (min(cnt) * 512 > (select count(*) from keyed)) as c
+        from topk
+    )
+    select topk.key, topk.cnt, cert.c as certified
+    from topk cross join cert
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3683,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_order": q_sim_order,
         "q_decompress": q_decompress,
         "q_spoof_hosts": q_spoof_hosts,
+        "q_topk_heavy": q_topk_heavy,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -7237,6 +7278,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sim_order": _sql_sim_order(),
         "q_decompress": _sql_decompress(),
         "q_spoof_hosts": _sql_spoof_hosts(),
+        "q_topk_heavy": _SQL_TOPK_HEAVY,
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

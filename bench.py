@@ -150,6 +150,7 @@ HEADLINE = [
     "q_sim_order",
     "q_decompress",
     "q_spoof_hosts",
+    "q_topk_heavy",
 ]
 
 REPS = 3

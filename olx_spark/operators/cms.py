@@ -104,3 +104,104 @@ def cms_lookup(
         joined.groupBy(*qcols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def exact_topk_heavy(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Certified EXACT top-k heavy hitters in two passes with no
+    shuffle of the tail — the companion to the CMS (which answers
+    point queries approximately; this returns exact counts with a
+    proof they are the true top-k).
+
+    Pass 1 runs Misra-Gries (capacity counters) INSIDE each
+    partition via ``mapInPandas``: any key whose partition count
+    exceeds partition_rows/capacity survives its partition's summary,
+    and a globally heavy key must be partition-heavy somewhere (the
+    pigeonhole step), so the union of summaries is a candidate
+    SUPERSET of every key with global count > N/capacity. Pass 2
+    broadcast-semi-joins the candidates back (the tail never
+    shuffles) and counts them exactly.
+
+    The certificate: the true k-th count must EXCEED N/capacity, the
+    only mass an MG summary can lose. If the exact k-th candidate
+    count clears that threshold, the result is provably the exact
+    top-k and ``certified`` is true on every row; otherwise the rows
+    are still exact counts of the candidate set but the guarantee
+    does not hold — the caller retries with a larger ``capacity``
+    (default ``64 * k``). We REPORT rather than raise: at crawl
+    scale a near-uniform key distribution has no meaningful top-k
+    and the flag says exactly that.
+
+    Ties on count break by key ascending (deterministic, oracle-
+    replayable). Returns ``(key, cnt, certified)``, largest first,
+    at most k rows.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cap = capacity or 64 * k
+    src = df.select(F.col(key_col).cast("string").alias("key"))
+
+    summary_schema = StructType(
+        [StructField("key", StringType()), StructField("c", LongType())]
+    )
+
+    def mg(batches):
+        # weighted Misra-Gries: each Arrow batch pre-aggregates with
+        # value_counts (vectorized), then the per-UNIQUE-key loop
+        # applies weighted updates — same guarantee (every decrement
+        # step retires >= cap+1 units of mass, so a key loses at most
+        # partition_rows/cap), far off the per-row-Python path.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, w in pdf["key"].dropna().value_counts().items():
+                w = int(w)
+                while w > 0:
+                    if key in counters:
+                        counters[key] += w
+                        break
+                    if len(counters) < cap:
+                        counters[key] = w
+                        break
+                    d = min(min(counters.values()), w)
+                    for x in list(counters):
+                        counters[x] -= d
+                        if counters[x] == 0:
+                            del counters[x]
+                    w -= d
+        yield pd.DataFrame(
+            {"key": list(counters), "c": list(counters.values())}
+        )
+
+    cands = [
+        r["key"]
+        for r in src.mapInPandas(mg, schema=summary_schema)
+        .select("key").distinct().collect()
+    ]
+    total = src.where(F.col("key").isNotNull()).count()
+    cand_df = F.broadcast(
+        df.sparkSession.createDataFrame([(c,) for c in cands] or [(None,)],
+                                        "key string")
+    )
+    exact = (
+        src.join(cand_df, "key")  # broadcast semi: tail rows drop pre-shuffle
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    rows = exact.collect()
+    kth = rows[-1]["cnt"] if len(rows) == k else 0
+    certified = len(rows) < k or kth * cap > total
+    sess = df.sparkSession
+    return sess.createDataFrame(
+        [(r["key"], r["cnt"], certified) for r in rows],
+        "key string, cnt long, certified boolean",
+    )
