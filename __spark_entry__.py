@@ -3629,6 +3629,45 @@ _SQL_TOPK_HEAVY = """
 """
 
 
+def q_edge_density(spark, sf):
+    # Sobel edge-density screenshot/text-overlay signal (operators/
+    # multimodal.edge_density): fraction of pixels over a hard-edge
+    # gradient threshold + mean magnitude — the cheap meme/UI-chrome
+    # flag, complementing blur (low-frequency deficit) and
+    # colorfulness. Plumbing oracle: the same exact arithmetic
+    # (edge_stats_np) recomputed driver-side over the shared corpus,
+    # inlined as VALUES.
+    from olx_spark.operators.multimodal import edge_density
+
+    df = spark.createDataFrame(
+        _image_corpus_rows("plain", 64, 21),
+        "image_id string, bytes binary, fmt string",
+    )
+    return edge_density(df).select(
+        "image_id", "fmt",
+        F.round("edge_frac", 6).alias("edge_frac"),
+        F.round("mean_grad", 4).alias("mean_grad"),
+        "decode_ok",
+    )
+
+
+def _sql_edge_density(n: int = 64, seed: int = 21) -> str:
+    from olx_spark.fixtures.images import decode_image
+    from olx_spark.operators.multimodal import edge_stats_np
+
+    vals = []
+    for image_id, data, fmt in _image_corpus_rows("plain", n, seed):
+        ef, mg = edge_stats_np(decode_image(data, fmt))
+        vals.append(f"('{image_id}', '{fmt}', {ef!r}::double, "
+                    f"{mg!r}::double, 1)")
+    return f"""
+        select image_id, fmt, round(edge_frac, 6) as edge_frac,
+               round(mean_grad, 4) as mean_grad, decode_ok::int as decode_ok
+        from (values {", ".join(vals)})
+             t(image_id, fmt, edge_frac, mean_grad, decode_ok)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -3724,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decompress": q_decompress,
         "q_spoof_hosts": q_spoof_hosts,
         "q_topk_heavy": q_topk_heavy,
+        "q_edge_density": q_edge_density,
         "q_neg_pairs": q_neg_pairs,
         "q_minhash_delta": q_minhash_delta,
         "q_dedup_decisions": q_dedup_decisions,
@@ -7279,6 +7319,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decompress": _sql_decompress(),
         "q_spoof_hosts": _sql_spoof_hosts(),
         "q_topk_heavy": _SQL_TOPK_HEAVY,
+        "q_edge_density": _sql_edge_density(),
         "q_footer_stats": """
             select (o_orderkey % 8) as b, count(*)::bigint as n_rows,
                    min(o_orderkey) as min_o_orderkey,

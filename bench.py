@@ -151,6 +151,7 @@ HEADLINE = [
     "q_decompress",
     "q_spoof_hosts",
     "q_topk_heavy",
+    "q_edge_density",
 ]
 
 REPS = 3

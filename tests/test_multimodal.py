@@ -635,3 +635,43 @@ class TestSsimVerify:
         # planted perturbed copies verify as the same image
         assert all(r["same_image"] == 1 for r in planted)
         assert all(0.0 <= r["ssim"] <= 1.0 for r in got)
+
+
+class TestEdgeDensity:
+    def test_text_like_beats_photo_like(self, spark):
+        import numpy as np
+
+        from olx_spark.fixtures.images import encode_image
+        from olx_spark.operators.multimodal import edge_density
+
+        stripes = np.zeros((32, 32, 3), np.uint8)
+        stripes[:, ::4] = 255
+        smooth = np.tile(
+            np.linspace(0, 255, 32, dtype=np.uint8)[None, :, None], (32, 1, 3)
+        )
+        df = spark.createDataFrame(
+            [("text", bytearray(encode_image(stripes, "png")), "png"),
+             ("photo", bytearray(encode_image(smooth, "png")), "png"),
+             ("bad", bytearray(b"xx"), "png")],
+            "image_id string, bytes binary, fmt string",
+        )
+        got = {r["image_id"]: r for r in edge_density(df).collect()}
+        assert got["text"]["edge_frac"] == 0.5
+        assert got["photo"]["edge_frac"] == 0.0
+        assert got["text"]["mean_grad"] > got["photo"]["mean_grad"]
+        assert got["bad"]["decode_ok"] == 0 and got["bad"]["edge_frac"] is None
+
+    def test_matches_driver_computation(self, spark):
+        from olx_spark.fixtures.images import decode_image, make_image_corpus
+        from olx_spark.operators.multimodal import edge_density, edge_stats_np
+
+        rows = make_image_corpus(12)
+        df = spark.createDataFrame(
+            [(r["image_id"], bytearray(r["bytes"]), r["fmt"]) for r in rows],
+            "image_id string, bytes binary, fmt string",
+        )
+        got = {r["image_id"]: r for r in edge_density(df).collect()}
+        for r in rows:
+            ef, mg = edge_stats_np(decode_image(r["bytes"], r["fmt"]))
+            assert got[r["image_id"]]["edge_frac"] == ef
+            assert got[r["image_id"]]["mean_grad"] == mg
