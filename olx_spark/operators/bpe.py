@@ -17,16 +17,18 @@ Shape of the computation (and why it scales):
    pairs weighted by word count, take the argmax (ties broken
    deterministically: count desc, then pair lexicographic), rewrite
    each word's symbol sequence by greedy left-to-right merging, repeat
-   ``n_merges`` times. Here each step is one small map-side-combinable
-   aggregation + a 1-row collect + a JVM-side higher-order-function
-   fold over the symbol arrays — 2 tiny jobs per merge. Lineage is cut
-   every ``materialize_every`` steps through the
-   ``spark.olx.checkpoint.reliable`` knob (same pattern as
-   ``graph.pagerank``). For production-sized merge counts (30-50k) one
-   would collect the compressed vocab to a single node and run the
-   heap-based trainer there — the corpus-scale work is identical; the
-   loop below keeps the vocab distributed, which is the right shape
-   when the vocab itself is huge or ``n_merges`` is modest.
+   ``n_merges`` times. The loop is DRIVER-LOCAL by default: the
+   compressed vocab is collected once (O(vocab) rows — the same
+   single-node assumption every production trainer makes: HF
+   tokenizers and SentencePiece both hold the word-count table in
+   memory) and the merge loop runs as plain Python — zero Spark jobs
+   per merge, which is the only shape that survives a real
+   32-64k-merge vocabulary (one Spark job per merge is days of
+   job-submit latency at that size; this was round 5's last
+   100x-scale smell). Set ``spark.olx.bpe.driver_local=false`` to
+   keep the vocab distributed (one small aggregation + 1-row collect
+   per merge) when the vocab itself cannot fit one node; both paths
+   are value-identical (pytest-pinned).
 
 Determinism: the result is a pure function of (corpus, n_merges,
 min_freq) — no hashing, no sampling — so ``q_bpe_merges`` carries a
@@ -91,20 +93,80 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     return F.array_join(merged, " ")
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge — the Python twin of
+    :func:`_apply_merge`'s JVM fold (same skip-2 scan as
+    :func:`bpe_encode`'s ``enc_word``, pytest-pinned identical)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_local(
+    vocab: list[tuple[list[str], int]], n_merges: int, min_freq: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Classic single-node BPE merge loop over the collected
+    (symbol-list, count) vocab. Ties break (count desc, a asc, b asc)
+    — byte order == codepoint order for the ASCII symbol space, so
+    this matches Spark's UTF8 binary string ordering exactly."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_freq:
+            break
+        merges.append((rank, a, b, a + b, c))
+        vocab = [(_merge_word(syms, a, b), cnt) for syms, cnt in vocab]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: Column | str,
     n_merges: int,
     min_freq: int = 1,
     materialize_every: int = 4,
+    driver_local: bool | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(merge_rank, left_sym, right_sym, merged, pair_count), ...]``
     (rank is 1-based, in learning order). Stops early when the best
     remaining pair's count drops below ``min_freq`` or no pairs remain.
+
+    ``driver_local`` (default from conf ``spark.olx.bpe.driver_local``,
+    ``true``): collect the vocab once and run the merge loop as plain
+    Python — O(vocab) memory on the driver, zero Spark jobs per merge
+    (module doc). ``false`` keeps the per-merge Spark aggregation loop
+    for vocabularies that cannot fit one node.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if driver_local is None:
+        driver_local = (
+            str(
+                df.sparkSession.conf.get("spark.olx.bpe.driver_local", "true")
+            ).lower()
+            == "true"
+        )
+    if driver_local:
+        rows = word_vocab(df, text_col).collect()  # ONE corpus shuffle
+        local = [
+            (list(r["word"]) + [END_OF_WORD], int(r["cnt"])) for r in rows
+        ]
+        return _train_local(local, n_merges, min_freq)
     vocab = word_vocab(df, text_col).select(
         _initial_symbols(F.col("word")).alias("s"), "cnt"
     )
@@ -192,20 +254,31 @@ def bpe_encode_docs(
         )
         .filter(F.length("word") > 0)
     )
-    # one fold per SELECT layer with a periodic materialize — chaining
-    # the fold EXPRESSIONS directly would nest each step's subtree ~5x
-    # inside the next (Catalyst's project-collapse re-inlines aliases),
-    # i.e. a 5^n_merges expression blowup; the trainer's loop has the
-    # same structure for the same reason
+    # ONE Arrow-batched pandas pass over the vocab-sized distinct-word
+    # frame: each word runs the same greedy skip-2 scan as
+    # :func:`_merge_word` with all merges applied in rank order — the
+    # value-identical replacement (pytest-pinned) for chaining
+    # ``n_merges`` interpreted JVM ``aggregate`` folds, which cost one
+    # SELECT layer + a periodic materialize barrier per 4 merges and
+    # dominated this operator's wall time (guide §4.2: hand whole
+    # batches to native/Python code instead of per-row JVM HOF chains)
+    ranked = [(a, b) for (_r, a, b, _m, _c) in sorted(merges)]
+
+    @pandas_udf(StringType())
+    def encode_syms(batch: pd.Series) -> pd.Series:
+        def enc(w: str) -> str:
+            syms = list(w) + [END_OF_WORD]
+            for a, b in ranked:
+                syms = _merge_word(syms, a, b)
+            return " ".join(syms)
+
+        return batch.map(enc)
+
     enc = (
         words.select("word")
         .distinct()
-        .select("word", _initial_symbols(F.col("word")).alias("s"))
+        .select("word", encode_syms(F.col("word")).alias("s"))
     )
-    for i, (_rank, a, b, _m, _c) in enumerate(sorted(merges), 1):
-        enc = enc.select("word", _apply_merge(F.col("s"), a, b).alias("s"))
-        if i % 4 == 0:
-            enc = materialize(enc)
     vocab = enc.select(
         "word",
         F.col("s").alias("toks_str"),

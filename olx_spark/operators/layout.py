@@ -358,12 +358,18 @@ def similarity_order(
     if n_parts is None:
         n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     sig = minhash_signature(word_shingles(F.col(text_col)), n_perm=n_keys)
-    keyed = df.select(
-        F.col(id_col),
-        *[
-            F.coalesce(F.element_at(sig, j + 1), F.lit(-1)).alias(f"__k{j}")
-            for j in range(n_keys)
-        ],
+    # materialized ONCE: repartitionByRange's range-bound sampling pass
+    # is a hidden second consumer, and un-cut it would run the whole
+    # shingle + n_keys-way md5 MinHash expression tree twice (sampling
+    # + the real shuffle) — the signature pass dominates this operator
+    keyed = materialize(
+        df.select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.element_at(sig, j + 1), F.lit(-1)).alias(f"__k{j}")
+                for j in range(n_keys)
+            ],
+        )
     )
     order = [F.col(f"__k{j}").asc() for j in range(n_keys)] + [
         F.col(id_col).asc()

@@ -103,21 +103,21 @@ def equi_depth_histogram(
     sess = df.sparkSession
     if n_parts is None:
         n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    counted = df.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    total = counted.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
-    if not total:
-        return sess.createDataFrame(
-            [], "bucket int, lo double, hi double, n_rows long, n_distinct long"
+    from olx_spark.session import materialize
+
+    # materialized ONCE: un-cut, the corpus groupBy would run three
+    # times (total agg + range-bound sampling + the real shuffle);
+    # the total now falls out of the per-partition offsets instead
+    counted = materialize(
+        df.groupBy(F.col(value_col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+    )
     ranged = (
         counted.repartitionByRange(n_parts, F.col("__v").asc())
         .sortWithinPartitions(F.col("__v").asc())
         .withColumn("__pid", F.spark_partition_id())
     )
-    from olx_spark.session import materialize
-
     ranged = materialize(ranged)  # pin the physical partition ids
     parts = sorted(
         ranged.groupBy("__pid").agg(F.sum("cnt").alias("csum")).collect(),
@@ -127,6 +127,11 @@ def equi_depth_histogram(
     for p in parts:
         offsets[p["__pid"]] = cum_off
         cum_off += p["csum"]
+    total = cum_off
+    if not total:
+        return sess.createDataFrame(
+            [], "bucket int, lo double, hi double, n_rows long, n_distinct long"
+        )
     off_df = F.broadcast(
         sess.createDataFrame(
             [(pid, co) for pid, co in offsets.items()], "__pid int, __co long"

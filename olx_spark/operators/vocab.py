@@ -52,23 +52,24 @@ def vocab_coverage(
     sess = terms.sparkSession
     if n_parts is None:
         n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    counted = terms.groupBy(F.col(term_col).alias("__vc_t")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    total = counted.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
-    if not total:
-        return sess.createDataFrame(
-            [], f"{term_col} string, cnt long, rank long, "
-            "cum_frac double, in_vocab int",
+    from olx_spark.session import materialize
+
+    # materialized ONCE: un-cut, the corpus explode + groupBy would run
+    # THREE times — the (former) total aggregate, repartitionByRange's
+    # range-bound sampling pass, and the real range shuffle (guide §2.4:
+    # a multi-consumer subtree re-executes per consumer; range
+    # partitioning's sampler is a hidden second consumer)
+    counted = materialize(
+        terms.groupBy(F.col(term_col).alias("__vc_t")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+    )
     order = [F.col("cnt").desc(), F.col("__vc_t").asc()]
     ranged = (
         counted.repartitionByRange(n_parts, *order)
         .sortWithinPartitions(*order)
         .withColumn("__vc_pid", F.spark_partition_id())
     )
-    from olx_spark.session import materialize
-
     # the partition id is a physical artifact: pin it before the two
     # consumers (per-partition totals, final windows) so both see the
     # same assignment
@@ -84,6 +85,14 @@ def vocab_coverage(
         offsets[p["__vc_pid"]] = (row_off, cnt_off)
         row_off += p["rows"]
         cnt_off += p["csum"]
+    # the global total falls out of the offsets scan — no separate
+    # corpus-pass aggregate job
+    total = cnt_off
+    if not total:
+        return sess.createDataFrame(
+            [], f"{term_col} string, cnt long, rank long, "
+            "cum_frac double, in_vocab int",
+        )
     off_df = F.broadcast(
         sess.createDataFrame(
             [(pid, ro, co) for pid, (ro, co) in offsets.items()],

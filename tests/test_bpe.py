@@ -185,3 +185,25 @@ def test_bpe_encode_docs_matches_row_encode(spark, corpus, corpus_texts):
             md5_60(" ".join(row[i])),
         ), f"doc {i}"
     assert got[len(texts) - 1] == (0, 0, md5_60(""))
+
+
+def test_bpe_train_driver_local_equals_distributed(corpus, corpus_texts):
+    """Round-6 optimization pin: the default driver-local merge loop
+    (vocab collected once, pure-Python loop — zero Spark jobs per
+    merge) and the conf-gated distributed per-merge aggregation loop
+    are value-identical, including tie-breaks and early stop."""
+    local = bpe_train(corpus, "text", n_merges=15, driver_local=True)
+    dist = bpe_train(corpus, "text", n_merges=15, driver_local=False)
+    assert local == dist == _ref_train(corpus_texts, 15)
+    # conf path: default resolves to driver-local
+    spark = corpus.sparkSession
+    assert (
+        str(spark.conf.get("spark.olx.bpe.driver_local", "true")).lower()
+        == "true"
+    )
+    # early-stop + min_freq parity on a degenerate corpus
+    tiny = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    for kw in ({"min_freq": 1}, {"min_freq": 100}):
+        assert bpe_train(tiny, "text", 10, **kw) == bpe_train(
+            tiny, "text", 10, driver_local=False, **kw
+        )
