@@ -152,7 +152,7 @@ def hits(
     dst: str = "dst",
     iters: int = 6,
     reliable: bool | None = None,
-    materialize_every: int = 2,
+    materialize_every: int = 6,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
     list: hubs point at good authorities, authorities are pointed at
@@ -188,13 +188,18 @@ def hits(
     reused by all ``2 * iters`` joins; per half-iteration the work is
     one score-table join keyed on ``src`` (resp. ``dst``) + one
     map-side-combined groupBy — hot hub/authority nodes are
-    partial-aggregated before the shuffle. Score frames (1 row per
-    node — orders of magnitude below the edge table) are materialized
-    every ``materialize_every`` half-steps (and always at the two
-    loop exits, where a frame gains a second consumer) — the same
-    lineage-bound-vs-barrier-count trade as :func:`pagerank`'s
-    ``materialize_every``; in between, a half-step's single consumer
-    is the next half-step, so laziness never double-executes a join.
+    partial-aggregated before the shuffle. Score frames are SPARSE (a
+    node with score 0 is simply absent; zeros re-attach once on
+    output — see the loop comment), so no per-half-step node join
+    exists at all. Frames are materialized every ``materialize_every``
+    half-steps (and always at the two loop exits, where a frame gains
+    a second consumer) — the same lineage-bound-vs-barrier-count trade
+    as :func:`pagerank`'s ``materialize_every``, default 6 = one
+    mid-loop cut for the standard 6-iteration call (measured at sf0.1:
+    ~8.9s at stride 2, ~7.3s at 4, ~5.9s at 12; stride 6 keeps retry
+    recompute bounded at 6 half-steps for ~1s over the floor); in
+    between, a half-step's single consumer is the next half-step, so
+    laziness never double-executes a join.
     The two final L1 totals are 1-row aggregates over materialized
     frames riding explicit broadcast cross joins (no driver collect).
     At billions of nodes the cluster-grade upgrade is the same as
@@ -203,31 +208,57 @@ def hits(
     keys; the ``reliable`` knob hardens the materialize against
     executor loss.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ONE materialized pass over the raw edge expression; nodes and
+    # every half-step join read the cut, not the upstream subtree
+    e_m = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        reliable=reliable,
+    )
     nodes = materialize(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e_m.select(F.col("src").alias("id"))
+        .union(e_m.select(F.col("dst").alias("id")))
         .distinct(),
         reliable=reliable,
     )
-    e_m = materialize(e, reliable=reliable)
 
+    # SPARSE score frames (round-6 optimization): a node absent from a
+    # score frame has score exactly 0.0 and contributes nothing to the
+    # next half-step's sum (adding 0.0 to a nonnegative IEEE sum is an
+    # identity), so the per-half-step ``nodes LEFT JOIN raw`` that
+    # re-attached explicit zeros was pure overhead — 12 extra joins
+    # (and their broadcast/stage barriers) per call. The inner joins
+    # below are lossless after the first half-step by construction:
+    # every join key the sum needs is an edge endpoint that the
+    # previous half-step's groupBy necessarily emitted. Zeros are
+    # re-attached ONCE on output; values are bit-identical.
     def half_step(scores: DataFrame, score_col: str, join_key: str,
                   group_key: str, out_col: str) -> DataFrame:
-        raw = (
+        return (
             e_m.join(scores.withColumnRenamed("id", join_key), join_key)
             .groupBy(F.col(group_key).alias("id"))
-            .agg(F.sum(score_col).alias("s"))
-        )
-        return nodes.join(raw, "id", "left").select(
-            "id", F.coalesce("s", F.lit(0.0)).alias(out_col)
+            .agg(F.sum(score_col).alias(out_col))
         )
 
-    auth = nodes.select("id", F.lit(1.0).alias("auth"))
-    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    if iters == 0:  # all-ones vectors, normalized — no half-steps
+        n_tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        return nodes.crossJoin(F.broadcast(n_tot)).select(
+            "id",
+            F.when(F.col("n") > 0, F.lit(1.0) / F.col("n"))
+            .otherwise(F.lit(0.0)).alias("auth"),
+            F.when(F.col("n") > 0, F.lit(1.0) / F.col("n"))
+            .otherwise(F.lit(0.0)).alias("hub"),
+        )
+
+    # first half-step: every hub score is the constant 1.0, so the
+    # join degenerates to sum(lit(1.0)) per dst — same doubles
+    auth = e_m.groupBy(F.col("dst").alias("id")).agg(
+        F.sum(F.lit(1.0)).alias("auth")
+    )
+    hub = None
     stride = max(1, materialize_every)
     for i in range(iters):
-        auth = half_step(hub, "hub", "src", "dst", "auth")
+        if i > 0:
+            auth = half_step(hub, "hub", "src", "dst", "auth")
         # the final auth feeds BOTH the last hub half-step and the
         # output join — always cut it so that subtree runs once
         if (2 * i + 1) % stride == 0 or i == iters - 1:
@@ -235,18 +266,25 @@ def hits(
         hub = half_step(auth, "auth", "dst", "src", "hub")
         if (2 * i + 2) % stride == 0 or i == iters - 1:
             hub = materialize(hub, reliable=reliable)
-    tot_a = auth.agg(F.sum("auth").alias("ta"))
-    tot_h = hub.agg(F.sum("hub").alias("th"))
+    tot_a = auth.agg(F.coalesce(F.sum("auth"), F.lit(0.0)).alias("ta"))
+    tot_h = hub.agg(F.coalesce(F.sum("hub"), F.lit(0.0)).alias("th"))
     return (
-        auth.join(hub, "id")
+        nodes.join(auth, "id", "left")
+        .join(hub, "id", "left")
         .crossJoin(F.broadcast(tot_a))
         .crossJoin(F.broadcast(tot_h))
         .select(
             "id",
-            F.when(F.col("ta") > 0, F.col("auth") / F.col("ta"))
+            F.when(
+                F.col("ta") > 0,
+                F.coalesce("auth", F.lit(0.0)) / F.col("ta"),
+            )
             .otherwise(F.lit(0.0))
             .alias("auth"),
-            F.when(F.col("th") > 0, F.col("hub") / F.col("th"))
+            F.when(
+                F.col("th") > 0,
+                F.coalesce("hub", F.lit(0.0)) / F.col("th"),
+            )
             .otherwise(F.lit(0.0))
             .alias("hub"),
         )
@@ -261,7 +299,7 @@ def pagerank(
     iters: int = 6,
     reliable: bool | None = None,
     edge_layout: str = "auto",
-    materialize_every: int = 2,
+    materialize_every: int = 3,
     seeds: DataFrame | None = None,
     seed_col: str = "id",
 ) -> DataFrame:
@@ -309,15 +347,20 @@ def pagerank(
 
     Per iteration in both layouts the only unavoidable Exchange is
     the map-side-combined groupBy on ``dst`` (hot in-degree nodes are
-    partial-aggregated map-side). Ranks are materialized every
-    ``materialize_every`` iterations (and always after the last) via
+    partial-aggregated map-side) — the loop carries the SPARSE
+    ``in_sum`` frame and evaluates ``rank_k(src) = tele(src) + d *
+    coalesce(in_sum_k(src), 0)`` INLINE in the edge join (the
+    teleport term is per-node constant and rides the edge table, so
+    no per-iteration node-attach join exists; zeros re-attach once on
+    output — same expressions, same doubles, bit-identical results).
+    ``in_sum`` is materialized every ``materialize_every`` iterations
+    (and always after the last) via
     :func:`olx_spark.session.materialize` (the
     ``spark.olx.checkpoint.reliable`` knob) — the cut both truncates
-    lineage (bounded at ``materialize_every`` join-agg layers, so a
-    task retry recomputes at most that many iterations) and keeps the
-    per-iteration barrier count down: each eager cut is a full job,
-    and measured at sf0.1 cutting every 2nd instead of every
-    iteration is ~35% faster with no further gain beyond stride 3.
+    lineage (a task retry recomputes at most that many iterations)
+    and keeps the per-iteration barrier count down (measured at
+    sf0.1: stride 3 is ~10% under stride 2; stride 6 buys ~10% more
+    at double the retry recompute — 3 is the default trade).
 
     ``seeds`` switches on PERSONALIZED PageRank — TrustRank
     (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004), the web-spam
@@ -325,13 +368,19 @@ def pagerank(
     trusted seed set instead of all nodes (``t(v) = 1/|S|`` for
     seeds, else 0; ``r_0 = t``), so rank can only flow out of the
     trusted neighborhood along real links and spam farms far from
-    any seed starve. Same loop, same layouts — the teleport vector
-    rides the (materialized) node frame as a column; non-seed
-    expression paths are untouched, so the classic mode is
-    plan-identical with or without this feature. Seeds absent from
-    the graph are ignored; an empty effective seed set raises.
+    any seed starve. Same loop, same layouts — the seed flag is
+    folded into the edge table once (per-src constant) and the node
+    frame for the final output; non-seed expression paths are
+    untouched. Seeds absent from the graph are ignored; an empty
+    effective seed set raises.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ONE materialized pass over the raw edge expression: nodes,
+    # outdeg and the loop's edge table all read the cut instead of
+    # re-running the (often distinct-heavy) upstream subtree
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        reliable=reliable,
+    )
     nodes = materialize(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -350,6 +399,59 @@ def pagerank(
         edge_layout = "bucketed" if n * 32 > bcast_bytes > 0 else "inline"
         logger.info("pagerank: auto edge_layout -> %s (n=%d)", edge_layout, n)
 
+    # EDGE-RESIDENT TELEPORT (round-6 optimization): the per-iteration
+    # ``base JOIN in_sum`` that re-attached the teleport term to every
+    # node before the next edge join was one extra join + broadcast
+    # barrier per iteration. Since rank_k(v) = tele(v) + d*in_sum_k(v)
+    # and tele(v) is a per-node constant, the NEXT iteration's edge
+    # join can evaluate rank_k(src) inline from edge-resident columns
+    # (the seed flag — per-src constant — rides the edge table; the
+    # unseeded teleport is a literal). The loop then carries only the
+    # sparse ``in_sum`` frame: a node absent from it has in_sum = 0
+    # and rank = tele, exactly what the inline coalesce charges.
+    # Same expressions, same doubles, same addends — bit-identical
+    # results; one join + one groupBy per iteration instead of two
+    # joins + one groupBy (and iteration 1 is groupBy-only: rank_0 is
+    # a pure function of the edge-resident columns).
+    if seeds is None:
+        base = nodes
+        tele_col = F.lit((1.0 - damping) / n)
+        rank0_src = F.lit(1.0 / n)
+        tele_src = F.lit((1.0 - damping) / n)
+    else:
+        seed_ids = seeds.select(
+            F.col(seed_col).alias("id")
+        ).distinct().withColumn("__seed", F.lit(1))
+        base = materialize(
+            nodes.join(F.broadcast(seed_ids), "id", "left"),
+            reliable=reliable,
+        )
+        n_seeds = base.where(F.col("__seed") == 1).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "trustrank: no seed appears in the edge set"
+            )
+        tele_col = F.when(
+            F.col("__seed") == 1, F.lit((1.0 - damping) / n_seeds)
+        ).otherwise(F.lit(0.0))
+        # fold the (per-src constant) seed flag into the edge table
+        e_all = e_all.join(
+            F.broadcast(
+                seed_ids.select(
+                    F.col("id").alias("src"),
+                    F.col("__seed").alias("__src_seed"),
+                )
+            ),
+            "src",
+            "left",
+        )
+        rank0_src = F.when(
+            F.col("__src_seed") == 1, F.lit(1.0 / n_seeds)
+        ).otherwise(F.lit(0.0))
+        tele_src = F.when(
+            F.col("__src_seed") == 1, F.lit((1.0 - damping) / n_seeds)
+        ).otherwise(F.lit(0.0))
+
     tbl = tbl_path = None
     if edge_layout == "bucketed":
         tbl = f"olx_pr_edges_{uuid.uuid4().hex[:12]}"
@@ -365,51 +467,47 @@ def pagerank(
         e_deg = spark.table(tbl)
     else:
         e_deg = materialize(e_all, reliable=reliable)
+    stride = max(1, materialize_every)
     try:
-        if seeds is None:
-            base = nodes
-            ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-            tele_col = F.lit((1.0 - damping) / n)
-        else:
-            seed_ids = seeds.select(
-                F.col(seed_col).alias("id")
-            ).distinct().withColumn("__seed", F.lit(1))
-            base = materialize(
-                nodes.join(F.broadcast(seed_ids), "id", "left"),
-                reliable=reliable,
-            )
-            n_seeds = base.where(F.col("__seed") == 1).count()
-            if n_seeds == 0:
-                raise ValueError(
-                    "trustrank: no seed appears in the edge set"
-                )
-            tele_col = F.when(
-                F.col("__seed") == 1, F.lit((1.0 - damping) / n_seeds)
-            ).otherwise(F.lit(0.0))
-            ranks = base.select(
-                "id",
-                F.when(F.col("__seed") == 1, F.lit(1.0 / n_seeds))
+        if iters == 0:  # rank_0: the initial vector, no power steps
+            r0 = (
+                F.lit(1.0 / n)
+                if seeds is None
+                else F.when(F.col("__seed") == 1, F.lit(1.0 / n_seeds))
                 .otherwise(F.lit(0.0))
-                .alias("rank"),
             )
-        for i in range(iters):
+            return base.select("id", r0.alias("rank"))
+        # iteration 1: rank_0(src) is edge-resident — groupBy only
+        in_sum = e_deg.groupBy(F.col("dst").alias("id")).agg(
+            F.sum(rank0_src / F.col("deg")).alias("in_sum")
+        )
+        if 1 % stride == 0 or iters == 1:
+            in_sum = materialize(in_sum, reliable=reliable)
+        for i in range(1, iters):
+            prev = in_sum.select(
+                F.col("id").alias("src"), F.col("in_sum").alias("__in")
+            )
+            rank_src = tele_src + F.lit(damping) * F.coalesce(
+                F.col("__in"), F.lit(0.0)
+            )
             in_sum = (
-                e_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+                e_deg.join(prev, "src", "left")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_sum"))
+                .agg(F.sum(rank_src / F.col("deg")).alias("in_sum"))
             )
-            ranks = base.join(in_sum, "id", "left").select(
-                "id",
-                (
-                    tele_col
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-            )
-            if (i + 1) % max(1, materialize_every) == 0 or i == iters - 1:
-                ranks = materialize(ranks, reliable=reliable)
+            if (i + 1) % stride == 0 or i == iters - 1:
+                in_sum = materialize(in_sum, reliable=reliable)
+        ranks = base.join(in_sum, "id", "left").select(
+            "id",
+            (
+                tele_col
+                + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+            ).alias("rank"),
+        )
     finally:
         if tbl is not None:
-            # the per-iteration materialize() makes the returned frame
+            # the final-iteration materialize() makes `in_sum` (and so
+            # the returned frame, a join of two materialized frames)
             # independent of the bucketed table, so dropping is safe
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             shutil.rmtree(tbl_path, ignore_errors=True)
@@ -454,7 +552,13 @@ def seed_distance(
     """
     from functools import reduce
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialized ONCE: every hop joins the same edge table — un-cut,
+    # the upstream projection + distinct would re-execute per hop
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct(),
+        reliable=reliable,
+    )
     frontier = materialize(
         seeds.select(F.col(seed_col).alias("id")).distinct()
         .withColumn("dist", F.lit(0)),
@@ -511,7 +615,13 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters >= 0 required")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # materialized ONCE: the edge table is re-joined every round (and
+    # feeds the node derivation) — un-cut, the upstream edge subtree
+    # (often a distinct-heavy union) would re-execute iters + 1 times
+    e = materialize(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")),
+        reliable=reliable,
+    )
     nodes = (
         e.select(F.col("__s").alias("id"))
         .union(e.select(F.col("__d").alias("id")))
