@@ -42,7 +42,15 @@ DEC = 4  # common float rounding for oracle comparison
 _TABLE_CACHE: dict = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: corpus tables: opaque per-row payloads (text / vectors) whose
+#: queries are dominated by per-row expression or Arrow-batch work —
+#: these always get the scan-parallelism floor below
+_CORPUS_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool | None = None
+) -> DataFrame:
     """Base-table reader with a LAZY-PLAN cache: ``spark.read.parquet``
     re-lists the directory and re-reads the footer schema on the
     driver every call, and the bench calls every query (hence every
@@ -50,11 +58,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cache holds the unexecuted DataFrame only (same object a catalog
     ``spark.table()`` would return): NO rows, NO persist — every
     execution still scans the parquet files. Keyed by applicationId so
-    a stopped/recreated session never serves stale plans."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    a stopped/recreated session never serves stale plans.
+
+    SCAN-PARALLELISM FLOOR (guide §2.5 input skew): the testdata
+    tables are single-file, SINGLE-ROW-GROUP parquet — an unsplittable
+    scan, so without intervention every narrow per-row stage (md5
+    trees, HOF chains, Arrow batches) runs on ONE core of local[N].
+    With ``parallel`` (default: on for the corpus tables, off for the
+    relational fact tables), a round-robin repartition right after the
+    read costs one exchange of the base table and parallelizes all
+    downstream per-row work. Adaptive, not constant: it fires only
+    when the scan yields fewer splits than the floor
+    (``spark.olx.scan.min_parallelism``, default the session's core
+    count), so multi-row-group production inputs — which Spark already
+    splits — skip it entirely. Fact tables default OFF because their
+    queries aggregate immediately: map-side partial aggregation
+    reduces the data before any exchange, and a forced repartition
+    would insert a full-table shuffle that costs more than the
+    single-task scan it parallelizes (measured: q_metrics_agg
+    0.45s -> 0.77s with a blanket floor). CPU-heavy call sites over
+    fact tables opt in with ``parallel=True``."""
+    if parallel is None:
+        parallel = name in _CORPUS_TABLES
+    key = (spark.sparkContext.applicationId, sf_dir, name, parallel)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if parallel:
+            n_min = int(
+                spark.conf.get(
+                    "spark.olx.scan.min_parallelism",
+                    str(spark.sparkContext.defaultParallelism),
+                )
+            )
+            if n_min > 1 and df.rdd.getNumPartitions() < n_min:
+                df = df.repartition(n_min)
         _TABLE_CACHE[key] = df
     return df
 
@@ -876,7 +914,7 @@ def q_consistent_shard(spark, sf):
     from olx_spark.functions.urls import consistent_shard
 
     url = F.concat(F.lit("https://s.example/p/"), F.col("o_orderkey").cast("string"))
-    return _t(spark, sf, "orders").select(
+    return _t(spark, sf, "orders", parallel=True).select(
         F.col("o_orderkey").alias("key"),
         consistent_shard(url, [f"w{i}" for i in range(8)], 16).alias("worker"),
     )
@@ -2484,7 +2522,7 @@ def q_sitemap_entries(spark, sf):
     # build→parse plumbing is value-checked.
     from olx_spark.operators.sitemaps import parse_sitemaps
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", parallel=True)
     h = F.pmod("event_id", F.lit(8))
     host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example"))
     day = F.pmod("event_id", F.lit(28)) + 1
@@ -2688,7 +2726,7 @@ def q_path_tree(spark, sf):
     # combinable shuffles, hot subtrees collapse before the exchange.
     from olx_spark.operators.traps import path_tree_rollup
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", parallel=True)
     host = F.concat(F.lit("h"), F.pmod("event_id", F.lit(8)).cast("string"))
     url = F.concat(
         F.lit("https://"),
@@ -2722,7 +2760,7 @@ def q_url_templates(spark, sf):
     # regexp chain + thresholds in SQL.
     from olx_spark.operators.traps import mine_url_templates
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", parallel=True)
     host = F.concat(F.lit("h"), F.pmod("event_id", F.lit(8)).cast("string"))
     stem = F.concat(F.lit("https://"), host, F.lit(".example"))
     url = (
@@ -3106,7 +3144,7 @@ def q_registrable_domain(spark, sf):
         .when(k % 3 == 1, F.concat(F.lit("www."), base, F.lit("."), tld))
         .otherwise(tld)
     )
-    df = _t(spark, sf, "customer").select(k.alias("custkey"), host.alias("host"))
+    df = _t(spark, sf, "customer", parallel=True).select(k.alias("custkey"), host.alias("host"))
     return registrable_domains(df, psl_rules(spark, _PSL_RULES)).select(
         "custkey", "host", "public_suffix", "registrable_domain"
     )
@@ -3566,7 +3604,7 @@ def q_spoof_hosts(spark, sf):
 
     k = F.col("c_custkey")
     pool = F.array(*[F.lit(h) for h in _SPOOF_POOL])
-    hosts = _t(spark, sf, "customer").select(
+    hosts = _t(spark, sf, "customer", parallel=True).select(
         k.alias("custkey"),
         F.element_at(pool, ((k % 17) + 1).cast("int")).alias("host"),
     )

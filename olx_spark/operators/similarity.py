@@ -266,7 +266,11 @@ def minhash_delta_probe(
     d_sigs = materialize(minhash_docs(delta, id_col, text_col, n_perm))
     c_banded = materialize(_banded_rows(c_sigs, n_perm, bands))
     sizes = c_banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
-    over = sizes.filter(F.col("n") > max_bucket)
+    # materialized: `over` feeds the drop-count stats AND the
+    # anti-join below — un-cut, the bucket-sizing groupBy over the
+    # banded corpus would run twice; the frame itself is tiny (only
+    # buckets above max_bucket)
+    over = materialize(sizes.filter(F.col("n") > max_bucket))
     stats = over.agg(
         F.count("*").alias("n_dropped"), F.sum("n").alias("rows_dropped")
     ).first()

@@ -71,7 +71,13 @@ def jaccard_similarity_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
 
-    toks = _doc_tokens(df, id_col, text_col)
+    from olx_spark.session import materialize
+
+    # materialized ONCE: the distinct (doc, token) table feeds FIVE
+    # consumers (freq, sizes, the ranked prefix window, and both
+    # verification sides) — un-cut, each consumer re-runs the corpus
+    # explode + distinct
+    toks = materialize(_doc_tokens(df, id_col, text_col))
     freq = toks.groupBy("token").agg(F.count("*").alias("tok_freq"))
     sizes = toks.groupBy("doc").agg(F.count("*").alias("size"))
 
