@@ -42,10 +42,14 @@ DEC = 4  # common float rounding for oracle comparison
 _TABLE_CACHE: dict = {}
 
 
-#: corpus tables: opaque per-row payloads (text / vectors) whose
-#: queries are dominated by per-row expression or Arrow-batch work —
-#: these always get the scan-parallelism floor below
-_CORPUS_TABLES = frozenset({"documents", "embeddings"})
+#: corpus tables: opaque per-row payloads whose queries are dominated
+#: by per-row expression work — these always get the scan-parallelism
+#: floor below. ``embeddings`` is deliberately NOT here: at 2k vectors
+#: its pandas-UDF stages finish in one Arrow batch and the forced
+#: exchange measurably loses (q_kmeans 1.2s -> 1.6-2.0s, q_rand_proj
+#: 0.27 -> 0.45); the two genuinely batch-heavy embedding queries
+#: (semdedup's cosine pair join, brute-force cosine top-k) opt in
+_CORPUS_TABLES = frozenset({"documents"})
 
 
 def _t(
@@ -618,7 +622,7 @@ def q_bm25_top_terms(spark, sf):
     # corpus scalars, one top-k window)
     from olx_spark.operators.text_rank import bm25_top_terms
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", parallel=False)
     return bm25_top_terms(docs, text_col="text", id_col="doc_id", k=5)
 
 
@@ -675,7 +679,7 @@ def q_stratified_sample(spark, sf):
     # oracle replays the same rank in SQL.
     from olx_spark.operators.sampling import stratified_sample
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", parallel=False)
     return stratified_sample(d, ["lang", "source"], 12, "doc_id").select(
         "doc_id", "lang", "source", "rank_in_limit"
     )
@@ -1580,7 +1584,7 @@ def q_embed_cosine_topk(spark, sf):
     # brute-force cosine top-k (similarity-search baseline); double math
     from olx_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings", parallel=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 10)
@@ -1721,7 +1725,7 @@ def q_semdedup(spark, sf):
     # replays cells + prune (_sql_semdedup).
     from olx_spark.operators.similarity import semantic_dedup
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings", parallel=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return semantic_dedup(emb, dim=64, n_clusters=16, threshold=0.35).select(
@@ -1792,7 +1796,7 @@ def q_perplexity_filter(spark, sf):
     # DuckDB twin replays counts, backoff, and the tercile cut.
     from olx_spark.operators.lm import perplexity_filter
 
-    return perplexity_filter(_t(spark, sf, "documents"))
+    return perplexity_filter(_t(spark, sf, "documents", parallel=False))
 
 
 def q_nb_classify(spark, sf):
@@ -1812,7 +1816,7 @@ def q_pmi_collocations(spark, sf):
     # double expression shape, replayed identically by the twin.
     from olx_spark.operators.collocations import pmi_collocations
 
-    return pmi_collocations(_t(spark, sf, "documents"), min_count=5)
+    return pmi_collocations(_t(spark, sf, "documents", parallel=False), min_count=5)
 
 
 def q_char_entropy(spark, sf):
