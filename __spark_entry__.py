@@ -3164,13 +3164,18 @@ def q_exif_features(spark, sf):
     # truth (fixtures/exif.exif_truth), which the parser never sees:
     # encoder and decoder are independent implementations checking
     # each other.
-    from olx_spark.fixtures.exif import make_exif_corpus
     from olx_spark.operators.exif import exif_features
 
-    rows = make_exif_corpus(64, n_bad=8)
+    key = ("exif", 64, 8)
+    if key not in _CORPUS_CACHE:  # memoized driver scaffolding, like
+        from olx_spark.fixtures.exif import make_exif_corpus  # the image corpora
+
+        _CORPUS_CACHE[key] = [
+            (r["image_id"], bytearray(r["bytes"]))
+            for r in make_exif_corpus(64, n_bad=8)
+        ]
     df = spark.createDataFrame(
-        [(r["image_id"], bytearray(r["bytes"])) for r in rows],
-        "image_id string, bytes binary",
+        _CORPUS_CACHE[key], "image_id string, bytes binary"
     )
     return exif_features(df)
 
@@ -3213,13 +3218,18 @@ def q_oriented_phash(spark, sf):
     # fixture codec (plumbing oracle, q_jpeg_features pattern); the
     # parser/transform pair is independently pinned by the
     # writer-vs-parser tests.
-    from olx_spark.fixtures.exif import make_oriented_corpus
     from olx_spark.operators.exif import oriented_phash
 
-    rows = make_oriented_corpus(12)
+    key = ("oriented", 12)
+    if key not in _CORPUS_CACHE:  # memoized driver scaffolding
+        from olx_spark.fixtures.exif import make_oriented_corpus
+
+        _CORPUS_CACHE[key] = [
+            (r["image_id"], r["group_id"], bytearray(r["bytes"]))
+            for r in make_oriented_corpus(12)
+        ]
     df = spark.createDataFrame(
-        [(r["image_id"], r["group_id"], bytearray(r["bytes"])) for r in rows],
-        "image_id string, group_id int, bytes binary",
+        _CORPUS_CACHE[key], "image_id string, group_id int, bytes binary"
     )
     return oriented_phash(df)
 
@@ -3265,13 +3275,18 @@ def q_crop_dups(spark, sf):
     # plumbing-oracled (driver-side numpy over the same lossless png
     # corpus); the MATCHING stage — mega-bucket frequency guard,
     # self-join, vote threshold — is replayed exactly in SQL.
-    from olx_spark.fixtures.images import make_crop_corpus
     from olx_spark.operators.crops import crop_candidates, tile_phashes
 
-    rows = make_crop_corpus(10)
+    key = ("crop", 10)
+    if key not in _CORPUS_CACHE:  # memoized driver scaffolding
+        from olx_spark.fixtures.images import make_crop_corpus
+
+        _CORPUS_CACHE[key] = [
+            (r["image_id"], bytearray(r["bytes"]), r["fmt"])
+            for r in make_crop_corpus(10)
+        ]
     df = spark.createDataFrame(
-        [(r["image_id"], bytearray(r["bytes"]), r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
+        _CORPUS_CACHE[key], "image_id string, bytes binary, fmt string"
     )
     return crop_candidates(tile_phashes(df), min_votes=4).select(
         "id_a", "id_b", F.col("votes").cast("long").alias("votes")

