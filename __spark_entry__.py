@@ -1501,7 +1501,7 @@ def q_equi_depth(spark, sf):
     from olx_spark.operators.profile import equi_depth_histogram
 
     return equi_depth_histogram(
-        _t(spark, sf, "lineitem").select("l_extendedprice"),
+        _t(spark, sf, "lineitem", parallel=True).select("l_extendedprice"),
         "l_extendedprice",
         k=8,
     )
@@ -1838,7 +1838,7 @@ def q_mad_outliers(spark, sf):
     from olx_spark.operators.outliers import mad_outliers
 
     return mad_outliers(
-        _t(spark, sf, "orders"), "o_orderpriority", "o_orderkey",
+        _t(spark, sf, "orders", parallel=True), "o_orderpriority", "o_orderkey",
         "o_totalprice", k=3.5,
     )
 

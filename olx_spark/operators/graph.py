@@ -96,9 +96,13 @@ def connected_components(
         .withColumn("comp", F.col("id")),
         reliable=reliable,
     )
+    from pyspark.sql import Observation
+
     for it in range(max_iter):
         # 1. neighbor step: pull each neighbor's current label over the
-        #    (symmetrized) edges, take the min with the own label
+        #    (symmetrized) edges, take the min with the own label; the
+        #    round-start label rides along as __prev so convergence can
+        #    be observed on the round's own materialize job (below)
         nbr = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy(F.col("a").alias("id"))
@@ -108,8 +112,11 @@ def connected_components(
         # self-join below — unmaterialized, the neighbor join + groupBy
         # would re-execute twice per round
         stepped = materialize(
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("comp", "nbr_comp").alias("comp")),
+            labels.join(nbr, "id", "left").select(
+                "id",
+                F.least("comp", "nbr_comp").alias("comp"),
+                F.col("comp").alias("__prev"),
+            ),
             reliable=reliable,
         )
         # 2. pointer jump: comp := comp(comp) — halves pointer chains,
@@ -123,16 +130,27 @@ def connected_components(
                 "comp",
                 "left",
             )
-            .select("id", F.least("comp", "comp2").alias("comp"))
+            .select(
+                "id", F.least("comp", "comp2").alias("comp"), F.col("__prev")
+            )
         )
-        new_labels = materialize(jumped, reliable=reliable)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        # convergence detection rides an OBSERVE node on the round's
+        # materialize (round-6): the former new-vs-old join + count was
+        # a full extra job per round; the observation is an accumulator
+        # on work the materialize already does. Comps are never null,
+        # so the inequality is total.
+        obs = Observation()
+        new_labels = materialize(
+            jumped.observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("__prev")).cast("long")
+                ).alias("chg"),
+            ),
+            reliable=reliable,
         )
-        labels = new_labels
+        changed = int(obs.get["chg"] or 0)
+        labels = new_labels.select("id", "comp")
         logger.debug("connected_components round %d: %d labels changed", it, changed)
         if changed == 0:
             return labels.join(wanted, "id").select(
@@ -374,24 +392,43 @@ def pagerank(
     untouched. Seeds absent from the graph are ignored; an empty
     effective seed set raises.
     """
-    # ONE materialized pass over the raw edge expression: nodes,
-    # outdeg and the loop's edge table all read the cut instead of
-    # re-running the (often distinct-heavy) upstream subtree
-    e = materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        reliable=reliable,
-    )
+    # ONE materialized edge pass: (src, dst, deg) is cut in a single
+    # job — the two references to the raw edge expression inside it
+    # (the join probe side and the out-degree aggregate) share their
+    # exchange via ReuseExchange, so the upstream (often
+    # distinct-heavy) subtree executes once — and nodes then derive
+    # from the cut (deg projected away) instead of a second
+    # full-edge-table checkpoint
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    e_all = e.join(outdeg, "src")
+    seed_ids = None
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seed_col).alias("id")
+        ).distinct().withColumn("__seed", F.lit(1))
+        # fold the (per-src constant) seed flag into the edge table
+        # BEFORE the cut, so the loop's edge scans carry it for free
+        e_all = e_all.join(
+            F.broadcast(
+                seed_ids.select(
+                    F.col("id").alias("src"),
+                    F.col("__seed").alias("__src_seed"),
+                )
+            ),
+            "src",
+            "left",
+        )
+    e_all = materialize(e_all, reliable=reliable)
     nodes = materialize(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e_all.select(F.col("src").alias("id"))
+        .union(e_all.select(F.col("dst").alias("id")))
         .distinct(),
         reliable=reliable,
     )
     n = nodes.count()
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    e_all = e.join(outdeg, "src")
     if edge_layout == "auto":
         bcast_bytes = int(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -419,9 +456,6 @@ def pagerank(
         rank0_src = F.lit(1.0 / n)
         tele_src = F.lit((1.0 - damping) / n)
     else:
-        seed_ids = seeds.select(
-            F.col(seed_col).alias("id")
-        ).distinct().withColumn("__seed", F.lit(1))
         base = materialize(
             nodes.join(F.broadcast(seed_ids), "id", "left"),
             reliable=reliable,
@@ -434,17 +468,6 @@ def pagerank(
         tele_col = F.when(
             F.col("__seed") == 1, F.lit((1.0 - damping) / n_seeds)
         ).otherwise(F.lit(0.0))
-        # fold the (per-src constant) seed flag into the edge table
-        e_all = e_all.join(
-            F.broadcast(
-                seed_ids.select(
-                    F.col("id").alias("src"),
-                    F.col("__seed").alias("__src_seed"),
-                )
-            ),
-            "src",
-            "left",
-        )
         rank0_src = F.when(
             F.col("__src_seed") == 1, F.lit(1.0 / n_seeds)
         ).otherwise(F.lit(0.0))
@@ -466,7 +489,9 @@ def pagerank(
         )
         e_deg = spark.table(tbl)
     else:
-        e_deg = materialize(e_all, reliable=reliable)
+        # e_all is already cut above; the seeded path's lazy broadcast
+        # seed-flag join on top of it needs no second checkpoint
+        e_deg = e_all
     stride = max(1, materialize_every)
     try:
         if iters == 0:  # rank_0: the initial vector, no power steps
