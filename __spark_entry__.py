@@ -757,6 +757,24 @@ def q_cms_hot_keys(spark, sf):
     )
 
 
+def _op_pairs(spark, sf):
+    """Materialized distinct (o, p) bipartite pair table shared by the
+    graph queries (r6): the symmetrizing union used to re-run the
+    600k-row scan + distinct once PER BRANCH (two identical-cost AQE
+    stages under the operators' edge cut); cutting the pair table
+    first makes both direction projections cheap checkpoint reads."""
+    from olx_spark.session import materialize
+
+    return materialize(
+        _t(spark, sf, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 2).alias("o"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+
+
 def q_pagerank(spark, sf):
     # entity-importance scoring: fixed-iteration PageRank over the
     # bipartite order<->part co-occurrence graph (node id = 2*orderkey
@@ -765,10 +783,7 @@ def q_pagerank(spark, sf):
     # same 6 power-iteration steps in SQL.
     from olx_spark.operators.graph import pagerank
 
-    li = _t(spark, sf, "lineitem").select(
-        (F.col("l_orderkey") * 2).alias("o"),
-        (F.col("l_partkey") * 2 + 1).alias("p"),
-    ).distinct()
+    li = _op_pairs(spark, sf)
     edges = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).union(
         li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
     )
@@ -784,10 +799,7 @@ def q_label_prop(spark, sf):
     # SQL. Windowless min-of-struct argmax on the Spark side.
     from olx_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf, "lineitem").select(
-        (F.col("l_orderkey") * 2).alias("o"),
-        (F.col("l_partkey") * 2 + 1).alias("p"),
-    ).distinct()
+    li = _op_pairs(spark, sf)
     edges = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).union(
         li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
     )
@@ -1807,7 +1819,10 @@ def q_nb_classify(spark, sf):
     # the log-domain score, and the argmax window.
     from olx_spark.operators.classify import nb_classify
 
-    return nb_classify(_t(spark, sf, "documents"))
+    # parallel=False: tokenize is explode-then-aggregate (map-side
+    # combine reduces before any exchange) — interleaved A/B r6:
+    # floor_on 5.36s vs floor_off 1.92s median
+    return nb_classify(_t(spark, sf, "documents", parallel=False))
 
 
 def q_pmi_collocations(spark, sf):
@@ -1825,7 +1840,9 @@ def q_char_entropy(spark, sf):
     # with the twin; counts exact int64 until the final expression.
     from olx_spark.operators.entropy import char_word_entropy
 
-    return char_word_entropy(_t(spark, sf, "documents"))
+    # parallel=False: both explodes feed map-side-combined groupBys —
+    # interleaved A/B r6: floor_on 1.54s vs floor_off 1.04s median
+    return char_word_entropy(_t(spark, sf, "documents", parallel=False))
 
 
 def q_mad_outliers(spark, sf):
@@ -2295,7 +2312,9 @@ def q_inverted_index(spark, sf):
     # and the lag-based gap encoding in SQL.
     from olx_spark.operators.index import inverted_index
 
-    d = _t(spark, sf, "documents")
+    # parallel=False: posting explode feeds map-side-combined aggs —
+    # interleaved A/B r6: floor_on 1.28s vs floor_off 0.84s median
+    d = _t(spark, sf, "documents", parallel=False)
     return inverted_index(d, max_postings=256, min_df=1)
 
 
@@ -3407,15 +3426,9 @@ def q_trustrank(spark, sf):
     # recurrence.
     from olx_spark.operators.graph import pagerank
 
-    li = _t(spark, sf, "lineitem")
-    edges = li.select(
-        (F.col("l_orderkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    ).distinct().union(
-        li.select(
-            (F.col("l_partkey") * 2 + 1).alias("src"),
-            (F.col("l_orderkey") * 2).alias("dst"),
-        ).distinct()
+    li = _op_pairs(spark, sf)
+    edges = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
     )
     seeds = (
         _t(spark, sf, "orders")

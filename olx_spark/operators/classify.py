@@ -49,7 +49,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from olx_spark.functions.text import md5_60, norm_text
@@ -90,10 +90,17 @@ def nb_classify(
     # paths — un-cut, each consumer re-runs the corpus tokenization
     # (the same one-materialized-pass trade as the MinHash signature
     # table); the cut is O(corpus tokens), executor-resident/spillable
+    # n_train rides the materialize as an observe accumulator (r6) —
+    # the former 1-row agg subquery was one extra plan stage
+    from pyspark.sql import Observation
+
+    nt_obs = Observation()
     marked = materialize(
         docs.select(
             F.col(id_col), F.col(label_col).alias("label_true"),
             _tokens(text_col).alias("toks"), (fate < train_pct).alias("is_train"),
+        ).observe(
+            nt_obs, F.sum(F.col("is_train").cast("long")).alias("n_train")
         )
     )
     train = marked.filter("is_train")
@@ -118,21 +125,25 @@ def nb_classify(
     v_tot = c_wc.select("w").distinct().agg(
         F.count(F.lit(1)).alias("v"),
     )
-    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    n_train = int(nt_obs.get["n_train"] or 0)
     classes = (
         t_c.join(docs_c, "label")
         .crossJoin(F.broadcast(v_tot))
-        .crossJoin(F.broadcast(n_train))
         .select(
             "label",
-            F.log(F.col("n_docs").cast("double") / F.col("n_train")).alias("ln_prior"),
+            F.log(
+                F.col("n_docs").cast("double") / F.lit(float(n_train))
+            ).alias("ln_prior"),
             F.log((F.col("t_c") + F.col("v")).cast("double")).alias("ln_denom"),
         )
     )
 
     # --- score: per-doc tf over the train vocabulary
     vocab = c_wc.select("w").distinct()
-    tf = (
+    # materialized (r6): tf feeds BOTH the seen-pair sum and the
+    # per-doc token total — un-cut, the test-side explode + vocab
+    # join + groupBy ran twice
+    tf = materialize(
         test.select(id_col, F.explode("toks").alias("w"))
         .join(vocab, "w")  # drop OOV (see module doc)
         .groupBy(id_col, "w")
@@ -162,15 +173,28 @@ def nb_classify(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
+    # windowless argmax (r6): min-of-struct over (-score, label) is
+    # the same (score desc, label asc) total order as the former
+    # row_number window, as a hash aggregate with no per-doc sort;
+    # labels are distinct per doc so the trailing carried fields are
+    # never consulted by the comparison
     return (
-        grid.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        grid.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("label").alias("l"),
+                    F.col("score").alias("sc"),
+                    F.col("label_true").alias("lt"),
+                )
+            ).alias("b")
+        )
         .select(
             id_col,
-            "label_true",
-            F.col("label").alias("label_pred"),
-            F.round("score", 6).alias("nb_logscore"),
-            (F.col("label") == F.col("label_true")).cast("int").alias("correct"),
+            F.col("b.lt").alias("label_true"),
+            F.col("b.l").alias("label_pred"),
+            F.round("b.sc", 6).alias("nb_logscore"),
+            (F.col("b.l") == F.col("b.lt")).cast("int").alias("correct"),
         )
     )

@@ -92,6 +92,7 @@ def dsir_log_ratios(
     text_col: str = "text",
     n_buckets: int = 256,
     smoothing: float = 1.0,
+    raw_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket importance log-ratio table
     ``(bucket, lam = ln p_target[bucket] - ln q_raw[bucket])`` over a
@@ -107,7 +108,16 @@ def dsir_log_ratios(
     # explode+hash pass per branch (2x per side). The tables are
     # <= n_buckets rows, so the materialize is free.
     cp = materialize(_bucket_counts(target, text_col, n_buckets))
-    cq = materialize(_bucket_counts(raw, text_col, n_buckets))
+    # ``raw_buckets`` (r6): an already-exploded (.., bucket) frame —
+    # lets :func:`dsir_resample` share ONE raw-corpus feature pass
+    # between this fit and the scoring pass instead of shingling +
+    # hashing the whole raw corpus twice
+    if raw_buckets is not None:
+        cq = materialize(
+            raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        cq = materialize(_bucket_counts(raw, text_col, n_buckets))
     # totals ride the join as 1-row broadcast cross joins (no collect)
     tp = cp.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t_p"))
     tq = cq.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t_q"))
@@ -141,6 +151,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 256,
     gumbel_salt: str = "dsir-gumbel-v1",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Score every raw document:
     ``(doc_id, n_feats, log_weight, gkey)`` where ``log_weight`` is the
@@ -154,9 +165,10 @@ def dsir_weights(
     groupBy(doc_id). The lam join is explicitly ``F.broadcast`` — the
     table is ``n_buckets`` rows by construction.
     """
-    grams = raw.select(
-        F.col(id_col), F.explode(_features(text_col)).alias("g")
-    ).select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
+    if grams is None:
+        grams = raw.select(
+            F.col(id_col), F.explode(_features(text_col)).alias("g")
+        ).select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
     scored = (
         grams.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
@@ -203,8 +215,25 @@ def dsir_resample(
     (``order by gkey desc, doc_id`` — total order, so the selected set
     is unique and replayable). Returns
     ``(doc_id, n_feats, log_weight, gkey, rank_in_limit)``."""
+    from olx_spark.session import materialize
+
+    # ONE raw-corpus feature pass (r6): the exploded (doc, bucket)
+    # frame — two narrow columns, the same order of bytes the scoring
+    # shuffle moves anyway — is cut once and feeds BOTH the q-side
+    # bucket counts and the per-doc scoring join; before, the
+    # shingle+md5 explode over the whole raw corpus ran twice
+    grams_raw = materialize(
+        raw.select(
+            F.col(id_col), F.explode(_features(text_col)).alias("g")
+        ).select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
+    )
     ratios = dsir_log_ratios(
-        target, raw, text_col=text_col, n_buckets=n_buckets, smoothing=smoothing
+        target,
+        raw,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+        raw_buckets=grams_raw,
     )
     w = dsir_weights(
         raw,
@@ -213,6 +242,7 @@ def dsir_resample(
         text_col=text_col,
         n_buckets=n_buckets,
         gumbel_salt=gumbel_salt,
+        grams=grams_raw,
     )
     return ordered_limit(w, k, [F.col("gkey").desc(), F.col(id_col).asc()])
 

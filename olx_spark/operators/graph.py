@@ -108,25 +108,28 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # materialized: it feeds BOTH sides of the pointer-jump
-        # self-join below — unmaterialized, the neighbor join + groupBy
-        # would re-execute twice per round
-        stepped = materialize(
-            labels.join(nbr, "id", "left").select(
-                "id",
-                F.least("comp", "nbr_comp").alias("comp"),
-                F.col("comp").alias("__prev"),
-            ),
-            reliable=reliable,
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least("comp", "nbr_comp").alias("comp"),
+            F.col("comp").alias("__prev"),
         )
-        # 2. pointer jump: comp := comp(comp) — halves pointer chains,
-        #    turning O(diameter) propagation into O(log n)
+        # 2. pointer jump: comp := prev_comp(comp) — the jump table is
+        #    the ROUND-START label table (already materialized), not
+        #    the half-step result, so the half-step needs no extra
+        #    checkpoint job per round (r6: one materialize per round
+        #    instead of two). Still a contraction: every comp value is
+        #    a node id present in `labels`, labels only decrease, and
+        #    prev_comp(c) <= c, so chains keep collapsing
+        #    geometrically (the jump is one half-step staler than
+        #    comp(comp), costing at most an extra round or two, each
+        #    round now half the barrier count). Fixpoint and the
+        #    returned labels are unchanged: convergence still means
+        #    "no label moved this round".
         jumped = (
-            stepped.alias("s")
-            .join(
-                stepped.select(
+            stepped.join(
+                labels.select(
                     F.col("id").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("p"),
+                ),
                 "comp",
                 "left",
             )
@@ -269,43 +272,56 @@ def hits(
 
     # first half-step: every hub score is the constant 1.0, so the
     # join degenerates to sum(lit(1.0)) per dst — same doubles
+    from pyspark.sql import Observation
+
     auth = e_m.groupBy(F.col("dst").alias("id")).agg(
         F.sum(F.lit(1.0)).alias("auth")
     )
     hub = None
     stride = max(1, materialize_every)
+    # the two L1 totals ride the FINAL auth/hub materialize jobs as
+    # observe accumulators (r6): the former 1-row agg subqueries (and
+    # their broadcast cross joins) are two whole extra plan stages per
+    # call — the observed sum is the same F.sum over the same
+    # materialized frame
+    ta_obs = Observation()
+    th_obs = Observation()
     for i in range(iters):
         if i > 0:
             auth = half_step(hub, "hub", "src", "dst", "auth")
         # the final auth feeds BOTH the last hub half-step and the
         # output join — always cut it so that subtree runs once
-        if (2 * i + 1) % stride == 0 or i == iters - 1:
+        if i == iters - 1:
+            auth = materialize(
+                auth.observe(
+                    ta_obs, F.coalesce(F.sum("auth"), F.lit(0.0)).alias("ta")
+                ),
+                reliable=reliable,
+            )
+        elif (2 * i + 1) % stride == 0:
             auth = materialize(auth, reliable=reliable)
         hub = half_step(auth, "auth", "dst", "src", "hub")
-        if (2 * i + 2) % stride == 0 or i == iters - 1:
+        if i == iters - 1:
+            hub = materialize(
+                hub.observe(
+                    th_obs, F.coalesce(F.sum("hub"), F.lit(0.0)).alias("th")
+                ),
+                reliable=reliable,
+            )
+        elif (2 * i + 2) % stride == 0:
             hub = materialize(hub, reliable=reliable)
-    tot_a = auth.agg(F.coalesce(F.sum("auth"), F.lit(0.0)).alias("ta"))
-    tot_h = hub.agg(F.coalesce(F.sum("hub"), F.lit(0.0)).alias("th"))
+    ta = float(ta_obs.get["ta"] or 0.0)
+    th = float(th_obs.get["th"] or 0.0)
+    a_col = (
+        (F.coalesce("auth", F.lit(0.0)) / F.lit(ta)) if ta > 0 else F.lit(0.0)
+    )
+    h_col = (
+        (F.coalesce("hub", F.lit(0.0)) / F.lit(th)) if th > 0 else F.lit(0.0)
+    )
     return (
         nodes.join(auth, "id", "left")
         .join(hub, "id", "left")
-        .crossJoin(F.broadcast(tot_a))
-        .crossJoin(F.broadcast(tot_h))
-        .select(
-            "id",
-            F.when(
-                F.col("ta") > 0,
-                F.coalesce("auth", F.lit(0.0)) / F.col("ta"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("auth"),
-            F.when(
-                F.col("th") > 0,
-                F.coalesce("hub", F.lit(0.0)) / F.col("th"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("hub"),
-        )
+        .select("id", a_col.alias("auth"), h_col.alias("hub"))
     )
 
 
@@ -420,13 +436,19 @@ def pagerank(
             "left",
         )
     e_all = materialize(e_all, reliable=reliable)
+    # n rides the nodes materialize as an observe accumulator (r6) —
+    # the former separate nodes.count() job is gone
+    from pyspark.sql import Observation
+
+    n_obs = Observation()
     nodes = materialize(
         e_all.select(F.col("src").alias("id"))
         .union(e_all.select(F.col("dst").alias("id")))
-        .distinct(),
+        .distinct()
+        .observe(n_obs, F.count(F.lit(1)).alias("n")),
         reliable=reliable,
     )
-    n = nodes.count()
+    n = int(n_obs.get["n"] or 0)
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if edge_layout == "auto":
@@ -456,11 +478,18 @@ def pagerank(
         rank0_src = F.lit(1.0 / n)
         tele_src = F.lit((1.0 - damping) / n)
     else:
+        # n_seeds rides the base materialize the same way (r6)
+        s_obs = Observation()
         base = materialize(
-            nodes.join(F.broadcast(seed_ids), "id", "left"),
+            nodes.join(F.broadcast(seed_ids), "id", "left").observe(
+                s_obs,
+                F.sum(
+                    (F.col("__seed") == 1).cast("long")
+                ).alias("ns"),
+            ),
             reliable=reliable,
         )
-        n_seeds = base.where(F.col("__seed") == 1).count()
+        n_seeds = int(s_obs.get["ns"] or 0)
         if n_seeds == 0:
             raise ValueError(
                 "trustrank: no seed appears in the edge set"
@@ -589,6 +618,8 @@ def seed_distance(
         .withColumn("dist", F.lit(0)),
         reliable=reliable,
     )
+    from pyspark.sql import Observation
+
     layers = [frontier]
     visited_ids = frontier.select("id")
     for hop in range(1, max_hops + 1):
@@ -599,8 +630,15 @@ def seed_distance(
             .join(visited_ids, "id", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
-        frontier = materialize(nxt, reliable=reliable)
-        if frontier.limit(1).count() == 0:
+        # the drained-layer check rides the hop's materialize as an
+        # observe accumulator (r6) — the former limit(1).count() was
+        # one extra job per hop
+        obs = Observation()
+        frontier = materialize(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n")),
+            reliable=reliable,
+        )
+        if int(obs.get["n"] or 0) == 0:
             break
         layers.append(frontier)
         visited_ids = visited_ids.union(frontier.select("id"))
@@ -658,9 +696,24 @@ def label_propagation(
     for _ in range(iters):
         msgs = e.join(
             labels.select(F.col("id").alias("__s"), "label"), "__s"
-        ).select(F.col("__d").alias("id"), "label")
-        counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
-        best = (
+        ).select(F.col("__d").alias("id"), "label", F.lit(1).alias("w"))
+        # OWN-LABEL SENTINEL (r6): the former per-round
+        # ``labels LEFT JOIN best`` that re-attached the kept label to
+        # nodes with no in-neighbors is replaced by unioning each
+        # node's own label at weight 0 into the count stream. A real
+        # neighbor count c >= 1 gives struct key -c <= -1 < 0, so it
+        # always beats the sentinel; a node with no messages keeps its
+        # own label via the sentinel — exactly the old
+        # ``coalesce(new_label, label)``. One hash repartition on
+        # ``id`` up front lets BOTH groupBys below reuse the same
+        # exchange (HashPartitioning(id) satisfies clustering on
+        # (id,label) — guide §2.4): one shuffle per round instead of
+        # two plus a join.
+        cand = msgs.unionByName(
+            labels.select("id", "label", F.lit(0).alias("w"))
+        ).repartition("id")
+        counts = cand.groupBy("id", "label").agg(F.sum("w").alias("c"))
+        labels = materialize(
             counts.groupBy("id")
             .agg(
                 F.min(
@@ -669,12 +722,7 @@ def label_propagation(
                     )
                 ).alias("b")
             )
-            .select("id", F.col("b.l").alias("new_label"))
-        )
-        labels = materialize(
-            labels.join(best, "id", "left").select(
-                "id", F.coalesce("new_label", "label").alias("label")
-            ),
+            .select("id", F.col("b.l").alias("label")),
             reliable=reliable,
         )
     return labels

@@ -79,10 +79,15 @@ def jaccard_similarity_join(
     # explode + distinct
     toks = materialize(_doc_tokens(df, id_col, text_col))
     freq = toks.groupBy("token").agg(F.count("*").alias("tok_freq"))
-    sizes = toks.groupBy("doc").agg(F.count("*").alias("size"))
 
+    # |d| via a count window over the SAME doc partitioning the rank
+    # window establishes (guide §2.4: operations keyed the same way
+    # share one exchange) — the former separate groupBy(doc) sizes
+    # aggregation plus its join back are gone, and `size` rides every
+    # prefix row from here on (r6: 4 fewer exchanges end to end)
     ranked = (
         toks.join(freq, "token")
+        .withColumn("size", F.count("*").over(Window.partitionBy("doc")))
         .withColumn(
             "pos",
             F.row_number().over(
@@ -92,7 +97,6 @@ def jaccard_similarity_join(
             )
             - 1,
         )
-        .join(sizes, "doc")
     )
     # prefix length |d| - ceil(t*|d|) + 1; materialized because BOTH
     # self-join sides consume it — un-cut, the rank window re-runs per
@@ -111,6 +115,9 @@ def jaccard_similarity_join(
     b = prefix.select(
         F.col("doc").alias("doc_b"), "token", F.col("size").alias("size_b")
     ).alias("b")
+    # sizes ride the candidate rows (functionally determined by the
+    # doc ids, so the wider distinct has the same cardinality) — no
+    # per-side size join is needed after verification
     cand = (
         a.join(
             b,
@@ -122,7 +129,7 @@ def jaccard_similarity_join(
                 F.col("b.size_b") * F.lit(t) <= F.col("a.size_a"),
             ],
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "size_a", "size_b")
         .distinct()
     )
 
@@ -132,15 +139,11 @@ def jaccard_similarity_join(
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("size").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("size").alias("size_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter")
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast(
