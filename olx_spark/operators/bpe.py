@@ -247,7 +247,10 @@ def bpe_encode_docs(
     from olx_spark.functions.text import md5_60
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = (
+    # materialized ONCE (r6): the exploded (id, pos, word) frame feeds
+    # BOTH the distinct-word vocab side and the corpus join side —
+    # un-cut, the corpus tokenize explode ran twice
+    words = materialize(
         df.select(
             F.col(id_col),
             F.posexplode(F.split(F.lower(c), "[^a-z]+")).alias("pos", "word"),

@@ -159,10 +159,15 @@ def exact_topk_heavy(
         # applies weighted updates — same guarantee (every decrement
         # step retires >= cap+1 units of mass, so a key loses at most
         # partition_rows/cap), far off the per-row-Python path.
+        # The partition's non-null row total rides out as ONE sentinel
+        # row (key=null) so the certificate's N needs no second corpus
+        # pass (r6: the former src.count() full scan is gone).
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
             for key, w in pdf["key"].dropna().value_counts().items():
                 w = int(w)
+                n_rows += w
                 while w > 0:
                     if key in counters:
                         counters[key] += w
@@ -177,15 +182,15 @@ def exact_topk_heavy(
                             del counters[x]
                     w -= d
         yield pd.DataFrame(
-            {"key": list(counters), "c": list(counters.values())}
+            {
+                "key": list(counters) + [None],
+                "c": list(counters.values()) + [n_rows],
+            }
         )
 
-    cands = [
-        r["key"]
-        for r in src.mapInPandas(mg, schema=summary_schema)
-        .select("key").distinct().collect()
-    ]
-    total = src.where(F.col("key").isNotNull()).count()
+    partials = src.mapInPandas(mg, schema=summary_schema).collect()
+    cands = sorted({r["key"] for r in partials if r["key"] is not None})
+    total = sum(r["c"] for r in partials if r["key"] is None)
     cand_df = F.broadcast(
         df.sparkSession.createDataFrame([(c,) for c in cands] or [(None,)],
                                         "key string")

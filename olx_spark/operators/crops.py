@@ -132,12 +132,28 @@ def crop_candidates(
     `_productive_buckets` mega-bucket doctrine of
     ``operators/similarity.py:38``: degenerate flat tiles would
     otherwise make the self-join quadratic."""
-    t = tiles.where(F.col("decode_ok") == 1).select(
-        F.col(id_col).alias("id"), "tile_phash"
+    from pyspark.sql import Observation
+
+    from olx_spark.session import materialize
+
+    # materialized ONCE (r6): `t` feeds the frequency guard AND both
+    # pair-join sides — un-cut, the upstream tile-decode mapInPandas
+    # re-executed per consumer (3 full decode passes)
+    t = materialize(
+        tiles.where(F.col("decode_ok") == 1).select(
+            F.col(id_col).alias("id"), "tile_phash"
+        )
     )
     freq = t.groupBy("tile_phash").agg(F.count("*").alias("__n"))
-    dropped = freq.where(F.col("__n") > max_hash_freq)
-    n_dropped = dropped.count()
+    # the degenerate-hash frame is tiny; its count rides the
+    # materialize as an observe accumulator (one job, not two)
+    d_obs = Observation()
+    dropped = materialize(
+        freq.where(F.col("__n") > max_hash_freq).observe(
+            d_obs, F.count(F.lit(1)).alias("n")
+        )
+    )
+    n_dropped = int(d_obs.get["n"] or 0)
     if n_dropped:
         logger.warning(
             "crop_candidates: dropping %d degenerate tile hashes "

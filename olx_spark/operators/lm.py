@@ -211,25 +211,38 @@ def perplexity_filter(
     # output — materialize once (lineage cut via the repo's
     # reliable-checkpoint knob, session.materialize) so the
     # corpus-scale fit+score pipeline doesn't execute twice
+    from pyspark.sql import Observation
+
     from olx_spark.session import materialize
 
+    # the tercile cuts ride the materialize as observe accumulators
+    # (r6): exact percentile is order-independent and skips nulls, so
+    # the observed values equal the former filtered 1-row agg (and
+    # its broadcast cross join) — one less plan stage per call; safe
+    # because localCheckpoint computes every row (cf. the observe
+    # caveat in similarity._productive_buckets, which is about
+    # frames BELOW a join)
+    obs = Observation()
     scores = materialize(
         perplexity_score(
             docs, uni, bi, tot, id_col=id_col, text_col=text_col, alpha=alpha
+        ).observe(
+            obs,
+            F.percentile("ppl", 1.0 / 3.0).alias("t1"),
+            F.percentile("ppl", 2.0 / 3.0).alias("t2"),
         )
     )
-    cuts = scores.filter(F.col("ppl").isNotNull()).agg(
-        F.percentile("ppl", 1.0 / 3.0).alias("t1"),
-        F.percentile("ppl", 2.0 / 3.0).alias("t2"),
-    )
-    return scores.crossJoin(F.broadcast(cuts)).select(
+    cuts = obs.get
+    t1 = F.lit(cuts["t1"]).cast("double")
+    t2 = F.lit(cuts["t2"]).cast("double")
+    return scores.select(
         id_col,
         "n_tokens",
         "logprob",
         "ppl",
         F.when(F.col("ppl").isNull(), F.lit("empty"))
-        .when(F.col("ppl") <= F.col("t1"), F.lit("head"))
-        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .when(F.col("ppl") <= t1, F.lit("head"))
+        .when(F.col("ppl") <= t2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )

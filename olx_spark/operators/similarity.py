@@ -262,6 +262,8 @@ def minhash_delta_probe(
     Verification joins fetch only the candidate corpus docs'
     shingles. No corpus self-join anywhere: cost per round is
     O(delta x avg-bucket), not O(corpus^2) or O(corpus x delta)."""
+    from pyspark.sql import Observation
+
     c_sigs = materialize(minhash_docs(corpus, id_col, text_col, n_perm))
     d_sigs = materialize(minhash_docs(delta, id_col, text_col, n_perm))
     c_banded = materialize(_banded_rows(c_sigs, n_perm, bands))
@@ -269,11 +271,19 @@ def minhash_delta_probe(
     # materialized: `over` feeds the drop-count stats AND the
     # anti-join below — un-cut, the bucket-sizing groupBy over the
     # banded corpus would run twice; the frame itself is tiny (only
-    # buckets above max_bucket)
-    over = materialize(sizes.filter(F.col("n") > max_bucket))
-    stats = over.agg(
-        F.count("*").alias("n_dropped"), F.sum("n").alias("rows_dropped")
-    ).first()
+    # buckets above max_bucket). The drop stats ride the materialize
+    # as observe accumulators (r6) — safe here, unlike below a join
+    # (see _productive_buckets), because localCheckpoint computes
+    # every row — deleting the former separate 1-row agg job.
+    obs = Observation()
+    over = materialize(
+        sizes.filter(F.col("n") > max_bucket).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_dropped"),
+            F.sum("n").alias("rows_dropped"),
+        )
+    )
+    stats = obs.get
     if stats["n_dropped"]:
         logger.warning(
             "minhash_delta_probe: dropped %d corpus mega-bucket(s) (%d rows) "
