@@ -258,10 +258,19 @@ def boilerplate_lines(
     if not 0.0 < df_frac <= 1.0:
         raise ValueError(f"df_frac must be in (0,1], got {df_frac}")
     frac_ppm = int(round(df_frac * 1_000_000))
-    base = lines.select(
-        F.col(doc_col).alias("__bp_doc"),
-        F.col(domain_col).alias("__bp_dom"),
-        F.col(line_col).alias("__bp_line"),
+    from olx_spark.session import materialize
+
+    # materialized ONCE (r6): the line table feeds THREE consumers —
+    # the per-line frequency agg, the per-domain doc totals, and the
+    # verdict pass that joins the boilerplate set back — and the
+    # caller's per-doc line construction (chunk transform + explode)
+    # is corpus-scale work that otherwise re-executes per consumer
+    base = materialize(
+        lines.select(
+            F.col(doc_col).alias("__bp_doc"),
+            F.col(domain_col).alias("__bp_dom"),
+            F.col(line_col).alias("__bp_line"),
+        )
     )
     # one shuffle: per-(domain, line) distinct-doc frequency
     line_df = base.groupBy("__bp_dom", "__bp_line").agg(
