@@ -334,6 +334,24 @@ class TestLabelPropagation:
     def test_deterministic(self, spark):
         assert self._run(spark, 3) == self._run(spark, 3)
 
+    def test_source_only_node_keeps_label(self, spark):
+        # r6 internals: the keep-own-label fallback is a weight-0
+        # sentinel row in the count stream — pin the edge case it
+        # encodes: a node with OUT-edges but no in-neighbors must keep
+        # its own label every round, while its target adopts it
+        from olx_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(7, 3), (3, 7), (9, 3)], "src long, dst long")
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(df, iters=2).collect()
+        }
+        # 9 has no in-edges: the sentinel keeps it at 9 both rounds;
+        # 3's in-labels are {7, 9} -> tie -> min = 7 (round 1), then
+        # {3(from 7), 9} -> min count tie -> 3; 7 adopts 3's label
+        assert got[9] == 9
+        assert 3 in got and 7 in got
+
     def test_windowless_plan(self, spark):
         from olx_spark.operators.graph import label_propagation
 

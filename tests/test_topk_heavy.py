@@ -69,3 +69,23 @@ def test_bad_k(spark):
     df = spark.createDataFrame([("x",)], "key string")
     with pytest.raises(ValueError):
         exact_topk_heavy(df, "key", k=0)
+
+
+def test_null_keys_excluded_from_total_across_partitions(spark):
+    # r6 internals: the certificate's N is now the sum of per-partition
+    # sentinel rows from the Misra-Gries pass — pin that nulls stay out
+    # of N and per-partition totals add up over a many-partition frame.
+    df = spark.range(9000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 1, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 50).cast("string")))
+        .alias("key")
+    ).repartition(7)
+    got = exact_topk_heavy(df, "key", k=1, capacity=8).collect()
+    assert got[0]["key"] == "hot" and got[0]["cnt"] == 3000
+    # N excludes the 3000 nulls: 3000 * 8 > 6000 -> certified; if nulls
+    # leaked into N the margin would still hold, so also pin the exact
+    # uncertified complement: with capacity=2, kth*cap = 6000 == N must
+    # NOT certify (strict inequality over the null-free total)
+    got2 = exact_topk_heavy(df, "key", k=1, capacity=2).collect()
+    assert got2[0]["cnt"] == 3000 and not got2[0]["certified"]
